@@ -1,0 +1,17 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine query: a DataFrame program over the testdata
+  * tables plus (where DuckDB can express it exactly) the equivalent
+  * ANSI SQL the driver replays as the correctness oracle.
+  *
+  * Contract (SURVEY.md §7.4): every query ends in a total ORDER BY on a
+  * unique key, float aggregates go through exact decimal sums (or are
+  * rounded), and output column names match the oracle's aliases —
+  * the driver sorts columns by name before hashing.
+  */
+final case class Query(
+    name: String,
+    oracle: Option[String])(
+    val fn: (SparkSession, String) => DataFrame)

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.functions.CleanFns._
+
+/** Unit + property tests for the expression kernel, pinning the exact
+  * reference semantics (SURVEY.md §5.2), including the edge cases
+  * verified against pandas: substring-date of "" → "//", merge-concat
+  * skip rules (main.py:590-603), tag dedup/trim (main.py:501-502).
+  */
+class CleanFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("v").select(c.as("r")).as[String].collect().head
+
+  test("dateReformat: yyyy-mm-dd hh:mm:ss → mm/dd/yyyy by pure slicing") {
+    assert(one(dateReformat($"v"), "2018-03-05 12:00:00") == "03/05/2018")
+  }
+
+  test("dateReformat: empty input yields the literal // (main.py:412-418)") {
+    assert(one(dateReformat($"v"), "") == "//")
+  }
+
+  test("dateReformat: malformed input passes through mangled, no error") {
+    assert(one(dateReformat($"v"), "garbage") == "ge//garb")
+  }
+
+  test("mergeConcat: all four branches (main.py:590-603)") {
+    val rows = Seq(
+      ("a", "a", "a"),      // from == to → keep to
+      ("a", "", "a"),       // from empty → keep to
+      ("", "b", "b"),       // to empty → take from
+      ("a", "b", "a, b"))   // both → concat with ', '
+    val got = rows.toDF("to", "from", "want")
+      .select(mergeConcat($"to", $"from").as("got"), $"want")
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("mergeConcat is a no-op when from == to (property)") {
+    val samples = Gen.listOfN(50, Gen.alphaNumStr).sample.get.distinct
+    val got = samples.toDF("v")
+      .select($"v", mergeConcat($"v", $"v").as("r"))
+      .as[(String, String)].collect()
+    got.foreach { case (v, r) => assert(r == v) }
+  }
+
+  test("fillEmpty: null → '', others preserved; idempotent (property)") {
+    val got = Seq[(java.lang.Long, String)]((1L, null), (2L, "x"))
+      .toDF("k", "v")
+      .select(fillEmpty(fillEmpty($"v")).as("r")).as[String].collect()
+    assert(got.toSeq == Seq("", "x"))
+  }
+
+  test("normalizeWhitespace replaces tab/newline/CR and escaped forms") {
+    assert(one(normalizeWhitespace($"v"), "a\tb\nc\rd\\ne") ==
+      "a, b, c, d, e")
+  }
+
+  test("tags: dedup, trim, comma-join, empties dropped (main.py:491-507)") {
+    val c = CleanFns.tags(Seq(
+      (lit(true), " x "),   // trimmed
+      (lit(true), "x"),     // duplicate after trim → dropped
+      (lit(false), "y"),    // unpopulated → dropped
+      (lit(true), "z")))
+    assert(one(c, "ignored") == "x,z")
+  }
+
+  test("anyColContains matches substrings case-insensitively (latest ⊃ test)") {
+    val df = Seq(("LaTeSt news", "b"), ("clean", "d")).toDF("c1", "c2")
+    val got = df.filter(anyColContains(Seq($"c1", $"c2"), "test"))
+      .as[(String, String)].collect()
+    assert(got.toSeq == Seq(("LaTeSt news", "b")))
+  }
+
+  test("blankIfIn blanks listed values only") {
+    val df = Seq("0", "999", "keep").toDF("v")
+    val got = df.select(blankIfIn($"v", Seq("0", "999")).as("r"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("", "", "keep"))
+  }
+}
