@@ -84,6 +84,9 @@ object CleanFns {
     * Native `exists` over an `array` — no UDF, codegen-friendly.
     */
   def anyColContains(cols: Seq[Column], needle: String): Column =
-    exists(array(cols.map(c => lower(c.cast("string"))): _*),
+    // coalesce-to-'' keeps the predicate three-valued-logic-free: a null
+    // cell must read as "no match", not poison the whole exists() to
+    // null (which would silently drop the row in a filter).
+    exists(array(cols.map(c => coalesce(lower(c.cast("string")), lit(""))): _*),
       x => x.contains(needle.toLowerCase))
 }
