@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (extended
+  * surface, SURVEY.md §2.10): exact, keep-latest, MinHash+LSH near-dup,
+  * SimHash, and n-gram Jaccard verification. Everything is built from
+  * shuffle-aware primitives: exact dedup is one hash aggregation;
+  * near-dup candidate generation shuffles once on (band, bucket); only
+  * candidate PAIRS (a tiny set at realistic thresholds) are verified.
+  *
+  * Evaluation-cost note that shapes this API: Spark's higher-order
+  * array functions (`transform`/`aggregate`/`filter`) are interpreted,
+  * not codegen'd, and within ONE projection every reference re-walks
+  * its subtree. So the expensive intermediates (shingle arrays, token
+  * hash arrays, minhash signatures) are materialized as real columns in
+  * separate selects — Catalyst's CollapseProject deliberately keeps
+  * such multi-referenced non-cheap projections apart — and the
+  * many-branch reductions (32 minhash slots, 64 simhash bits) reference
+  * those bound columns instead of recomputing them. This turned an
+  * O(hashes × tokens²) per-row blowup into O(hashes × tokens).
+  */
+object Dedup {
+
+  /** Exact dedup: keep one deterministic representative (min of
+    * `tiebreak`) per key group. `dropDuplicates` is avoided — its kept
+    * row is partition-order-dependent, which breaks oracle parity and
+    * reproducibility at scale.
+    */
+  def exact(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(tiebreak)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep-latest dedup: one row per key, latest by `ord` (ties broken
+    * by `tiebreak` for determinism) — the row_number window form.
+    */
+  def keepLatest(df: DataFrame, keys: Seq[String], ord: Column,
+      tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord.desc, tiebreak.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** id + minhash signature per document: `numHashes` permutations
+    * approximated by seeded xxhash64 over the doc's distinct word-`n`-
+    * gram shingles; slot i = min hash under seed i. The shingle array
+    * is materialized first (see object doc) so each of the `numHashes`
+    * reductions walks a bound array, not the shingle expression.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32): DataFrame =
+    shingleFrame(df, idCol, textCol, n)
+      .select(col(idCol),
+        array((0 until numHashes).map { i =>
+          // docs too short to shingle get a defined (empty-content)
+          // signature instead of nulls — they all collide with each
+          // other, which is the right semantic for "no content".
+          coalesce(array_min(transform(col("sh"), s => xxhash64(s, lit(i)))),
+            xxhash64(lit(""), lit(i)))
+        }: _*).as("sig"))
+
+  /** LSH banding of a materialized signature column: `bands` hashes,
+    * each over `rows = numHashes/bands` consecutive signature slots.
+    * Two docs land in the same (band, bucket) iff that band's slots all
+    * match — the standard near-dup candidate generator.
+    */
+  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*), lit(b))
+    }: _*)
+
+  /** id + exploded (band, bucket) per document. */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    minhashSignatures(df, idCol, textCol, n, numHashes)
+      .select(col(idCol),
+        minhashBands(col("sig"), bands, numHashes / bands).as("__bands"))
+      .select(col(idCol),
+        posexplode(col("__bands")).as(Seq("band", "bucket")))
+
+  /** Near-dup candidate pairs by MinHash+LSH: shingle → signature →
+    * band buckets → ONE shuffle on (band, bucket) → pair ids within
+    * each bucket. Output: distinct (id_a < id_b).
+    * At 100 TB: the explode multiplies rows by `bands` (narrow), the
+    * single shuffle key is high-cardinality (no skew for
+    * non-pathological corpora), and pairing happens per-bucket (bounded
+    * groups), never corpus×corpus.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, n, numHashes, bands)
+      .withColumnRenamed(idCol, "id")
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over two MATERIALIZED shingle-array columns —
+    * the verification step applied to LSH candidates (never all pairs).
+    * Callers join candidate pairs against a per-doc shingle frame
+    * (computed once) rather than re-deriving shingles per pair side.
+    */
+  def jaccardFromShingles(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** id + shingle array, materialized once per document (tokens
+    * materialized first — see object doc).
+    */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh"))
+
+  /** id + SimHash-64 fingerprint: per-token seeded 64-bit hashes
+    * (materialized), then per-bit ±1 votes, sign → bit. Near-dup when
+    * hamming distance ≤ threshold.
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sim = (0 until 64).map { bit =>
+      val votes = aggregate(col("__h"), lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(typedlit(1L << bit)) =!= 0, 1)
+          .otherwise(-1))
+      when(votes > 0, typedlit(1L << bit)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    df.select(col(idCol),
+        transform(TextAnalysis.wsTokens(lower(col(textCol))),
+          t => xxhash64(t)).as("__h"))
+      .select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

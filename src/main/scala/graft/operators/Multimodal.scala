@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * payloads travel as opaque `binary` columns with typed metadata, and
+  * decode / feature-extraction runs batched per partition so a real
+  * decoder amortizes model/codec setup per batch, not per row — the
+  * Spark-side shape (schema, encoders, partition batching, feature
+  * vector output) is the real contract.
+  *
+  * DECODE IS A STUB: this container has no image/audio codecs, so
+  * `decodeStub` derives deterministic fake dimensions/features from the
+  * payload bytes. Swap `decodeStub` for a real codec call without
+  * touching any of the distribution logic.
+  */
+object Multimodal {
+
+  /** One media row: id, modality kind, raw bytes, string metadata. */
+  final case class MediaItem(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      meta: Map[String, String])
+
+  /** Decoded feature row. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      features: Array[Float])
+
+  /** The on-disk schema for a media table. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Rows per decode batch — sized for a typical accelerator/codec
+    * batch, tunable by the caller.
+    */
+  val defaultBatchSize = 64
+
+  /** STUB decoder: deterministic pseudo-dimensions and a `dim`-float
+    * feature vector derived from payload bytes (a rolling polynomial
+    * over byte values). Replace with a real codec + model.
+    */
+  private[operators] def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val bytes = if (payload == null) Array.empty[Byte] else payload
+    val h0 = bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+    val width = 16 + math.floorMod(h0, 1024).toInt
+    val height = 16 + math.floorMod(h0 >> 10, 1024).toInt
+    val feats = Array.tabulate(dim) { i =>
+      val hi = bytes.foldLeft(h0 + i)((h, b) => 131 * h + b + i)
+      (math.floorMod(hi, 2000) - 1000) / 1000.0f
+    }
+    (width, height, feats)
+  }
+
+  /** Wrap a DataFrame with binary media columns into the typed
+    * Dataset. Accepts any source frame with compatible columns.
+    */
+  def asMedia(df: DataFrame)(implicit s: SparkSession): Dataset[MediaItem] = {
+    import s.implicits._
+    df.select(
+        col("media_id").cast("long"),
+        col("kind").cast("string"),
+        col("payload").cast("binary"),
+        col("meta").cast("map<string,string>"))
+      .as[MediaItem]
+  }
+
+  /** Batched decode + feature extraction: `mapPartitions` with
+    * `grouped(batchSize)` so the (stubbed) decoder sees real batches.
+    * Narrow transformation — scales by input partitions, no shuffle.
+    */
+  def extractFeatures(ds: Dataset[MediaItem], dim: Int = 16,
+      batchSize: Int = defaultBatchSize): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would run the whole batch in one codec/model
+        // call here; the stub maps per item
+        batch.map { m =>
+          val payload = Option(m.payload).getOrElse(Array.empty[Byte])
+          val (w, h, f) = decodeStub(payload, dim)
+          MediaFeatures(m.media_id, m.kind, payload.length, w, h, f)
+        }
+      }
+    }
+  }
+
+  /** "Resize": emit target dimensions + scale factors as metadata —
+    * the real implementation would transform pixels; the plumbing
+    * (projection shape, aspect-ratio math) is real.
+    */
+  def resizePlan(feats: Dataset[MediaFeatures], maxSide: Int): DataFrame = {
+    val f = feats.toDF()
+    val scale = least(lit(maxSide) / col("width"), lit(maxSide) / col("height"),
+      lit(1.0))
+    f.select(col("media_id"), col("width"), col("height"),
+      round(scale, 6).as("scale"),
+      ceil(col("width") * scale).cast("int").as("out_width"),
+      ceil(col("height") * scale).cast("int").as("out_height"))
+  }
+
+  /** Frame sampling for video-kind rows: every `stride`-th frame index
+    * up to a fake per-item frame count derived from payload size (a
+    * real impl reads the container's frame count). Generates
+    * (media_id, frame_idx) rows via explode — narrow, partition-local.
+    */
+  def frameSamplePlan(ds: Dataset[MediaItem], stride: Int): DataFrame = {
+    val df = ds.toDF()
+    val nFrames = greatest(
+      (length(col("payload")) / 1024).cast("int"), lit(1))
+    df.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride))).as("frame_idx"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns
+  * (testdata `embeddings.parquet`; SURVEY.md §2.10 extended surface).
+  *
+  * All vector math is native Catalyst expressions (`zip_with` /
+  * `aggregate` / `transform`) — codegen'd, no UDFs, so the scan stays
+  * inside whole-stage codegen and scales by partitions. Top-k uses
+  * `orderBy(...).limit(k)`, which Spark plans as TakeOrderedAndProject:
+  * a bounded per-partition heap + driver merge, no global sort — the
+  * only safe form at 100 TB.
+  */
+object Similarity {
+
+  /** Element sum of an array<double> column. */
+  private def asum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Dot product of two array-typed columns (any numeric element). */
+  def dot(a: Column, b: Column): Column =
+    asum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(asum(transform(toDouble(a), x => x * x)))
+
+  /** Cosine similarity; null-safe via NaN for zero vectors left to the
+    * caller (synthetic embeddings are non-zero).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine against one query vector: the exact
+    * baseline. One scan, one TakeOrderedAndProject — at scale this is
+    * shuffle-free except the final k-row merge on the driver.
+    */
+  def bruteForceTopK(corpus: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = typedlit(query)
+    corpus.select(col(idCol),
+        round(cosine(col(embCol), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random-hyperplane family for LSH bucketing: `p`
+    * signed planes over `dims` dimensions, seeded — the same family on
+    * every executor and every run.
+    */
+  def hyperplanes(dims: Int, p: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(p)(Seq.fill(dims)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id (0 .. 2^planes-1) for a vector
+    * column: bit i = (v · plane_i) > 0. Pure expression: `planes` are
+    * literals baked into the plan (bounded metadata, like a broadcast).
+    */
+  def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-restricted approximate top-k: score only the corpus rows
+    * whose bucket matches the query's bucket in ANY of the `bands`
+    * independent plane families (multi-probe by band, the standard
+    * recall lever). At 100 TB the bucket predicate prunes the scored
+    * set by ~2^planes per band; bucket ids can be precomputed and
+    * partition-pruned via a bucketed layout.
+    */
+  def lshTopK(corpus: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, planesPerBand: Int = 8, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val families = Seq.tabulate(bands)(b =>
+      hyperplanes(query.size, planesPerBand, seed + b))
+    def bucketOf(vec: Column, fam: Seq[Seq[Double]]): Column = srpBucket(vec, fam)
+    def qBucket(fam: Seq[Seq[Double]]): Int = {
+      // driver-side: same arithmetic as srpBucket, on the query literal
+      fam.zipWithIndex.map { case (p, i) =>
+        if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1 << i else 0
+      }.sum
+    }
+    val matchesAnyBand = families.map(f =>
+      bucketOf(col(embCol), f) === lit(qBucket(f))).reduce(_ || _)
+    corpus.filter(matchesAnyBand)
+      .select(col(idCol), round(cosine(col(embCol), typedlit(query)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

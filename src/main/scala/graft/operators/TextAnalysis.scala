@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table (extended surface, SURVEY.md §2.10): tokenization,
+  * quality scoring, language ID, fingerprinting. All native expressions
+  * — no UDFs.
+  *
+  * Higher-order array functions are interpreted and re-evaluate shared
+  * subtrees per reference (see Dedup.scala doc), so every operator here
+  * materializes its token array in one projection and derives the
+  * many-reference statistics from the bound column in the next.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish token segmentation: word pieces, numbers, and individual
+    * punctuation as separate tokens (a regex approximation of byte-pair
+    * pretokenizers — exact BPE requires a learned merge table).
+    */
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Word n-gram shingles from a MATERIALIZED token-array column:
+    * contiguous n-token windows joined by single spaces; distinct.
+    * Taking tokens (not raw text) keeps the per-window `element_at`
+    * lookups O(1) array reads instead of re-splitting the text.
+    */
+  def shinglesFromTokens(w: Column, n: Int): Column = {
+    val windows = transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+    array_distinct(
+      when(size(w) >= n, windows).otherwise(array().cast("array<string>")))
+  }
+
+  /** Convenience: shingles straight from text — only for bounded
+    * inputs (tests); pipelines use shinglesFromTokens over a
+    * materialized token column.
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(wsTokens(text), n)
+
+  /** Per-document quality/stat columns appended to `df`: token count
+    * (whitespace and BPE-ish), char count, mean token length,
+    * punctuation ratio, stopword ratio, uppercase ratio — the standard
+    * cheap quality filters.
+    */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val keep = df.columns.map(col)
+    val toks = col("__toks")
+    val nTok = size(toks)
+    val n1 = greatest(nTok, lit(1))
+    val stop = typedlit(stopwords("en"))
+    df.select(keep :+ wsTokens(col(textCol)).as("__toks"): _*)
+      .select(keep ++ Seq(
+        nTok.as("n_tokens"),
+        size(bpeIshTokens(col(textCol))).as("n_bpe_tokens"),
+        length(col(textCol)).as("n_chars_m"),
+        round(length(col(textCol)).cast("double") / n1, 6).as("mean_tok_len"),
+        round(size(filter(toks, x => x.rlike("^[^A-Za-z0-9]+$"))).cast("double")
+          / n1, 6).as("punct_ratio"),
+        round(size(filter(toks, x => array_contains(stop, lower(x)))).cast("double")
+          / n1, 6).as("stop_ratio"),
+        round(size(filter(toks, x => x.rlike("^[A-Z]"))).cast("double")
+          / n1, 6).as("upper_ratio")): _*)
+  }
+
+  /** Tiny per-language function-word profiles for heuristic language
+    * ID. Public-knowledge word lists, intentionally small — a cheap
+    * pipeline heuristic, not a model.
+    */
+  def stopwords(lang: String): Seq[String] = lang match {
+    case "en" => Seq("the", "and", "of", "to", "a", "in", "is", "it",
+      "that", "for", "was", "on", "are", "with", "as", "at", "this")
+    case "es" => Seq("el", "la", "de", "que", "y", "en", "un", "una",
+      "los", "las", "por", "con", "para", "es", "no", "se")
+    case "de" => Seq("der", "die", "das", "und", "ist", "ich", "nicht",
+      "ein", "eine", "mit", "auf", "für", "von", "zu", "den")
+    case "fr" => Seq("le", "la", "les", "de", "des", "et", "est", "un",
+      "une", "dans", "que", "pour", "avec", "sur", "au", "ce")
+    case _ => Seq.empty
+  }
+
+  /** Append a `predicted` language column: score = fraction of tokens
+    * in each language's function-word profile (+ a CJK char-ratio check
+    * for zh); argmax, "und" when nothing matches. Token array
+    * materialized once.
+    */
+  def withLangId(df: DataFrame, textCol: String = "text",
+      outCol: String = "predicted"): DataFrame = {
+    val keep = df.columns.map(col)
+    val toks = col("__ltoks")
+    val n = greatest(size(toks), lit(1)).cast("double")
+    def score(lang: String): Column =
+      size(filter(toks, t => array_contains(typedlit(stopwords(lang)), t))) / n
+    val zh = length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", "")) >
+      length(col(textCol)) * 0.3
+    val scored = Seq("en", "es", "de", "fr").map(l =>
+      struct(score(l).as("s"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    df.select(keep :+ transform(wsTokens(col(textCol)), lower _).as("__ltoks"): _*)
+      .select(keep :+
+        when(zh, lit("zh"))
+          .when(best.getField("s") > 0, best.getField("lang"))
+          .otherwise(lit("und")).as(outCol): _*)
+  }
+
+  /** Content fingerprint: 64-bit hash of the whitespace-normalized,
+    * lowercased text — the exact-dedup key that survives formatting
+    * noise. xxhash64 is Spark-native, seeded, deterministic across
+    * executors/runs.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

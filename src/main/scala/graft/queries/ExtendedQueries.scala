@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Extended LLM-training-data-pipeline operators (BASELINE.json north
+  * star; SURVEY.md §2.10): dedup, similarity search, text analysis.
+  * Oracle SQL is declared where DuckDB can express the exact semantics
+  * (md5 grouping, list_cosine_similarity, string/list functions);
+  * hash-based operators (xxhash64 minhash/simhash/fingerprint) have no
+  * DuckDB twin and are pinned by ScalaTest specs instead (allowed by
+  * the driver contract — rows-only check).
+  */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** The similarity query vector: embedding of vec_id = 0, collected
+    * once at plan-build time — it is the query *parameter*, not data.
+    */
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+
+  val all: Seq[Query] = Seq(
+
+    // Exact dedup keyed on a content hash (here no dups exist — every
+    // group size 1 — which the oracle verifies too).
+    Query("q29_dedup_exact", Some(
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin))(
+      (s, dir) =>
+        Dedup.exact(
+            t(s, dir, "documents").withColumn("h", md5(col("text"))),
+            Seq("h"), "doc_id")
+          .withColumnRenamed("keep_id", "keep_id")
+          .orderBy("keep_id")),
+
+    // Exact dedup on a key with real collapses (events user/type).
+    Query("q30_dedup_subset", Some(
+      """SELECT user_id, event_type, MIN(event_id) AS keep_id,
+        |  COUNT(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin))(
+      (s, dir) =>
+        Dedup.exact(t(s, dir, "events"), Seq("user_id", "event_type"),
+            "event_id")
+          .orderBy("user_id", "event_type")),
+
+    // MinHash+LSH band buckets per document (the near-dup candidate
+    // key). xxhash64-based — no DuckDB oracle; pinned by DedupSpec.
+    Query("q31_minhash_buckets", None)(
+      (s, dir) =>
+        Dedup.minhashBuckets(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id", "band")),
+
+    // Full near-dup pipeline on a corpus with planted duplicates (the
+    // documents table unioned with itself, ids offset): candidates via
+    // LSH, verified with exact 3-gram Jaccard. Every doc must pair
+    // with its clone at jaccard 1.0.
+    Query("q32_minhash_pairs", None)(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionAll(
+          d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text")
+        val sh = Dedup.shingleFrame(corpus, "doc_id", "text")
+        val withSh = pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        withSh.select(col("id_a"), col("id_b"),
+            round(Dedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 6)
+              .as("jacc"))
+          .filter(col("jacc") >= 0.8)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // SimHash fingerprints + hamming distance to the corpus head.
+    Query("q33_simhash", None)(
+      (s, dir) => {
+        val withSim = Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
+        val ref = withSim.filter(col("doc_id") === 0)
+          .select(col("simhash").as("ref_sim"))
+        withSim.crossJoin(broadcast(ref))
+          .select(col("doc_id"), col("simhash"),
+            Dedup.hamming64(col("simhash"), col("ref_sim")).as("hamming_to_0"))
+          .orderBy("doc_id")
+      }),
+
+    // Brute-force cosine top-k against the vec_id=0 query vector —
+    // the exact ANN baseline, oracle-checked against DuckDB's
+    // list_cosine_similarity in double precision.
+    Query("q34_cosine_topk", Some(
+      """SELECT v.vec_id,
+        |  ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS score
+        |FROM embeddings v ORDER BY score DESC, vec_id LIMIT 20""".stripMargin))(
+      (s, dir) =>
+        Similarity.bruteForceTopK(t(s, dir, "embeddings"), "embedding",
+          "vec_id", queryVec(s, dir), 20)),
+
+    // Per-document text statistics (quality-filter features).
+    Query("q35_text_stats", Some(
+      """WITH s AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS n_bpe_tokens,
+        |  length(text) AS n_chars_m,
+        |  ROUND(CAST(length(text) AS DOUBLE) / greatest(len(toks), 1), 6)
+        |    AS mean_tok_len,
+        |  ROUND(CAST(len(list_filter(toks,
+        |      x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) AS DOUBLE)
+        |    / greatest(len(toks), 1), 6) AS punct_ratio,
+        |  ROUND(CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','a','in','is','it','that','for','was',
+        |       'on','are','with','as','at','this'], lower(x)))) AS DOUBLE)
+        |    / greatest(len(toks), 1), 6) AS stop_ratio,
+        |  ROUND(CAST(len(list_filter(toks,
+        |      x -> regexp_matches(x, '^[A-Z]'))) AS DOUBLE)
+        |    / greatest(len(toks), 1), 6) AS upper_ratio
+        |FROM s ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.textStats(t(s, dir, "documents").select("doc_id", "text"))
+          .drop("text")
+          .orderBy("doc_id")),
+
+    // Heuristic language ID (function-word profiles + CJK check).
+    Query("q36_lang_id", None)(
+      (s, dir) =>
+        TextAnalysis.withLangId(
+            t(s, dir, "documents")
+              .select(col("doc_id"), col("lang").as("labeled"), col("text")))
+          .drop("text")
+          .orderBy("doc_id")),
+
+    // Normalized content fingerprint (xxhash64) — exact-dedup key.
+    Query("q37_fingerprint", None)(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")),
+
+    // LSH-restricted approximate top-k (sign random projection,
+    // multi-band probe) — the scale path for q34; recall pinned by
+    // SimilaritySpec against the brute-force baseline.
+    Query("q38_ann_lsh", None)(
+      (s, dir) =>
+        Similarity.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryVec(s, dir), k = 10, planesPerBand = 6, bands = 4))
+  )
+}

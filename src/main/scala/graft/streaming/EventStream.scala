@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the event-log shape
+  * (`events` table: event_id, ts, user_id, event_type, value). The
+  * reference is strictly batch (SURVEY.md §1.1), so this is the
+  * engine's forward-looking stream path: the same windowed aggregation
+  * the batch q28 does, plus stateful sessionization — both written
+  * against unbounded inputs (watermarks bound state) and equally
+  * runnable on a bounded batch frame.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Long, total_value: Double,
+      started: java.sql.Timestamp, ended: java.sql.Timestamp)
+
+  /** Tumbling-window counts/sums per event type. Watermark bounds
+    * window state to `watermark` of lateness — without it a 100 TB/day
+    * stream accretes state forever.
+    */
+  def windowedStats(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_val"))
+
+  /** Inactivity-gap sessionization via flatMapGroupsWithState: a
+    * session closes when a user is silent for `gap`. Event-time
+    * processing with per-group state — the canonical custom-state
+    * streaming operator (KeyValueGroupedDataset surface).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
+      implicit s: SparkSession): Dataset[Session] = {
+    import s.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          val incoming = it.toList.sortBy(e => (e.ts.getTime, e.event_id))
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(Nil)
+            state.remove()
+            closedSessions(userId, buf, gapMs, flushAll = true).iterator
+          } else {
+            val buf = (state.getOption.getOrElse(Nil) ++ incoming)
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            val (closed, open) = splitSessions(buf, gapMs)
+            state.update(open)
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.last.ts.getTime + gapMs)
+            closed.map(mkSession(userId, _)).iterator
+          }
+      }
+  }
+
+  /** Split time-ordered events into closed sessions (gap exceeded
+    * before a successor) and the still-open tail.
+    */
+  private def splitSessions(buf: List[Event], gapMs: Long): (List[List[Event]], List[Event]) = {
+    if (buf.isEmpty) return (Nil, Nil)
+    val groups = buf.tail.foldLeft(List(List(buf.head))) { (acc, e) =>
+      val cur = acc.head
+      if (e.ts.getTime - cur.last.ts.getTime <= gapMs) (cur :+ e) :: acc.tail
+      else List(e) :: acc
+    }.reverse
+    (groups.init, groups.last)
+  }
+
+  private def closedSessions(userId: Long, buf: List[Event], gapMs: Long,
+      flushAll: Boolean): List[Session] = {
+    val (closed, open) = splitSessions(buf, gapMs)
+    (closed ++ (if (flushAll && open.nonEmpty) List(open) else Nil))
+      .map(mkSession(userId, _))
+  }
+
+  private def mkSession(userId: Long, es: List[Event]): Session =
+    Session(userId, es.length.toLong, es.map(_.value).sum,
+      es.head.ts, es.last.ts)
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the near-dup machinery on synthetic corpora with planted
+  * duplicates — behavior the testdata (dup-free) can't exercise.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and walks far away home"), // near dup of 1
+    (4L, "completely different content about spark engines and data pipelines here"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical keys, keeps min id, counts dups") {
+    val r = Dedup.exact(docs.withColumn("h", md5(col("text"))), Seq("h"), "doc_id")
+      .orderBy("keep_id").collect()
+    assert(r.length == 4) // 1+2 collapse
+    val g = r.map(x => x.getAs[Long]("keep_id") -> x.getAs[Long]("n_dups")).toMap
+    assert(g(1L) == 2L)
+    assert(g(3L) == 1L)
+  }
+
+  test("keepLatest keeps exactly one latest row per key") {
+    val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "v")
+    val r = Dedup.keepLatest(ev, Seq("k"), col("ts"), col("ts"))
+      .orderBy("k").as[(Long, Long, String)].collect()
+    assert(r.toSeq == Seq((1L, 20L, "b"), (2L, 5L, "c")))
+  }
+
+  test("minhash candidate pairs find exact and near dups, skip unrelated") {
+    // bands=16 (rows=2) for high recall at jaccard ≈ 0.6 — the near-dup
+    // pair's band-match probability is 1-(1-J²)^16 ≈ 0.999.
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near dup pair missed")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc produced a candidate pair")
+  }
+
+  test("jaccard: identical 1.0, near-dup high, disjoint 0.0") {
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text")
+    def j(a: Long, b: Long): Double =
+      sh.filter(col("doc_id") === a).select(col("sh").as("sa"))
+        .crossJoin(sh.filter(col("doc_id") === b).select(col("sh").as("sb")))
+        .select(Dedup.jaccardFromShingles(col("sa"), col("sb")))
+        .as[Double].head()
+    assert(j(1L, 2L) == 1.0)
+    assert(j(1L, 3L) > 0.5 && j(1L, 3L) < 1.0)
+    assert(j(1L, 4L) == 0.0)
+  }
+
+  test("simhash: identical texts equal; near dups within small hamming; unrelated far") {
+    val sim = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sim(1L) == sim(2L))
+    assert(java.lang.Long.bitCount(sim(1L) ^ sim(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sim(1L) ^ sim(4L)) >
+      java.lang.Long.bitCount(sim(1L) ^ sim(3L)))
+  }
+
+  test("shingles: windows, dedup, short-text empty") {
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", n = 3)
+    val m = sh.as[(Long, Seq[String])].collect().toMap
+    assert(m(1L).contains("the quick brown"))
+    assert(m(1L).contains("quick brown fox"))
+    assert(m(5L).isEmpty) // 2 tokens < n=3 → empty
+  }
+
+  test("signatures are deterministic across executions") {
+    val a = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val b = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}

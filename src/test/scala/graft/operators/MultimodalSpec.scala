@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Multimodal._
+
+/** The decode itself is a deterministic stub (no codecs in this
+  * environment); what these tests pin is the REAL part — schema,
+  * encoder round-trip, partition batching, feature shape, and the
+  * resize/frame-sample plan math.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = {
+    implicit val s = spark
+    import s.implicits._
+    // payloads built from documents text bytes — opaque binary as far
+    // as the pipeline is concerned
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    asMedia(docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "video")
+        .when(col("doc_id") % 3 === 1, "image").otherwise("audio").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      map(lit("source"), col("source")).as("meta")))
+  }
+
+  test("binary media round-trips through the typed Dataset") {
+    implicit val s = spark
+    val first = media.filter(_.media_id == 0).head()
+    assert(first.kind == "video")
+    assert(first.payload.length > 0)
+    assert(first.meta("source").startsWith("src"))
+  }
+
+  test("extractFeatures: batched decode emits fixed-dim deterministic features") {
+    val f1 = extractFeatures(media, dim = 16, batchSize = 8).collect()
+      .sortBy(_.media_id)
+    val f2 = extractFeatures(media, dim = 16, batchSize = 3).collect()
+      .sortBy(_.media_id)
+    assert(f1.length == 50)
+    assert(f1.forall(_.features.length == 16))
+    // batch size must not change results — batching is an execution
+    // detail, not a semantic one
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.media_id == b.media_id && a.features.toSeq == b.features.toSeq)
+    }
+    assert(f1.forall(f => f.width >= 16 && f.height >= 16))
+    assert(f1.forall(_.n_bytes > 0))
+  }
+
+  test("resizePlan: longest side clamped, aspect preserved, no upscale") {
+    val plan = resizePlan(extractFeatures(media), maxSide = 64).collect()
+    plan.foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(w <= 65 && h <= 65) // ceil can add 1 over exact clamp
+      assert(r.getAs[Double]("scale") <= 1.0)
+    }
+  }
+
+  test("frameSamplePlan: only video rows, stride honored, frame 0 present") {
+    val frames = frameSamplePlan(media, stride = 4)
+    val byId = frames.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1)
+    assert(byId.nonEmpty)
+    byId.values.foreach { fs =>
+      val idxs = fs.map(_._2).sorted
+      assert(idxs.head == 0)
+      assert(idxs.forall(_ % 4 == 0))
+    }
+    assert(byId.keys.forall(_ % 3 == 0)) // only the video kind
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 2f), Seq(1f, 2f), 1.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0)
+    ).toDF("a", "b", "want")
+    df.select(round(Similarity.cosine(col("a"), col("b")), 9).as("got"),
+        col("want"))
+      .as[(Double, Double)].collect()
+      .foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("brute-force top-k: self is rank 1 with score 1.0; k rows; sorted") {
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(top.head._1 == 7L && top.head._2 == 1.0)
+    assert(top.map(_._2).toSeq == top.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("LSH top-k contains the query vector and overlaps brute force") {
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val approx = Similarity.lshTopK(emb, "embedding", "vec_id", q, 10,
+      planesPerBand = 6, bands = 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(approx.contains(7L), "query's own vector must be in its bucket")
+    assert((exact & approx).nonEmpty, "no overlap with exact top-k")
+  }
+
+  test("srp buckets are deterministic and within range") {
+    val planes = Similarity.hyperplanes(64, 8)
+    val b1 = emb.select(Similarity.srpBucket(col("embedding"), planes).as("b"))
+      .as[Int].collect()
+    val b2 = emb.select(Similarity.srpBucket(col("embedding"), planes).as("b"))
+      .as[Int].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 256))
+  }
+}

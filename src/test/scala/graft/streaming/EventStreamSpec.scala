@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventStream._
+
+/** Drives the streaming operators with MemoryStream — incremental
+  * batches, watermark advancement, state timeout — and checks the
+  * windowed aggregation agrees with its batch twin.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedStats on a stream matches the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 1, "click", 4.0))
+
+    val mem = MemoryStream[Event]
+    val q = windowedStats(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select("win_start", "event_type", "cnt", "sum_val")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = windowedStats(events.toDF(), "1 hour", "2 hours")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "view", 1L, 3.0),
+        (ts(60), "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on inactivity gap as watermark advances") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then silence;
+      // user 2: single event. A later batch far in the future advances
+      // the watermark past both sessions' timeouts.
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(2), 2, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, ts(600), 3, "late", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(1200), 3, "later", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[Session].collect()
+        .map(se => se.user_id -> ((se.n_events, se.total_value))).toMap
+      assert(sessions(1L) == ((2L, 3.0)))
+      assert(sessions(2L) == ((1L, 5.0)))
+    } finally q.stop()
+  }
+}
