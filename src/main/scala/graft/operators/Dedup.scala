@@ -52,33 +52,19 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32): DataFrame =
-    shingleFrame(df, idCol, textCol, n)
-      .select(col(idCol),
-        array((0 until numHashes).map { i =>
-          // docs too short to shingle get a defined (empty-content)
-          // signature instead of nulls — they all collide with each
-          // other, which is the right semantic for "no content".
-          coalesce(array_min(transform(col("sh"), s => xxhash64(s, lit(i)))),
-            xxhash64(lit(""), lit(i)))
-        }: _*).as("sig"))
+    df.select(col(idCol),
+      graft.functions.MinHashExprs.minhashSignature(
+        TextAnalysis.wsTokens(col(textCol)), n, numHashes).as("sig"))
 
-  /** LSH banding of a materialized signature column: `bands` hashes,
-    * each over `rows = numHashes/bands` consecutive signature slots.
-    * Two docs land in the same (band, bucket) iff that band's slots all
-    * match — the standard near-dup candidate generator.
+  /** id + exploded (band, bucket) per document — one custom-expression
+    * pass from tokens to band bucket keys (see MinHashExprs).
     */
-  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*), lit(b))
-    }: _*)
-
-  /** id + exploded (band, bucket) per document. */
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
-    minhashSignatures(df, idCol, textCol, n, numHashes)
-      .select(col(idCol),
-        minhashBands(col("sig"), bands, numHashes / bands).as("__bands"))
+    df.select(col(idCol),
+        graft.functions.MinHashExprs.minhashBandHashes(
+          TextAnalysis.wsTokens(col(textCol)), n, numHashes, bands)
+          .as("__bands"))
       .select(col(idCol),
         posexplode(col("__bands")).as(Seq("band", "bucket")))
 
