@@ -38,12 +38,21 @@ object Similarity {
     * shuffle-free except the final k-row merge on the driver.
     */
   def bruteForceTopK(corpus: DataFrame, embCol: String, idCol: String,
-      query: Seq[Double], k: Int): DataFrame = {
-    val q = typedlit(query)
-    corpus.select(col(idCol),
-        round(cosine(col(embCol), q), 6).as("score"))
+      query: Seq[Double], k: Int): DataFrame =
+    corpus.select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** Cosine vs a constant query vector. Lambda aggregates don't
+    * constant-fold, so the plan would otherwise recompute the query's
+    * own norm per ROW (visible in explain as an aggregate over the
+    * literal array) — normalize the query once on the driver instead
+    * and divide only by the corpus vector's norm.
+    */
+  private def scoreAgainst(v: Column, query: Seq[Double]): Column = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qu = if (qn == 0) query else query.map(_ / qn)
+    round(dot(v, typedlit(qu)) / norm(v), 6)
   }
 
   /** Deterministic random-hyperplane family for LSH bucketing: `p`
@@ -86,7 +95,7 @@ object Similarity {
     val matchesAnyBand = families.map(f =>
       bucketOf(col(embCol), f) === lit(qBucket(f))).reduce(_ || _)
     corpus.filter(matchesAnyBand)
-      .select(col(idCol), round(cosine(col(embCol), typedlit(query)), 6).as("score"))
+      .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
