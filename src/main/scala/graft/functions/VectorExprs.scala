@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Tight single-pass expressions for the vector/fingerprint hot paths.
+  * The built-in `zip_with`/`aggregate` forms are interpreted with
+  * per-element expression-tree overhead (~6 node evals per multiply);
+  * at pair-join cardinalities that dominates wall-clock (measured ~10 s
+  * for 200 k pair dots at sf0.1). These evaluate one JVM loop per row.
+  */
+object VectorExprs {
+
+  private def elemIsFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Dot product of two numeric arrays (float or double elements),
+    * computed in double, sequential order — same accumulation order as
+    * the lambda form and the DuckDB oracle, so 6-decimal parity holds.
+    */
+  final case class DotProductExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private lazy val lf = elemIsFloat(left.dataType)
+    private lazy val rf = elemIsFloat(right.dataType)
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+        s += x * y
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
+    override def prettyName: String = "vec_dot"
+  }
+
+  /** SimHash-64 of a token array: one pass — per-token XXH64, ±1 votes
+    * per bit, sign → bit. Replaces 64 interpreted `aggregate` passes.
+    */
+  final case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      val n = toks.numElements()
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (t != null) {
+          val h = XXH64.hashUTF8String(t, 42L)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (votes(bit) > 0) out |= (1L << bit)
+        bit += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  def vecDot(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+}

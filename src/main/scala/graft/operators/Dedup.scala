@@ -110,23 +110,45 @@ object Dedup {
       .select(col(idCol),
         TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh"))
 
-  /** id + SimHash-64 fingerprint: per-token seeded 64-bit hashes
-    * (materialized), then per-bit ±1 votes, sign → bit. Near-dup when
-    * hamming distance ≤ threshold.
+  /** id + SimHash-64 fingerprint: per-token 64-bit hash, ±1 votes per
+    * bit, sign → bit — one custom-expression pass (VectorExprs; the
+    * 64-aggregate built-in form re-walked the token array 64×
+    * interpreted). Near-dup when hamming distance ≤ threshold.
     */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sim = (0 until 64).map { bit =>
-      val votes = aggregate(col("__h"), lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(typedlit(1L << bit)) =!= 0, 1)
-          .otherwise(-1))
-      when(votes > 0, typedlit(1L << bit)).otherwise(lit(0L))
-    }.reduce[Column](_.bitwiseOR(_))
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-        transform(TextAnalysis.wsTokens(lower(col(textCol))),
-          t => xxhash64(t)).as("__h"))
-      .select(col(idCol), sim.as("simhash"))
-  }
+      graft.functions.VectorExprs.simhash64(
+        TextAnalysis.wsTokens(lower(col(textCol)))).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ `maxHamming`, found by the
+    * pigeonhole trick: split the 64-bit fingerprint into
+    * `maxHamming + 1` chunks — any pair within the distance budget must
+    * agree exactly on at least one chunk, so candidates come from ONE
+    * shuffle on (chunk_idx, chunk_value) and only candidates pay the
+    * hamming check. Never corpus×corpus.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sims = simhashes(df, idCol, textCol).withColumnRenamed(idCol, "id")
+    val chunked = sims.select(col("id"), col("simhash"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftrightunsigned(col("simhash"), c * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -15,18 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element sum of an array<double> column. */
-  private def asum(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x)
-
   private def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Dot product of two array-typed columns (any numeric element). */
+  /** Dot product of two array-typed columns (float/double elements) —
+    * a single-pass custom expression (VectorExprs): the lambda
+    * `zip_with`+`aggregate` form is interpreted with per-element tree
+    * overhead that dominates at pair-join cardinalities. Accumulation
+    * order (sequential, double) is unchanged, so oracle parity holds.
+    */
   def dot(a: Column, b: Column): Column =
-    asum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+    graft.functions.VectorExprs.vecDot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column = sqrt(asum(transform(toDouble(a), x => x * x)))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null-safe via NaN for zero vectors left to the
     * caller (synthetic embeddings are non-zero).
@@ -53,6 +54,29 @@ object Similarity {
     val qn = math.sqrt(query.map(x => x * x).sum)
     val qu = if (qn == 0) query else query.map(_ / qn)
     round(dot(v, typedlit(qu)) / norm(v), 6)
+  }
+
+  /** All near-duplicate embedding pairs within blocking groups:
+    * self-join on `blockCol` (standard entity-resolution blocking — at
+    * scale the block is an LSH bucket or cluster id), score with
+    * cosine, keep pairs ≥ threshold. Norms are materialized per row
+    * BEFORE the join so each pair pays one dot product, not two norm
+    * recomputations; formula mirrors the DuckDB oracle
+    * (dot / (na·nb)) for 6-decimal parity.
+    */
+  def blockedNearDupPairs(corpus: DataFrame, embCol: String, idCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val v = toDouble(col(embCol))
+    val withNorm = corpus
+      .select(col(idCol).as("id"), col(blockCol).as("blk"), v.as("v"))
+      .select(col("id"), col("blk"), col("v"), norm(col("v")).as("nrm"))
+    val a = withNorm.as("a")
+    val b = withNorm.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("score"))
+      .filter(col("score") >= threshold)
   }
 
   /** Deterministic random-hyperplane family for LSH bucketing: `p`

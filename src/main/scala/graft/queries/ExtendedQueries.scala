@@ -155,6 +155,34 @@ object ExtendedQueries {
     Query("q38_ann_lsh", None)(
       (s, dir) =>
         Similarity.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
-          queryVec(s, dir), k = 10, planesPerBand = 6, bands = 4))
+          queryVec(s, dir), k = 10, planesPerBand = 6, bands = 4)),
+
+    // Embedding-cosine near-dup pairs within blocking groups (label =
+    // the block key; at scale an LSH bucket id). Oracle-checked: the
+    // DuckDB twin scores the identical pair set with
+    // list_cosine_similarity.
+    Query("q39_embed_neardup", Some(
+      """SELECT id_a, id_b, score FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE score >= 0.35 ORDER BY id_a, id_b""".stripMargin))(
+      (s, dir) =>
+        Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "embedding",
+            "vec_id", "label", threshold = 0.35)
+          .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (pigeonhole chunk buckets, hamming ≤ 3)
+    // on the clone-planted corpus — every clone pair at hamming 0.
+    Query("q40_simhash_pairs", None)(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionAll(
+          d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      })
   )
 }

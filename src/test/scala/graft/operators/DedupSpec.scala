@@ -84,4 +84,13 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Seq[Long])].collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("simhash near-dup pairs: exact dups at hamming 0, unrelated excluded") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
+      "exact dup pair must appear at hamming 0")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
 }

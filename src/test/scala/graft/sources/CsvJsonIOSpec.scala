@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CsvJsonIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_io").toString
+
+  test("CSV sink/scan round-trip preserves rows and header") {
+    val dir = tmp() + "/out"
+    val df = Seq((1L, "a,b", "x\ny"), (2L, "plain", "z"))
+      .toDF("id", "with_comma", "with_newline")
+    CsvJsonIO.writeCsv(df.orderBy("id"), dir, single = true)
+    val back = CsvJsonIO.readCsv(spark, dir)
+    val rows = back.orderBy("id")
+      .as[(String, String, String)].collect()
+    assert(back.columns.toSeq == Seq("id", "with_comma", "with_newline"))
+    assert(rows.toSeq == Seq(("1", "a,b", "x\ny"), ("2", "plain", "z")))
+  }
+
+  test("sample sink writes first-N by key") {
+    val dir = tmp() + "/sample"
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    CsvJsonIO.writeSample(df, dir, "id", n = 7)
+    val back = CsvJsonIO.readCsv(spark, dir)
+    assert(back.count() == 7)
+    assert(back.select(max(col("id").cast("long"))).as[Long].head() == 7L)
+  }
+
+  test("JSON records source parses GSheet-shaped payloads (main.py:133-134)") {
+    val records = Seq(
+      """{"fullColName": "Email", "IN SCOPE": "T", "Tag?": "F"}""",
+      """{"fullColName": "City", "IN SCOPE": "F", "Tag?": "T"}""")
+    val df = CsvJsonIO.fromJsonRecords(spark, records)
+    assert(df.columns.sorted.toSeq == Seq("IN SCOPE", "Tag?", "fullColName"))
+    assert(df.filter(col("fullColName") === "Email")
+      .select("IN SCOPE").as[String].head() == "T")
+  }
+
+  test("distinct-list sinks write one CSV dir per column, fs-safe names") {
+    val dir = tmp() + "/lists"
+    val lists = Seq(
+      "Are you a person of faith?" -> Seq("A", "B").toDF("v"),
+      "Checkbox/1" -> Seq("X").toDF("v"))
+    CsvJsonIO.writeDistinctLists(lists, dir)
+    val subdirs = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("Are_you_a_person_of_faith_", "Checkbox_1"))
+    assert(CsvJsonIO.readCsv(spark, s"$dir/Checkbox_1")
+      .as[String].collect().toSeq == Seq("X"))
+  }
+}
