@@ -84,9 +84,13 @@ object CleanFns {
     * Native `exists` over an `array` — no UDF, codegen-friendly.
     */
   def anyColContains(cols: Seq[Column], needle: String): Column =
-    // coalesce-to-'' keeps the predicate three-valued-logic-free: a null
-    // cell must read as "no match", not poison the whole exists() to
-    // null (which would silently drop the row in a filter).
-    exists(array(cols.map(c => coalesce(lower(c.cast("string")), lit(""))): _*),
-      x => x.contains(needle.toLowerCase))
+    // A fused OR chain of per-column contains: stays inside whole-stage
+    // codegen with short-circuiting (the exists(array(...)) form builds
+    // a transient array per row and evaluates interpreted). The
+    // coalesce-to-'' keeps it three-valued-logic-free: a null cell must
+    // read as "no match", not poison the predicate to null (which would
+    // silently drop the row in a filter).
+    cols.map(c => coalesce(lower(c.cast("string")), lit(""))
+        .contains(needle.toLowerCase))
+      .reduce(_ || _)
 }

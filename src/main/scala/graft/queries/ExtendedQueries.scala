@@ -183,6 +183,37 @@ object ExtendedQueries {
           d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
         Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
           .orderBy("id_a", "id_b")
-      })
+      }),
+
+    // The streaming windowed aggregation run in batch mode over the
+    // event log — same EventStream operator, bounded input (the
+    // batch/stream unification Structured Streaming promises). Windows
+    // are UTC-hour-aligned; oracle floors epoch-µs to the hour.
+    Query("q41_stream_window", Some(
+      """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+        |    AS win_start,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin))(
+      (s, dir) =>
+        graft.streaming.EventStream.windowedStats(
+            t(s, dir, "events").select(
+              timestamp_micros(expr("ts div 1000")).as("ts"),
+              col("event_type"), col("value")))
+          .orderBy("win_start", "event_type")),
+
+    // Approximate distinct (HLL++) — the cardinality-estimation
+    // primitive distinct-value extraction needs at 100 TB (exact
+    // distinct shuffles every value; the sketch is mergeable and
+    // constant-size). No DuckDB oracle (different sketch); accuracy vs
+    // exact is pinned by spec.
+    Query("q42_approx_distinct", None)(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag"))
   )
 }
