@@ -79,6 +79,44 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path: assign every vector to its nearest coarse centroid,
+    * search only the `nProbe` cells nearest the query. Centroids here
+    * are a deterministic sample of the corpus (first `nClusters` by
+    * id, collected once — bounded metadata); production would train
+    * k-means (MLlib is on the classpath) and persist assignments as a
+    * partition column for cell-level partition pruning. Assignment is
+    * one argmin expression over centroid distances — codegen-friendly,
+    * no shuffle; the probe filter prunes the scored set ~nClusters/
+    * nProbe-fold.
+    */
+  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, nClusters: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids: Seq[Seq[Double]] = corpus.orderBy(col(idCol))
+      .limit(nClusters)
+      .select(col(embCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    // |v-c|² = |v|² - 2 v·c + |c|²; |v|² is common to all cells → rank
+    // by |c|² - 2 v·c only.
+    val v = toDouble(col(embCol))
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct((lit(sq(c)) - lit(2.0) * dot(v, typedlit(c))).as("d"),
+        lit(i).as("i"))
+    }
+    val assigned = array_min(array(cells: _*)).getField("i")
+    val qCell = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (sq(c) - 2.0 * c.zip(query).map { case (a, b) => a * b }.sum, i)
+      }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    corpus.filter(assigned.isin(qCell: _*))
+      .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic random-hyperplane family for LSH bucketing: `p`
     * signed planes over `dims` dimensions, seeded — the same family on
     * every executor and every run.

@@ -203,6 +203,14 @@ object ExtendedQueries {
               col("event_type"), col("value")))
           .orderBy("win_start", "event_type")),
 
+    // IVF-cell-restricted approximate top-k — the second ANN scale
+    // path (sampled coarse centroids; probe the 4 nearest of 16
+    // cells). Recall vs brute force pinned by SimilaritySpec.
+    Query("q43_ann_ivf", None)(
+      (s, dir) =>
+        Similarity.ivfTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryVec(s, dir), k = 10, nClusters = 16, nProbe = 4)),
+
     // Approximate distinct (HLL++) — the cardinality-estimation
     // primitive distinct-value extraction needs at 100 TB (exact
     // distinct shuffles every value; the sketch is mergeable and

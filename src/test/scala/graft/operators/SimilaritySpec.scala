@@ -54,4 +54,20 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.toSeq == b2.toSeq)
     assert(b1.forall(b => b >= 0 && b < 256))
   }
+
+  test("IVF top-k: query's own vector found when probing its cell; overlaps brute force") {
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ivf = Similarity.ivfTopK(emb, "embedding", "vec_id", q, 10,
+      nClusters = 16, nProbe = 4)
+      .as[(Long, Double)].collect()
+    assert(ivf.length == 10)
+    assert(ivf.map(_._1).contains(7L),
+      "vector 7 is itself a centroid sample member; its cell must be probed")
+    assert((exact & ivf.map(_._1).toSet).size >= 3,
+      s"IVF overlap with exact top-10 too low: ${(exact & ivf.map(_._1).toSet).size}")
+  }
 }
