@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -210,6 +210,57 @@ object ExtendedQueries {
       (s, dir) =>
         Similarity.ivfTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
           queryVec(s, dir), k = 10, nClusters = 16, nProbe = 4)),
+
+    // The CRM pipeline end-to-end over real testdata: metadata
+    // projection → fixes → broadcast mapping join (blank-on-unmatched)
+    // → tag derivation → STM rename/merge compiler, all in one lazy
+    // plan, oracle-checked against the equivalent DuckDB SQL. This is
+    // the signature operator (SURVEY.md §2.9 C3) verified beyond unit
+    // fixtures.
+    Query("q44_pipeline_e2e", Some(
+      """WITH src AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS ck, c_name AS nm,
+        |    c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nk,
+        |    CASE WHEN c_acctbal > 0 THEN 'Y' ELSE '' END AS flag
+        |  FROM customer),
+        |fixed AS (
+        |  SELECT ck, nm,
+        |    CASE WHEN seg IN ('MACHINERY') THEN '' ELSE seg END AS seg,
+        |    nk, flag FROM src),
+        |mapped AS (
+        |  SELECT f.*, COALESCE(n.n_name, '') AS nat
+        |  FROM fixed f LEFT JOIN nation n ON f.nk = CAST(n.n_nationkey AS VARCHAR))
+        |SELECT ck AS cust_key,
+        |  CASE WHEN seg = nm OR seg = '' THEN nm
+        |       WHEN nm = '' THEN seg
+        |       ELSE nm || ', ' || seg END AS contact,
+        |  nat AS nation, flag AS "Flag",
+        |  CASE WHEN flag <> '' THEN 'positive' ELSE '' END AS tags
+        |FROM mapped ORDER BY cust_key""".stripMargin))(
+      (s, dir) => {
+        import graft.pipeline._
+        import graft.functions.CleanFns
+        val src = t(s, dir, "customer").select(
+          col("c_custkey").cast("string").as("Cust Key"),
+          col("c_name").as("Name"),
+          col("c_mktsegment").as("Segment"),
+          col("c_nationkey").cast("string").as("Nation Key"),
+          when(col("c_acctbal") > 0, "Y").otherwise("").as("Flag"))
+        val stm = Stm(Seq(
+          StmRow("Cust Key", inScope = true, "cust_key", isTag = false, "", ""),
+          StmRow("Name", inScope = true, "contact", isTag = false, "", ""),
+          StmRow("Segment", inScope = true, "contact", isTag = false, "", ""),
+          StmRow("Nation Key", inScope = true, "nation", isTag = false, "", ""),
+          StmRow("Flag", inScope = true, "", isTag = true, "positive", "")))
+        val mapping = t(s, dir, "nation").select(
+          col("n_nationkey").cast("string").as("k"), col("n_name").as("v"))
+        val fixed = CrmPipeline.applyFixes(
+          CrmPipeline.normalizeAll(CrmPipeline.projectInScope(src, stm)),
+          Seq("Segment" -> ((c: Column) => CleanFns.blankIfIn(c, Seq("MACHINERY")))))
+        val mapped = CrmPipeline.applyMapping(fixed, "Nation Key", mapping, "k", "v")
+        CrmPipeline.mapColumns(CrmPipeline.deriveTags(mapped, stm), stm)
+          .orderBy("cust_key")
+      }),
 
     // Approximate distinct (HLL++) — the cardinality-estimation
     // primitive distinct-value extraction needs at 100 TB (exact

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Locks in the physical-plan properties SCALE.md claims — a
+  * regression here means a scan stopped pruning, a broadcast turned
+  * into a shuffle, or a top-k became a global sort, silently costing
+  * orders of magnitude at 100 TB even though results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters are pushed into the parquet scan (q06)") {
+    val p = plan("q06_filter_notnull")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment)"), p.take(500))
+  }
+
+  test("scans prune to referenced columns only (q01 reads 4 of 11)") {
+    val p = plan("q01_scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"), p.take(500))
+  }
+
+  test("mapping joins broadcast the small side (q11)") {
+    val p = plan("q11_left_join_map")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("grouped aggregation is partial+final (q16)") {
+    val p = plan("q16_groupby")
+    assert(p.contains("partial_count"), p.take(800))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort (q18, q34)") {
+    assert(plan("q18_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q34_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("pipeline e2e keeps the mapping join broadcast (q44)") {
+    val p = plan("q44_pipeline_e2e")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+}
