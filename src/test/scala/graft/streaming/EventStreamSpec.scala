@@ -73,4 +73,27 @@ class EventStreamSpec extends SparkSpec {
       assert(sessions(2L) == ((1L, 5.0)))
     } finally q.stop()
   }
+
+  test("parquet file source streams incrementally through windowedStats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val schema = Seq.empty[Event].toDF().schema
+    Seq(Event(1, ts(5), 1, "click", 1.0))
+      .toDF().write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = windowedStats(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_win").count() == 1)
+      // a second file arrives; the same query picks it up incrementally
+      Seq(Event(2, ts(70), 2, "view", 3.0))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("file_win")
+        .select("event_type", "cnt").as[(String, Long)].collect().toSet
+      assert(rows == Set(("click", 1L), ("view", 1L)))
+    } finally q.stop()
+  }
 }
