@@ -23,9 +23,11 @@ object VectorExprs {
   /** Dot product of two numeric arrays (float or double elements),
     * computed in double, sequential order — same accumulation order as
     * the lambda form and the DuckDB oracle, so 6-decimal parity holds.
+    * Implements doGenCode, so similarity scans stay inside whole-stage
+    * codegen (null elements read as 0 in both paths).
     */
   final case class DotProductExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     private lazy val lf = elemIsFloat(left.dataType)
     private lazy val rf = elemIsFloat(right.dataType)
@@ -36,13 +38,36 @@ object VectorExprs {
       var s = 0.0
       var i = 0
       while (i < n) {
-        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
-        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
-        s += x * y
+        if (!a.isNullAt(i) && !b.isNullAt(i)) {
+          val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+          val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+          s += x * y
+        }
         i += 1
       }
       s
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val ax = if (lf) s"$a.getFloat($i)" else s"$a.getDouble($i)"
+        val bx = if (rf) s"$b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    $acc += ((double)$ax) * ((double)$bx);
+           |  }
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression,
         r: Expression): Expression = copy(left = l, right = r)
     override def prettyName: String = "vec_dot"

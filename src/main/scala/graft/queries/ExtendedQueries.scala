@@ -22,6 +22,12 @@ object ExtendedQueries {
   /** The similarity query vector: embedding of vec_id = 0, collected
     * once at plan-build time — it is the query *parameter*, not data.
     */
+  /** Exact decimal sum presented as double (order-independent — same
+    * convention as CoreQueries).
+    */
+  private def dsumq(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -261,6 +267,26 @@ object ExtendedQueries {
         CrmPipeline.mapColumns(CrmPipeline.deriveTags(mapped, stm), stm)
           .orderBy("cust_key")
       }),
+
+    // Rollup (grouping sets) — subtotal rows per returnflag and a
+    // grand total, the reporting shape distinct-value extraction grows
+    // into at scale. Grouping-null keys are normalized to a sentinel so
+    // both engines render subtotals identically.
+    Query("q45_rollup", Some(
+      """SELECT COALESCE(l_returnflag, '<all>') AS rf,
+        |  COALESCE(l_linestatus, '<all>') AS ls,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), dsumq(col("l_quantity")).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+            coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+            col("cnt"), col("sum_qty"))
+          .orderBy("rf", "ls")),
 
     // Approximate distinct (HLL++) — the cardinality-estimation
     // primitive distinct-value extraction needs at 100 TB (exact
