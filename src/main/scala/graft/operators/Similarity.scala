@@ -147,7 +147,6 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val families = Seq.tabulate(bands)(b =>
       hyperplanes(query.size, planesPerBand, seed + b))
-    def bucketOf(vec: Column, fam: Seq[Seq[Double]]): Column = srpBucket(vec, fam)
     def qBucket(fam: Seq[Seq[Double]]): Int = {
       // driver-side: same arithmetic as srpBucket, on the query literal
       fam.zipWithIndex.map { case (p, i) =>
@@ -155,7 +154,7 @@ object Similarity {
       }.sum
     }
     val matchesAnyBand = families.map(f =>
-      bucketOf(col(embCol), f) === lit(qBucket(f))).reduce(_ || _)
+      srpBucket(col(embCol), f) === lit(qBucket(f))).reduce(_ || _)
     corpus.filter(matchesAnyBand)
       .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))

@@ -255,6 +255,16 @@ object CoreQueries {
             .select(col("n_nationkey").as("k")))
           .orderBy("k")),
 
+    // U — INTERSECT (distinct semantics both engines).
+    Query("q46_intersect", Some(
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("k"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+          .orderBy("k")),
+
     // UNION ALL + grouped rollup (multi-file ingest shape).
     Query("q20_union", Some(
       """SELECT k, COUNT(*) AS cnt FROM (

@@ -44,7 +44,6 @@ object ExtendedQueries {
         Dedup.exact(
             t(s, dir, "documents").withColumn("h", md5(col("text"))),
             Seq("h"), "doc_id")
-          .withColumnRenamed("keep_id", "keep_id")
           .orderBy("keep_id")),
 
     // Exact dedup on a key with real collapses (events user/type).
