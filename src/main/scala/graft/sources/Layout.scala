@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Storage-layout operators — the levers that remove shuffles and scan
+  * volume at 100 TB before any query runs:
+  *
+  * - **Bucketing** pre-hash-partitions a table on its join/agg key at
+  *   write time; two tables bucketed on the same key with the same
+  *   bucket count join WITHOUT a shuffle (each bucket pair is
+  *   co-located). This is how the reference's repeated `Email` joins
+  *   (main.py:436-444) would be laid out at scale.
+  * - **Partitioning** turns equality/range predicates on the partition
+  *   column into directory pruning — the scan never opens non-matching
+  *   files (`PartitionFilters` in explain, vs `PushedFilters` which
+  *   still opens footers).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed managed table (saveAsTable is required —
+    * plain parquet paths can't carry bucket metadata).
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.drop(1): _*)
+      .sortBy(keys.head, keys.drop(1): _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write `df` partitioned by the given columns (low-cardinality keys
+    * only — one directory per value).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Proves the layout operators change the PLAN, not just the results:
+  * bucketed joins run shuffle-free, partitioned scans prune
+  * directories.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("same-key bucketed tables join without a shuffle") {
+    // the catalog is in-memory but the warehouse dir persists across
+    // JVMs — drop both the entry and any stale location first
+    for (t <- Seq("li_b", "or_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val or = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(li, "li_b", Seq("l_orderkey"), 4)
+    Layout.writeBucketed(or, "or_b", Seq("o_orderkey"), 4)
+    val joined = spark.table("li_b")
+      .join(spark.table("or_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(count(lit(1)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(1500)}")
+    // and it is still correct
+    val direct = li.join(or, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.agg(sum("count(1)")).head().getLong(0) == direct)
+  }
+
+  test("partitioned write enables partition pruning in the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/events"
+    val ev = graft.Tables(spark, sf, "events")
+    Layout.writePartitioned(ev, dir, Seq("event_type"))
+    val scan = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter:\n${plan.take(1000)}")
+    assert(scan.count() ==
+      ev.filter(col("event_type") === "click").count())
+  }
+}
