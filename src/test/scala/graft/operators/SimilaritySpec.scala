@@ -70,4 +70,19 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ivf.map(_._1).toSet).size >= 3,
       s"IVF overlap with exact top-10 too low: ${(exact & ivf.map(_._1).toSet).size}")
   }
+
+  test("trained-IVF top-k: k-means centroids give recall >= sampled centroids") {
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val sampled = Similarity.ivfTopK(emb, "embedding", "vec_id", q, 10,
+      nClusters = 16, nProbe = 4).as[(Long, Double)].collect().map(_._1).toSet
+    val trained = Similarity.ivfTopKTrained(emb, "embedding", "vec_id", q, 10,
+      nClusters = 16, nProbe = 4).as[(Long, Double)].collect().map(_._1).toSet
+    assert(trained.nonEmpty && trained.contains(7L))
+    assert((exact & trained).size >= (exact & sampled).size - 2,
+      s"trained recall ${(exact & trained).size} far below sampled ${(exact & sampled).size}")
+  }
 }
