@@ -34,6 +34,16 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_val"))
 
+  /** Streaming exact dedup: drop events whose key was already seen,
+    * with state bounded by the watermark (the streaming twin of
+    * `Dedup.exact` — an unbounded-state dedup is impossible on an
+    * infinite stream, so "seen" only spans the watermark horizon).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.drop(1): _*)
+
   /** Inactivity-gap sessionization via flatMapGroupsWithState: a
     * session closes when a user is silent for `gap`. Event-time
     * processing with per-group state — the canonical custom-state

@@ -96,4 +96,25 @@ class EventStreamSpec extends SparkSpec {
       assert(rows == Set(("click", 1L), ("view", 1L)))
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark drops re-seen keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = dedupWithinWatermark(mem.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0)) // same key, same batch
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 1, "click", 3.0)) // same key, later batch
+      mem.addData(Event(4, ts(3), 2, "view", 4.0))  // new key
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 4L), s"got $got")
+    } finally q.stop()
+  }
 }
