@@ -28,6 +28,9 @@ object Tables {
       // exact (no micro truncation), totally ordered, and directly
       // comparable to DuckDB's epoch_ns(ts) in oracle SQL.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // evict entries of stopped sessions so repeated getOrCreate/stop
+    // cycles in one JVM can't pin dead sessions (and their plans)
+    cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }

@@ -134,11 +134,13 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // Java shifts are mod 64: 1L << 64 wraps to 1, making the mask 0 and
+    // collapsing every row into one bucket (corpus×corpus join).
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val sims = simhashes(df, idCol, textCol).withColumnRenamed(idCol, "id")
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
-        shiftrightunsigned(col("simhash"), c * width)
-          .bitwiseAND(lit((1L << width) - 1))
+        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
     val a = chunked.as("a")
     val b = chunked.as("b")

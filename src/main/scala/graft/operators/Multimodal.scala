@@ -103,10 +103,15 @@ object Multimodal {
     val f = feats.toDF()
     val scale = least(lit(maxSide) / col("width"), lit(maxSide) / col("height"),
       lit(1.0))
+    // least(..., maxSide) guards against float dust pushing
+    // ceil(side * scale) one pixel past the clamp (1000 * 64/1000
+    // floats to 64.00000000000001).
     f.select(col("media_id"), col("width"), col("height"),
       round(scale, 6).as("scale"),
-      ceil(col("width") * scale).cast("int").as("out_width"),
-      ceil(col("height") * scale).cast("int").as("out_height"))
+      least(ceil(col("width") * scale), lit(maxSide)).cast("int")
+        .as("out_width"),
+      least(ceil(col("height") * scale), lit(maxSide)).cast("int")
+        .as("out_height"))
   }
 
   /** Frame sampling for video-kind rows: every `stride`-th frame index

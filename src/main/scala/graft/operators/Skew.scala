@@ -38,6 +38,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFrom: Column, buckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // Only join types that preserve the big side are salt-safe: the
+    // replicated small side would emit one null-padded row per
+    // unmatched (key, salt) under right/full outer.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val b = big.withColumn("__salt", pmod(xxhash64(saltFrom), lit(buckets)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))

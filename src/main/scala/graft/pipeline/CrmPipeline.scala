@@ -65,7 +65,11 @@ object CrmPipeline {
     * apply(axis=1) + full-frame anti-join collapses to a filter.
     */
   def splitTestRows(df: DataFrame, exempt: Column): (DataFrame, DataFrame) = {
-    val isTest = anyColContains(df.columns.toSeq.map(qcol), "test") && !exempt
+    // coalesce the exemption to false: a NULL exemption cell would make
+    // isTest NULL, and a NULL predicate fails BOTH filters — the row
+    // would silently vanish from clean AND removed.
+    val isTest = anyColContains(df.columns.toSeq.map(qcol), "test") &&
+      !coalesce(exempt, lit(false))
     (df.filter(!isTest), df.filter(isTest))
   }
 
@@ -178,11 +182,14 @@ object CrmPipeline {
     * §7.5.4): cheap on bounded metadata, prevents silent row explosion.
     */
   private def assertUniqueKey(m: DataFrame, key: String): Unit = {
+    // count only non-null keys: a null key can never match in the
+    // equi-join (null === x is never true), so it cannot explode rows
+    // and must not fail the guard.
     val Array(total, distinct) = m.agg(
-      count(lit(1)), countDistinct(qcol(key))).collect().head
+      count(qcol(key)), countDistinct(qcol(key))).collect().head
       .toSeq.map(_.asInstanceOf[Long]).toArray
     require(total == distinct,
-      s"mapping table not unique on '$key' ($distinct distinct of $total rows)")
+      s"mapping table not unique on '$key' ($distinct distinct of $total non-null keys)")
   }
 
   /** E1 — the full default run (main.py:650-684), stages 4-9, as one

@@ -88,19 +88,28 @@ object PipelineMain {
       emailCol = emailCol,
       repData = repData)
 
-    // S10 — audit sink of removed test rows (main.py:290-293)
-    CsvJsonIO.writeCsv(result.removedTestRows, s"$outDir/deleted_test_rows",
-      single = true)
-    log(s"deleted test rows: ${result.removedTestRows.count()}")
+    // The sinks fire multiple actions over the same plans — persist so
+    // the full ETL (CSV scan + joins + projections) runs once, not once
+    // per sink/count.
+    val output = result.output.persist()
+    val removed = result.removedTestRows.persist()
+    try {
+      // S10 — audit sink of removed test rows (main.py:290-293)
+      CsvJsonIO.writeCsv(removed, s"$outDir/deleted_test_rows", single = true)
+      log(s"deleted test rows: ${removed.count()}")
 
-    // S9 — per-column distinct lists (main.py:458-473)
-    CsvJsonIO.writeDistinctLists(result.multiChoice, s"$outDir/custom_fields")
-    log(s"multi-choice lists: ${result.multiChoice.map(_._1).mkString(", ")}")
+      // S9 — per-column distinct lists (main.py:458-473)
+      CsvJsonIO.writeDistinctLists(result.multiChoice, s"$outDir/custom_fields")
+      log(s"multi-choice lists: ${result.multiChoice.map(_._1).mkString(", ")}")
 
-    // S7/S8 — full + sample output (main.py:631-647)
-    CsvJsonIO.writeCsv(result.output, s"$outDir/output", single = true)
-    val key = result.output.columns.head
-    CsvJsonIO.writeSample(result.output, s"$outDir/sample_output", key)
-    log(s"rows out: ${result.output.count()} (full + 10k sample by $key)")
+      // S7/S8 — full + sample output (main.py:631-647)
+      CsvJsonIO.writeCsv(output, s"$outDir/output", single = true)
+      val key = output.columns.head
+      CsvJsonIO.writeSample(output, s"$outDir/sample_output", key)
+      log(s"rows out: ${output.count()} (full + 10k sample by $key)")
+    } finally {
+      output.unpersist()
+      removed.unpersist()
+    }
   }
 }

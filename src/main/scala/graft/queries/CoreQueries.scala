@@ -19,12 +19,7 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Exact money/measure sum: accumulate as decimal (associative and
-    * exact, so partial aggregation order can't change the result), then
-    * present as double — bit-identical to the oracle's same cast.
-    */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,2)")).cast("double")
+  import Query.dsum
 
   val all: Seq[Query] = Seq(
 

@@ -19,15 +19,11 @@ object ExtendedQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  import Query.{dsum => dsumq}
+
   /** The similarity query vector: embedding of vec_id = 0, collected
     * once at plan-build time — it is the query *parameter*, not data.
     */
-  /** Exact decimal sum presented as double (order-independent — same
-    * convention as CoreQueries).
-    */
-  private def dsumq(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
-
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))

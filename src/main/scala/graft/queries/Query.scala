@@ -15,3 +15,15 @@ final case class Query(
     name: String,
     oracle: Option[String])(
     val fn: (SparkSession, String) => DataFrame)
+
+object Query {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.sum
+
+  /** Exact money/measure sum: accumulate as decimal (associative and
+    * exact, so partial-aggregation order can't change the result),
+    * then present as double — bit-identical to the oracle's same cast.
+    * The single shared definition of the engine's sum convention.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+}

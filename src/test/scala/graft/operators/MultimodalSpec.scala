@@ -54,7 +54,7 @@ class MultimodalSpec extends SparkSpec {
     val plan = resizePlan(extractFeatures(media), maxSide = 64).collect()
     plan.foreach { r =>
       val (w, h) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
-      assert(w <= 65 && h <= 65) // ceil can add 1 over exact clamp
+      assert(w <= 64 && h <= 64)
       assert(r.getAs[Double]("scale") <= 1.0)
     }
   }

@@ -146,4 +146,20 @@ class CrmPipelineSpec extends SparkSpec {
       CrmPipeline.mapColumns(Seq("v").toDF("x"), bad)
     }
   }
+
+  test("splitTestRows: null exemption cell must not make rows vanish") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some("Southampton, Test"), "a"), // exempt → kept
+      (None, "contains test here"),     // null exemption col, is test → removed
+      (None, "clean")                   // null exemption col, clean → kept
+    ).toDF("const", "v")
+    val (clean, removed) = CrmPipeline.splitTestRows(df,
+      col("const") === "Southampton, Test")
+    assert(clean.count() + removed.count() == 3,
+      "a row vanished from both clean and removed")
+    assert(removed.select("v").as[String].collect().toSeq ==
+      Seq("contains test here"))
+  }
 }

@@ -68,19 +68,30 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"ok   {name} ({got.shape[0]} rows)")
 
-# queries with no oracle: rows-only check
+# queries with no oracle: rows-only check, driven by the declared
+# manifest so a query that failed to write at all is flagged (not
+# silently skipped because its dir is missing)
 verified = set(oracle)
-for name in sorted(os.listdir(OUT)):
+manifest_path = f"{OUT}/queries.txt"
+declared = (open(manifest_path).read().split()
+            if os.path.exists(manifest_path)
+            else sorted(os.listdir(OUT)))
+for name in sorted(declared):
     d = f"{OUT}/{name}"
-    if os.path.isdir(d) and name not in verified:
-        try:
-            n = len(pd.read_parquet(d))
-            print(f"rows {name} ({n} rows, no oracle)")
-            if n == 0:
-                fails.append(name)
-        except Exception as e:
+    if name in verified:
+        continue
+    if not os.path.isdir(d):
+        fails.append(name)
+        print(f"FAIL {name}: no output written (query failed in Verify)")
+        continue
+    try:
+        n = len(pd.read_parquet(d))
+        print(f"rows {name} ({n} rows, no oracle)")
+        if n == 0:
             fails.append(name)
-            print(f"FAIL {name}: {e}")
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: {e}")
 
 print(f"\n{len(oracle) - len(set(fails) & set(oracle))}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)
