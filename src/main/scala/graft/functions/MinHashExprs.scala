@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -75,14 +75,27 @@ object MinHashExprs {
     sig
   }
 
-  /** tokens: array<string> → minhash signature array<bigint>(numHashes). */
+  /** tokens: array<string> → minhash signature array<bigint>(numHashes).
+    * doGenCode references the expression instance and calls the
+    * compiled single-pass kernel directly — the surrounding projection
+    * stays in whole-stage codegen with one virtual call per row and no
+    * interpreted child evaluation.
+    */
   final case class MinHashSignatureExpr(child: Expression, n: Int,
-      numHashes: Int) extends UnaryExpression with CodegenFallback {
+      numHashes: Int) extends UnaryExpression {
     private lazy val (pa, pb) = perms(numHashes)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    def compute(tokens: ArrayData): ArrayData =
+      new GenericArrayData(signatureOf(tokens, n, numHashes, pa, pb))
     override def nullSafeEval(input: Any): Any =
-      new GenericArrayData(
-        signatureOf(input.asInstanceOf[ArrayData], n, numHashes, pa, pb))
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashSig", this,
+        classOf[MinHashSignatureExpr].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override def prettyName: String = "minhash_signature"
@@ -95,13 +108,13 @@ object MinHashExprs {
     * nothing for the optimizer to duplicate.
     */
   final case class MinHashBandsExpr(child: Expression, n: Int,
-      numHashes: Int, bands: Int) extends UnaryExpression with CodegenFallback {
+      numHashes: Int, bands: Int) extends UnaryExpression {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     private lazy val (pa, pb) = perms(numHashes)
     private val rows = numHashes / bands
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val sig = signatureOf(input.asInstanceOf[ArrayData], n, numHashes, pa, pb)
+    def compute(tokens: ArrayData): ArrayData = {
+      val sig = signatureOf(tokens, n, numHashes, pa, pb)
       val out = new Array[Long](bands)
       var bnd = 0
       while (bnd < bands) {
@@ -115,6 +128,15 @@ object MinHashExprs {
         bnd += 1
       }
       new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashBands", this,
+        classOf[MinHashBandsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.compute($c);")
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)

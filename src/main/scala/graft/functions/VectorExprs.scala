@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
@@ -74,13 +73,14 @@ object VectorExprs {
   }
 
   /** SimHash-64 of a token array: one pass — per-token XXH64, ±1 votes
-    * per bit, sign → bit. Replaces 64 interpreted `aggregate` passes.
+    * per bit, sign → bit. Replaces 64 interpreted `aggregate` passes;
+    * doGenCode calls the compiled kernel so the projection stays in
+    * whole-stage codegen.
     */
   final case class SimHash64Expr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
+    def compute(toks: ArrayData): Long = {
       val votes = new Array[Int](64)
       val n = toks.numElements()
       var i = 0
@@ -103,6 +103,16 @@ object VectorExprs {
         bit += 1
       }
       out
+    }
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("simhashExpr", this,
+        classOf[SimHash64Expr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)

@@ -77,9 +77,20 @@ object Dedup {
     * groups), never corpus×corpus.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val buckets = minhashBuckets(df, idCol, textCol, n, numHashes, bands)
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    // Adversarial-skew guard: a degenerate corpus (thousands of
+    // identical/boilerplate docs) funnels into one bucket and the
+    // within-bucket pairing goes quadratic. Buckets above the cap are
+    // excluded from pairing — their members are exact/near-identical
+    // boilerplate that an exact-dedup pass (cheap, linear) should
+    // collapse first. The size count rides the same (band, bucket)
+    // shuffle the pairing join needs anyway.
+    val sized = minhashBuckets(df, idCol, textCol, n, numHashes, bands)
       .withColumnRenamed(idCol, "id")
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy("band", "bucket")))
+    val buckets = sized.filter(col("__bsz") <= maxBucketSize).drop("__bsz")
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,

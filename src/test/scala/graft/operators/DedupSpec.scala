@@ -93,4 +93,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
       "unrelated doc must not pair")
   }
+
+  test("bucket-size cap excludes degenerate buckets from quadratic pairing") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    // 30 identical docs: one bucket per band holds all 30
+    val boiler = spark.range(30).select(col("id").as("doc_id"),
+      lit("identical boilerplate text repeated across the whole corpus here").as("text"))
+    val capped = Dedup.minhashCandidatePairs(boiler, "doc_id", "text",
+      maxBucketSize = 10)
+    assert(capped.count() == 0, "oversize bucket must be excluded")
+    val uncapped = Dedup.minhashCandidatePairs(boiler, "doc_id", "text")
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
 }
