@@ -143,10 +143,14 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // width must be ≥ 1 or every chunk_val collapses to one bucket
+    // (corpus×corpus join); maxHamming ≥ 64 has no pigeonhole guarantee
+    // over a 64-bit fingerprint anyway.
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    // Java shifts are mod 64: 1L << 64 wraps to 1, making the mask 0 and
-    // collapsing every row into one bucket (corpus×corpus join).
+    // Java shifts are mod 64: 1L << 64 wraps to 1, making the mask 0.
     val mask = if (width >= 64) -1L else (1L << width) - 1
     val sims = simhashes(df, idCol, textCol).withColumnRenamed(idCol, "id")
     val chunked = sims.select(col("id"), col("simhash"),

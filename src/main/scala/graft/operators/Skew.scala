@@ -42,7 +42,8 @@ object Skew {
     // replicated small side would emit one null-padded row per
     // unmatched (key, salt) under right/full outer.
     val jt = joinType.toLowerCase.replace("_", "")
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+      "semi", "anti").contains(jt),
       s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val b = big.withColumn("__salt", pmod(xxhash64(saltFrom), lit(buckets)))
     val s = small.withColumn("__salt",

@@ -217,15 +217,19 @@ object CrmPipeline {
     val lists = multiChoiceLists(repaired, stm)
     val tagged = deriveTags(repaired, stm)
     val out = mapColumns(tagged, stm)
-    PipelineResult(out, removed, lists)
+    PipelineResult(out, removed, lists, repaired)
   }
 }
 
 /** Outputs of a pipeline run: the final frame (S7/S8 sinks), the
-  * removed test rows (S10 audit sink), and the per-column distinct
-  * lists (S9 sinks).
+  * removed test rows (S10 audit sink), the per-column distinct lists
+  * (S9 sinks), and the shared cleaned pre-merge frame — the common
+  * ancestor of `output` AND every `multiChoice` plan, so callers that
+  * fire multiple sink actions should persist THIS frame (Spark's cache
+  * substitution then serves all of them from one materialization).
   */
 final case class PipelineResult(
     output: DataFrame,
     removedTestRows: DataFrame,
-    multiChoice: Seq[(String, DataFrame)])
+    multiChoice: Seq[(String, DataFrame)],
+    cleaned: DataFrame)

@@ -88,9 +88,11 @@ object PipelineMain {
       emailCol = emailCol,
       repData = repData)
 
-    // The sinks fire multiple actions over the same plans — persist so
-    // the full ETL (CSV scan + joins + projections) runs once, not once
-    // per sink/count.
+    // The sinks fire multiple actions — persist the shared cleaned
+    // frame (ancestor of the output AND every distinct-list plan, so
+    // cache substitution serves them all) plus the two frames that are
+    // themselves counted after writing.
+    val cleaned = result.cleaned.persist()
     val output = result.output.persist()
     val removed = result.removedTestRows.persist()
     try {
@@ -110,6 +112,7 @@ object PipelineMain {
     } finally {
       output.unpersist()
       removed.unpersist()
+      cleaned.unpersist()
     }
   }
 }

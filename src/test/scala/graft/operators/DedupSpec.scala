@@ -105,4 +105,13 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.minhashCandidatePairs(boiler, "doc_id", "text")
     assert(uncapped.count() == 30L * 29 / 2)
   }
+
+  test("simhashNearDupPairs rejects out-of-range maxHamming") {
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 64)
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = -1)
+    }
+  }
 }

@@ -50,4 +50,13 @@ class SkewSpec extends SparkSpec {
       .as[Long].head().toDouble
     assert(math.abs(approx - exact) / exact < 0.1)
   }
+
+  test("saltedJoin accepts semi/anti aliases, rejects right outer") {
+    val dim = Seq(("hot", "H")).toDF("k", "label")
+    assert(Skew.saltedJoin(skewed, dim, "k", col("id"), 4, "semi").count() ==
+      skewed.join(dim, Seq("k"), "semi").count())
+    assertThrows[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, "k", col("id"), 4, "right")
+    }
+  }
 }

@@ -75,7 +75,8 @@ verified = set(oracle)
 manifest_path = f"{OUT}/queries.txt"
 declared = (open(manifest_path).read().split()
             if os.path.exists(manifest_path)
-            else sorted(os.listdir(OUT)))
+            else sorted(n for n in os.listdir(OUT)
+                        if os.path.isdir(f"{OUT}/{n}")))
 for name in sorted(declared):
     d = f"{OUT}/{name}"
     if name in verified:
