@@ -43,4 +43,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q44_pipeline_e2e")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("no declared query plans a CartesianProduct") {
+    SparkEntry.allQueries.foreach { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n${p.take(600)}")
+    }
+  }
 }
