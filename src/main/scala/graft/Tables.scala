@@ -22,11 +22,15 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events" &&
+        !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
       // default (PARQUET_TYPE_ILLEGAL). Read it as an ns-epoch long —
       // exact (no micro truncation), totally ordered, and directly
-      // comparable to DuckDB's epoch_ns(ts) in oracle SQL.
+      // comparable to DuckDB's epoch_ns(ts) in oracle SQL. Our own
+      // entrypoints (Bench/Verify/PipelineMain) set this at session
+      // build; this guarded set covers driver-owned sessions only, and
+      // only once.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // evict entries of stopped sessions so repeated getOrCreate/stop
     // cycles in one JVM can't pin dead sessions (and their plans)

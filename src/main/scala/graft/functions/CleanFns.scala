@@ -34,12 +34,19 @@ object CleanFns {
   def blankIfIn(c: Column, bad: Seq[String]): Column =
     replaceWhere(c, c.isin(bad: _*), lit(""))
 
-  /** F4 — title-case (main.py:390-391). Spark `initcap` semantics:
-    * capitalizes after whitespace only. Documented divergence from
-    * pandas `str.title()`, which capitalizes after any non-alpha
-    * (SURVEY.md §7.5.1) — `o'neill` → `O'neill` here, `O'Neill` there.
+  /** F4 — title-case, Spark-built-in flavor: `initcap` capitalizes
+    * after whitespace only (`o'neill` → `O'neill`). Kept for callers
+    * that want the cheap built-in; the reference's exact semantics are
+    * [[pandasTitle]].
     */
   def titleCase(c: Column): Column = initcap(c)
+
+  /** F4 — EXACT pandas `str.title()` (main.py:390-391): capitalization
+    * restarts after ANY non-cased character, so `o'neill` → `O'Neill`,
+    * `mcdonald-smith` → `Mcdonald-Smith`. Custom codegen'd expression
+    * (StringExprs.PandasTitleExpr); this is what the CRM fix list uses.
+    */
+  def pandasTitle(c: Column): Column = StringExprs.pandasTitle(c)
 
   /** F6+F7 — the reference's substring date reformat
     * `yyyy-mm-dd...` → `mm/dd/yyyy` (main.py:412-418). Pure string

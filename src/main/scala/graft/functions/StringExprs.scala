@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** String expressions whose exact semantics the built-ins can't match.
+  */
+object StringExprs {
+
+  /** Exact pandas/CPython `str.title()` (reference main.py:390-391):
+    * a cased character is titlecased when the PREVIOUS character is
+    * uncased, lowercased otherwise — so capitalization restarts after
+    * ANY non-letter (`o'neill` → `O'Neill`, `mcdonald-smith` →
+    * `Mcdonald-Smith`), where Spark's `initcap` restarts only after
+    * whitespace (`O'neill`). One pass per row, doGenCode keeps the
+    * projection inside whole-stage codegen.
+    *
+    * "Cased" follows CPython's definition (upper, lower, or titlecase
+    * letters); uncased letters (e.g. CJK) don't restart capitalization,
+    * matching pandas exactly.
+    */
+  final case class PandasTitleExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    def compute(in: UTF8String): UTF8String = {
+      val s = in.toString
+      val sb = new java.lang.StringBuilder(s.length)
+      var prevCased = false
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val cased = Character.isUpperCase(cp) || Character.isLowerCase(cp) ||
+          Character.getType(cp) == Character.TITLECASE_LETTER
+        if (cased) {
+          if (prevCased) sb.appendCodePoint(Character.toLowerCase(cp))
+          else sb.appendCodePoint(Character.toTitleCase(cp))
+        } else sb.appendCodePoint(cp)
+        prevCased = cased
+        i += Character.charCount(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("pandasTitleExpr", this,
+        classOf[PandasTitleExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "pandas_title"
+  }
+
+  def pandasTitle(c: Column): Column =
+    Bridge.column(PandasTitleExpr(Bridge.expression(c)))
+}

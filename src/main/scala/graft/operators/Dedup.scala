@@ -101,6 +101,45 @@ object Dedup {
       .distinct()
   }
 
+  /** The full verified near-dup pipeline with ONE featurization pass:
+    * tokens → (band hashes, shingle array) computed in a single scan
+    * and persisted, so LSH candidate generation AND Jaccard
+    * verification read the same materialized feature frame instead of
+    * re-tokenizing the corpus per stage (the feature pass is the
+    * dominant per-row cost; the naive composition pays it 3×: once for
+    * buckets, once per verify side). At 100 TB the persisted frame is
+    * (id, 8 longs, shingle array) — MEMORY_AND_DISK, spillable, read
+    * three times, computed once.
+    */
+  def nearDupPairsVerified(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 10000, minJaccard: Double = 0.8): DataFrame = {
+    val feat = df.select(col(idCol).as("id"),
+        TextAnalysis.wsTokens(col(textCol)).as("__w"))
+      .select(col("id"),
+        graft.functions.MinHashExprs.minhashBandHashes(
+          col("__w"), n, numHashes, bands).as("__bands"),
+        TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = feat
+      .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bucket")))
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy("band", "bucket")))
+    val buckets = sized.filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(feat.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(feat.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccardFromShingles(col("sh_a"), col("sh_b")), 6).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+  }
+
   /** Exact n-gram Jaccard over two MATERIALIZED shingle-array columns —
     * the verification step applied to LSH candidates (never all pairs).
     * Callers join candidate pairs against a per-doc shingle frame
@@ -152,11 +191,14 @@ object Dedup {
     val width = 64 / chunks
     // Java shifts are mod 64: 1L << 64 wraps to 1, making the mask 0.
     val mask = if (width >= 64) -1L else (1L << width) - 1
+    // persist: the self-join references this frame twice — without it
+    // each side re-scans the corpus and re-hashes every token.
     val sims = simhashes(df, idCol, textCol).withColumnRenamed(idCol, "id")
     val chunked = sims.select(col("id"), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b,

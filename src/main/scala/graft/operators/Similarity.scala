@@ -63,13 +63,26 @@ object Similarity {
     * BEFORE the join so each pair pays one dot product, not two norm
     * recomputations; formula mirrors the DuckDB oracle
     * (dot / (na·nb)) for 6-decimal parity.
+    *
+    * Adversarial-skew guard (same shape as
+    * [[Dedup.minhashCandidatePairs]]): the self-join is quadratic in
+    * block size, so one hot blocking key (a boilerplate cluster, a
+    * default label) would dominate the whole job at 100 TB. Blocks
+    * above `maxBlockSize` are excluded from pairing — an oversize
+    * block means the blocking key is too coarse for pairwise scoring
+    * and should be split (finer LSH) or exact-deduped first. The size
+    * count rides the same shuffle partitioning the join needs.
     */
   def blockedNearDupPairs(corpus: DataFrame, embCol: String, idCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double,
+      maxBlockSize: Int = 10000): DataFrame = {
     val v = toDouble(col(embCol))
     val withNorm = corpus
       .select(col(idCol).as("id"), col(blockCol).as("blk"), v.as("v"))
       .select(col("id"), col("blk"), col("v"), norm(col("v")).as("nrm"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+      .filter(col("__bsz") <= maxBlockSize).drop("__bsz")
     val a = withNorm.as("a")
     val b = withNorm.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))

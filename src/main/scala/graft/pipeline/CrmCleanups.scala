@@ -27,9 +27,11 @@ object CrmCleanups {
         regexp_replace(c, ",", "")).otherwise(c)),
     // Address fields that are just commas → '' (main.py:386-387).
     "Address 1" -> ((c: Column) => blankIfIn(c, Seq(", ", ","))),
-    // Title-case city names ending in an uppercase letter (main.py:390-391).
+    // Title-case city names ending in an uppercase letter
+    // (main.py:390-391) — exact pandas str.title() semantics
+    // (capitalize restarts after any non-letter: O'Neill, not O'neill).
     "City" -> ((c: Column) =>
-      when(c.rlike("^.*[A-Z]$"), titleCase(c)).otherwise(c)),
+      when(c.rlike("^.*[A-Z]$"), pandasTitle(c)).otherwise(c)),
     // &#039; → apostrophe. Dead code in the reference (main.py:394 uses
     // `==`, a silent no-op) — implemented as evidently intended
     // (SURVEY.md §7.5.2).

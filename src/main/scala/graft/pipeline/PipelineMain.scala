@@ -45,6 +45,7 @@ object PipelineMain {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     try run(spark, dataCsv, stmCsv, relsCsv, outDir, repData, emailCol,
       expectShape)

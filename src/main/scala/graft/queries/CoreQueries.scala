@@ -387,6 +387,26 @@ object CoreQueries {
           .select(expr("ts div 3600000000000").as("hb"), col("value"))
           .groupBy("hb")
           .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_val"))
-          .orderBy("hb"))
+          .orderBy("hb")),
+
+    // F4 exact — pandas str.title() semantics via the codegen'd
+    // PandasTitleExpr: capitalization restarts after ANY non-letter
+    // (hyphens here), where initcap/q23 restarts only at whitespace.
+    // Oracle: the per-run regexp equivalent (identical on ASCII; the
+    // engine side is additionally Unicode-cased like CPython).
+    Query("q48_title_pandas", Some(
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(
+        |    regexp_extract_all(replace(p_name, ' ', '-'), '[A-Za-z]+|[^A-Za-z]+'),
+        |    t -> CASE WHEN regexp_matches(t, '^[A-Za-z]')
+        |         THEN upper(substring(t,1,1)) || lower(substring(t,2))
+        |         ELSE t END), '') AS name_tc
+        |FROM part ORDER BY p_partkey""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            graft.functions.StringExprs.pandasTitle(
+              regexp_replace(col("p_name"), " ", "-")).as("name_tc"))
+          .orderBy("p_partkey"))
   )
 }

@@ -23,11 +23,18 @@ object ExtendedQueries {
 
   /** The similarity query vector: embedding of vec_id = 0, collected
     * once at plan-build time — it is the query *parameter*, not data.
+    * Cached per (session, dir): three ANN queries share it, and the
+    * head() collect is pure fixed overhead when re-derived per query.
     */
-  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
-    t(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toSeq
+  private val qvCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Double]]
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] = {
+    qvCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    qvCache.getOrElseUpdate((s, dir),
+      t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq)
+  }
 
   val all: Seq[Query] = Seq(
 
@@ -69,15 +76,7 @@ object ExtendedQueries {
         val d = t(s, dir, "documents").select("doc_id", "text")
         val corpus = d.unionAll(
           d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-        val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text")
-        val sh = Dedup.shingleFrame(corpus, "doc_id", "text")
-        val withSh = pairs
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        withSh.select(col("id_a"), col("id_b"),
-            round(Dedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 6)
-              .as("jacc"))
-          .filter(col("jacc") >= 0.8)
+        Dedup.nearDupPairsVerified(corpus, "doc_id", "text", minJaccard = 0.8)
           .orderBy("id_a", "id_b")
       }),
 

@@ -29,6 +29,23 @@ class CleanFnsSpec extends SparkSpec {
     assert(one(dateReformat($"v"), "garbage") == "ge//garb")
   }
 
+  test("pandasTitle: exact pandas str.title() semantics (main.py:390-391)") {
+    // expectations produced by CPython: "x".title()
+    val cases = Seq(
+      "o'neill" -> "O'Neill",
+      "mcdonald-smith" -> "Mcdonald-Smith",
+      "ABC DEF" -> "Abc Def",
+      "abc1def" -> "Abc1Def",
+      "f. queen, jr." -> "F. Queen, Jr.",
+      "" -> "",
+      "123" -> "123")
+    cases.foreach { case (in, want) =>
+      assert(one(pandasTitle($"v"), in) == want, s"input '$in'")
+    }
+    // initcap diverges exactly where pandas restarts mid-word
+    assert(one(titleCase($"v"), "o'neill") == "O'neill")
+  }
+
   test("mergeConcat: all four branches (main.py:590-603)") {
     val rows = Seq(
       ("a", "a", "a"),      // from == to → keep to

@@ -48,6 +48,26 @@ class DedupSpec extends SparkSpec {
       "unrelated doc produced a candidate pair")
   }
 
+  test("nearDupPairsVerified matches the composed candidates+jaccard pipeline") {
+    val composed = {
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16)
+      val sh = Dedup.shingleFrame(docs, "doc_id", "text")
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 6).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val fused = Dedup.nearDupPairsVerified(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fused == composed)
+    assert(fused.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
   test("jaccard: identical 1.0, near-dup high, disjoint 0.0") {
     val sh = Dedup.shingleFrame(docs, "doc_id", "text")
     def j(a: Long, b: Long): Double =

@@ -71,6 +71,20 @@ class SimilaritySpec extends SparkSpec {
       s"IVF overlap with exact top-10 too low: ${(exact & ivf.map(_._1).toSet).size}")
   }
 
+  test("block-size cap excludes hot blocks from quadratic pairing") {
+    // 30 identical vectors under ONE blocking key: the degenerate case
+    // where the self-join would go quadratic on a hot block.
+    val hot = spark.range(30).select(col("id").as("vec_id"),
+      typedlit(Seq(1.0f, 0.0f, 1.0f)).as("embedding"),
+      lit("hot").as("label"))
+    val capped = Similarity.blockedNearDupPairs(hot, "embedding", "vec_id",
+      "label", threshold = 0.0, maxBlockSize = 10)
+    assert(capped.count() == 0, "oversize block must be excluded")
+    val uncapped = Similarity.blockedNearDupPairs(hot, "embedding", "vec_id",
+      "label", threshold = 0.0)
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+
   test("trained-IVF top-k: k-means centroids give recall >= sampled centroids") {
     val q = emb.filter(col("vec_id") === 7)
       .select(col("embedding").cast("array<double>"))
