@@ -190,15 +190,114 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val families = Seq.tabulate(bands)(b =>
       hyperplanes(query.size, planesPerBand, seed + b))
-    def qBucket(fam: Seq[Seq[Double]]): Int = {
-      // driver-side: same arithmetic as srpBucket, on the query literal
-      fam.zipWithIndex.map { case (p, i) =>
-        if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1 << i else 0
-      }.sum
-    }
-    val matchesAnyBand = families.map(f =>
-      srpBucket(col(embCol), f) === lit(qBucket(f))).reduce(_ || _)
+    val matchesAnyBand = families.zipWithIndex.map { case (f, _) =>
+      srpBucket(col(embCol), f) === lit(qBucketOf(f, query))
+    }.reduce(_ || _)
     corpus.filter(matchesAnyBand)
+      .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side bucket of the query vector: same arithmetic as
+    * [[srpBucket]], on the query literal.
+    */
+  private def qBucketOf(fam: Seq[Seq[Double]], query: Seq[Double]): Int =
+    fam.zipWithIndex.map { case (p, i) =>
+      if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1 << i else 0
+    }.sum
+
+  // ---------------------------------------------------------------------
+  // Persisted ANN indexes: bucket/cell assignment computed ONCE at index
+  // build and written as PARTITION columns (Layout.writePartitioned), so
+  // a probe is a partition-pruned scan — the 100 TB form, where
+  // `lshTopK`/`ivfTopK` recompute every bucket per query. Space cost:
+  // the LSH index stores each vector `bands` times (the standard
+  // multi-probe tradeoff); the IVF index stores it once.
+  // ---------------------------------------------------------------------
+
+  /** The LSH index frame: one row per (vector, band) with its bucket —
+    * the layout key is (band, bucket), both low-cardinality
+    * (bands × 2^planesPerBand directories).
+    */
+  def lshIndexFrame(corpus: DataFrame, embCol: String, idCol: String,
+      planesPerBand: Int = 8, bands: Int = 4, seed: Long = 42L,
+      dims: Int = 64): DataFrame = {
+    val families = Seq.tabulate(bands)(b =>
+      hyperplanes(dims, planesPerBand, seed + b))
+    corpus.select(col(idCol), col(embCol),
+      posexplode(array(families.map(f => srpBucket(col(embCol), f)): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Build (write) the partitioned LSH index at `path`. */
+  def buildLshIndex(corpus: DataFrame, embCol: String, idCol: String,
+      path: String, planesPerBand: Int = 8, bands: Int = 4,
+      seed: Long = 42L, dims: Int = 64): Unit =
+    graft.sources.Layout.writePartitioned(
+      lshIndexFrame(corpus, embCol, idCol, planesPerBand, bands, seed, dims),
+      path, Seq("band", "bucket"))
+
+  /** Probe the persisted LSH index: the bucket predicate hits ONLY the
+    * `bands` matching partition directories (PartitionFilters in the
+    * plan — non-matching files are never opened), then dedups vectors
+    * found in multiple probed bands and scores. Result set identical to
+    * [[lshTopK]] with the same family parameters.
+    */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      embCol: String, idCol: String, query: Seq[Double], k: Int,
+      planesPerBand: Int = 8, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val families = Seq.tabulate(bands)(b =>
+      hyperplanes(query.size, planesPerBand, seed + b))
+    val probe = families.zipWithIndex.map { case (f, b) =>
+      col("band") === b && col("bucket") === qBucketOf(f, query)
+    }.reduce(_ || _)
+    spark.read.parquet(path).filter(probe)
+      .select(col(idCol), col(embCol)).distinct()
+      .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Build the partitioned IVF index: k-means cell id as the single
+    * partition column; centroids saved beside the data (bounded
+    * metadata) so probes recompute nothing.
+    */
+  def buildIvfIndex(corpus: DataFrame, embCol: String, idCol: String,
+      path: String, nClusters: Int = 16, seed: Long = 42L): Unit = {
+    val centroids = trainCentroids(corpus, embCol, nClusters, seed)
+    val v = toDouble(col(embCol))
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct((lit(sq(c)) - lit(2.0) * dot(v, typedlit(c))).as("d"),
+        lit(i).as("i"))
+    }
+    graft.sources.Layout.writePartitioned(
+      corpus.select(col(idCol), col(embCol),
+        array_min(array(cells: _*)).getField("i").as("cell")),
+      path, Seq("cell"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("i", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Probe the persisted IVF index: load centroids (bounded), rank
+    * cells against the query on the driver, scan ONLY the `nProbe`
+    * nearest cell partitions.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      embCol: String, idCol: String, query: Seq[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .collect().map(r => r.getAs[Int]("i") -> r.getSeq[Double](1).toSeq)
+    val qCells = centroids.map { case (i, c) =>
+      (sq(c) - 2.0 * c.zip(query).map { case (a, b) => a * b }.sum, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(qCells: _*))
       .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -168,6 +168,62 @@ object CrmPipeline {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** The merge-audit channel (main.py:578-628): the reference logs
+    * every concatenation merge with the row's Email plus before/after
+    * values, and keeps per-step simple/concat counters for its human
+    * reviewer (README.md operator checks). Scale-correct form: a side
+    * DataFrame sharing the pre-merge frame's scan — one row per
+    * (row, merge step) whose mode isn't a skip, derived by exploding a
+    * per-row array of step structs (ONE pass, no per-step rescan).
+    *
+    * Modes mirror the reference exactly: `skip` (from==to or from
+    * blank — not emitted), `take` (target blank → simple merge,
+    * main.py:596-598), `concat` (both populated → `to + ", " + from`,
+    * main.py:600-612). For multi-source targets the step's `to_val` is
+    * the accumulated fold so far, exactly the reference's sequential
+    * in-place merges.
+    */
+  def mergeAudit(df: DataFrame, stm: Stm, keyCol: String): DataFrame = {
+    stm.validate()
+    val present = df.columns.toSet
+    val groups = stm.targetGroups
+      .map { case (t, srcs) => t -> srcs.filter(present) }
+      .filter(_._2.size > 1)
+    val key: Column =
+      if (present(keyCol)) qcol(keyCol).cast("string")
+      else lit(null).cast("string")
+    val steps = groups.flatMap { case (t, srcs) =>
+      (1 until srcs.size).map { i =>
+        val to = srcs.take(i).map(qcol).reduceLeft(mergeConcat)
+        val from = qcol(srcs(i))
+        struct(lit(t).as("target"), lit(srcs(i)).as("from_col"),
+          from.cast("string").as("from_val"), to.cast("string").as("to_val"),
+          mergeConcat(to, from).cast("string").as("merged_val"),
+          when(from === to || from === "", "skip")
+            .when(to === "", "take").otherwise("concat").as("mode"))
+      }
+    }
+    if (steps.isEmpty)
+      df.select(key.as("key"), lit("").as("target"), lit("").as("from_col"),
+          lit("").as("from_val"), lit("").as("to_val"),
+          lit("").as("merged_val"), lit("").as("mode"))
+        .filter(lit(false))
+    else
+      df.select(key.as("key"), explode(array(steps: _*)).as("s"))
+        .select(col("key"), col("s.target").as("target"),
+          col("s.from_col").as("from_col"), col("s.from_val").as("from_val"),
+          col("s.to_val").as("to_val"), col("s.merged_val").as("merged_val"),
+          col("s.mode").as("mode"))
+        .filter(col("mode") =!= "skip")
+  }
+
+  /** Per-merge-step mode counters (main.py:578-579, 620-621: "N simple
+    * merges" / "N concatenation merges") — one partial+final count agg
+    * over the audit frame.
+    */
+  def mergeCounters(audit: DataFrame): DataFrame =
+    audit.groupBy("target", "from_col", "mode").agg(count(lit(1)).as("n"))
+
   /** S9 — per-column distinct-value extraction for every Multiple
     * Choice STM column (main.py:458-473). Returns the DataFrames; the
     * caller sinks them. At scale each is a shuffle-light global
@@ -217,19 +273,23 @@ object CrmPipeline {
     val lists = multiChoiceLists(repaired, stm)
     val tagged = deriveTags(repaired, stm)
     val out = mapColumns(tagged, stm)
-    PipelineResult(out, removed, lists, repaired)
+    val audit = mergeAudit(tagged, stm, emailCol)
+    PipelineResult(out, removed, lists, repaired, audit)
   }
 }
 
 /** Outputs of a pipeline run: the final frame (S7/S8 sinks), the
   * removed test rows (S10 audit sink), the per-column distinct lists
-  * (S9 sinks), and the shared cleaned pre-merge frame — the common
+  * (S9 sinks), the shared cleaned pre-merge frame — the common
   * ancestor of `output` AND every `multiChoice` plan, so callers that
   * fire multiple sink actions should persist THIS frame (Spark's cache
-  * substitution then serves all of them from one materialization).
+  * substitution then serves all of them from one materialization) —
+  * and the merge-audit channel (take/concat rows; counters via
+  * `CrmPipeline.mergeCounters`).
   */
 final case class PipelineResult(
     output: DataFrame,
     removedTestRows: DataFrame,
     multiChoice: Seq[(String, DataFrame)],
-    cleaned: DataFrame)
+    cleaned: DataFrame,
+    mergeAudit: DataFrame)

@@ -68,9 +68,16 @@ object PipelineMain {
 
     val stm = Stm.fromDataFrame(CsvJsonIO.readCsv(spark, stmCsv))
     stm.validate()
+    // S6 report sinks (main.py:238-247): both column diffs go to CSV
+    // files for the human reviewer, not just the log.
     val (dataOnly, metaOnly) = CrmPipeline.reconcileSchema(data, stm)
     if (dataOnly.nonEmpty) log(s"data cols missing from meta: ${dataOnly.mkString(", ")}")
     if (metaOnly.nonEmpty) log(s"meta cols missing from data: ${metaOnly.mkString(", ")}")
+    import spark.implicits._
+    CsvJsonIO.writeCsv(dataOnly.toDF("column_in_data_not_meta"),
+      s"$outDir/cols_in_data_not_meta", single = true)
+    CsvJsonIO.writeCsv(metaOnly.toDF("column_in_meta_not_data"),
+      s"$outDir/cols_in_meta_not_data", single = true)
 
     val rels = CsvJsonIO.readCsv(spark, relsCsv)
     val repData = repDataPaths.map { case (c, p) =>
@@ -104,6 +111,16 @@ object PipelineMain {
       // S9 — per-column distinct lists (main.py:458-473)
       CsvJsonIO.writeDistinctLists(result.multiChoice, s"$outDir/custom_fields")
       log(s"multi-choice lists: ${result.multiChoice.map(_._1).mkString(", ")}")
+
+      // Merge-audit channel (main.py:578-628): concat/take rows with
+      // the row's email + before/after values, and per-step counters.
+      val audit = result.mergeAudit.persist()
+      CsvJsonIO.writeCsv(audit, s"$outDir/merge_audit", single = true)
+      CsvJsonIO.writeCsv(CrmPipeline.mergeCounters(audit)
+          .orderBy("target", "from_col", "mode"),
+        s"$outDir/merge_counters", single = true)
+      log(s"merge audit rows: ${audit.count()}")
+      audit.unpersist()
 
       // S7/S8 — full + sample output (main.py:631-647)
       CsvJsonIO.writeCsv(output, s"$outDir/output", single = true)

@@ -50,6 +50,38 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(_.n_bytes > 0))
   }
 
+  test("real PNG decodes via ImageIO: true dimensions + luminance histogram") {
+    implicit val s = spark
+    import s.implicits._
+    // 32x16: left half pure red, right half pure white
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0xff0000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val ds = asMedia(Seq((1L, "image", png, Map("f" -> "fixture.png")))
+      .toDF("media_id", "kind", "payload", "meta"))
+    val f = extractFeatures(ds, dim = 16).head()
+    assert(f.width == 32 && f.height == 16)
+    assert(f.n_bytes == png.length)
+    // red: lum = .299*255 = 76.2 → bin 4; white: 255 → bin 15; half each
+    assert(math.abs(f.features(4) - 0.5f) < 1e-6)
+    assert(math.abs(f.features(15) - 0.5f) < 1e-6)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-5)
+  }
+
+  test("undecodable image bytes fall back to the deterministic stub") {
+    implicit val s = spark
+    import s.implicits._
+    val ds = asMedia(Seq((2L, "image", "not an image".getBytes, Map.empty[String, String]))
+      .toDF("media_id", "kind", "payload", "meta"))
+    val f = extractFeatures(ds, dim = 8).head()
+    assert(f.features.length == 8) // stub path, still total
+  }
+
   test("resizePlan: longest side clamped, aspect preserved, no upscale") {
     val plan = resizePlan(extractFeatures(media), maxSide = 64).collect()
     plan.foreach { r =>

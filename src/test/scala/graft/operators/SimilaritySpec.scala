@@ -85,6 +85,33 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped.count() == 30L * 29 / 2)
   }
 
+  test("persisted LSH index probe returns exactly the scan-time LSH result") {
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Similarity.buildLshIndex(emb, "embedding", "vec_id", idx,
+      planesPerBand = 6, bands = 4)
+    val scan = Similarity.lshTopK(emb, "embedding", "vec_id", q, 10,
+      planesPerBand = 6, bands = 4).as[(Long, Double)].collect().toSeq
+    val probe = Similarity.lshTopKIndexed(spark, idx, "embedding", "vec_id",
+      q, 10, planesPerBand = 6, bands = 4).as[(Long, Double)].collect().toSeq
+    assert(probe == scan)
+  }
+
+  test("persisted IVF index probe matches trained-IVF scan (same seed)") {
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nClusters = 16)
+    val scan = Similarity.ivfTopKTrained(emb, "embedding", "vec_id", q, 10,
+      nClusters = 16, nProbe = 4).as[(Long, Double)].collect().toSeq
+    val probe = Similarity.ivfTopKIndexed(spark, idx, "embedding", "vec_id",
+      q, 10, nProbe = 4).as[(Long, Double)].collect().toSeq
+    assert(probe == scan)
+  }
+
   test("trained-IVF top-k: k-means centroids give recall >= sampled centroids") {
     val q = emb.filter(col("vec_id") === 7)
       .select(col("embedding").cast("array<double>"))

@@ -112,6 +112,26 @@ class CrmPipelineSpec extends SparkSpec {
     assert(out("fay@x.com")("phone") == "0111, 0222")    // both → concat
   }
 
+  test("merge-audit channel: exact take/concat rows + per-step counters (main.py:578-628)") {
+    val audit = result.mergeAudit
+      .select("key", "target", "from_col", "from_val", "to_val", "merged_val", "mode")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6)))
+      .toSet
+    assert(audit == Set(
+      ("carol@x.com", "phone", "Work Phone", "0444", "", "0444", "take"),
+      ("a.murdock@dsl.pipex.com", "phone", "Work Phone", "0777", "", "0777", "take"),
+      ("fay@x.com", "phone", "Work Phone", "0222", "0111", "0111, 0222", "concat")))
+    // skips (alice: from blank; bob: equal; hana: from blank) not emitted
+    val counters = CrmPipeline.mergeCounters(result.mergeAudit)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(counters == Set(
+      ("phone", "Work Phone", "take", 2L),
+      ("phone", "Work Phone", "concat", 1L)))
+  }
+
   test("tags: trimmed, deduped across columns, comma-joined (main.py:491-507)") {
     assert(out("alice@x.com")("tags") == "interested")
     assert(out("carol@x.com")("tags") == "interested")  // two tag cols, one tag

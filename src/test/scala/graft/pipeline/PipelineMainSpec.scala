@@ -37,5 +37,22 @@ class PipelineMainSpec extends SparkSpec {
     val lists = new java.io.File(s"$out/custom_fields").listFiles().map(_.getName)
     assert(lists.toSet ==
       Set("Are_you_a_person_of_faith_", "Checkbox1"))
+
+    // merge-audit channel: concat/take rows + per-step counters
+    val audit = CsvJsonIO.readCsv(spark, s"$out/merge_audit")
+    assert(audit.count() == 3)
+    assert(audit.filter(audit("mode") === "concat")
+      .select("key").collect().map(_.getString(0)).toSeq == Seq("fay@x.com"))
+    val counters = CsvJsonIO.readCsv(spark, s"$out/merge_counters")
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(counters == Set(("concat", "1"), ("take", "2")))
+
+    // S6 schema-reconciliation report files (main.py:238-247)
+    val dataOnly = CsvJsonIO.readCsv(spark, s"$out/cols_in_data_not_meta")
+      .collect().map(_.getString(0)).toSeq
+    assert(dataOnly == Seq("UnmappedCol"))
+    val metaOnly = CsvJsonIO.readCsv(spark, s"$out/cols_in_meta_not_data")
+      .collect().map(_.getString(0)).toSeq
+    assert(metaOnly == Seq("MetaOnlyCol"))
   }
 }

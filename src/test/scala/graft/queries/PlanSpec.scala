@@ -44,6 +44,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("indexed ANN probes are partition-pruned scans (q47, q49)") {
+    val lsh = plan("q47_ann_indexed")
+    assert("PartitionFilters: \\[.*band".r.findFirstIn(lsh).isDefined,
+      lsh.take(1200))
+    val ivf = plan("q49_ann_ivf_indexed")
+    assert("PartitionFilters: \\[.*cell".r.findFirstIn(ivf).isDefined,
+      ivf.take(1200))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
