@@ -90,18 +90,47 @@ object ExtendedQueries {
             "event_id")
           .orderBy("user_id", "event_type")),
 
-    // MinHash+LSH band buckets per document (the near-dup candidate
-    // key). xxhash64-based — no DuckDB oracle; pinned by DedupSpec.
-    Query("q31_minhash_buckets", None)(
+    // MinHash+LSH band buckets per document, checked as a structural
+    // invariant: the bucket values are xxhash64-based (no DuckDB twin)
+    // but every doc must land in exactly `bands` buckets, one per
+    // distinct band, all non-null — which IS DuckDB-expressible. The
+    // raw bucket values are pinned by DedupSpec; the full bucket →
+    // pair pipeline is oracle-checked end-to-end by q32.
+    Query("q31_minhash_buckets", Some(
+      """SELECT doc_id, CAST(8 AS BIGINT) AS n_bands,
+        |  CAST(8 AS BIGINT) AS n_buckets
+        |FROM documents ORDER BY doc_id""".stripMargin))(
       (s, dir) =>
         Dedup.minhashBuckets(t(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id", "band")),
+          .groupBy("doc_id")
+          .agg(count_distinct(col("band")).as("n_bands"),
+            count(col("bucket")).as("n_buckets"))
+          .orderBy("doc_id")),
 
     // Full near-dup pipeline on a corpus with planted duplicates (the
     // documents table unioned with itself, ids offset): candidates via
-    // LSH, verified with exact 3-gram Jaccard. Every doc must pair
-    // with its clone at jaccard 1.0.
-    Query("q32_minhash_pairs", None)(
+    // LSH, verified with exact 3-gram Jaccard. Oracle: DuckDB computes
+    // the EXACT all-pairs word-3-gram Jaccard (affordable at verify
+    // scale) — a hash match proves the LSH path has perfect recall AND
+    // perfect precision vs the exact O(n²) definition at this sf.
+    Query("q32_minhash_pairs", Some(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                   FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM corpus))
+        |SELECT id_a, id_b, jacc FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |      6) AS jacc
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin))(
       (s, dir) => {
         val d = t(s, dir, "documents").select("doc_id", "text")
         val corpus = d.unionAll(
@@ -110,15 +139,27 @@ object ExtendedQueries {
           .orderBy("id_a", "id_b")
       }),
 
-    // SimHash fingerprints + hamming distance to the corpus head.
-    Query("q33_simhash", None)(
+    // SimHash fingerprint normalization-invariance: the fingerprint is
+    // defined over case-folded, whitespace-split tokens, so a doc and
+    // its noisy variant (upper-cased, padded, internal runs of spaces)
+    // must hash identically — hamming 0 for every doc, which DuckDB
+    // can assert without reproducing xxhash64. The fingerprint values
+    // and hamming distribution are pinned by DedupSpec.
+    Query("q33_simhash", Some(
+      """SELECT doc_id, CAST(0 AS INTEGER) AS ham_norm
+        |FROM documents ORDER BY doc_id""".stripMargin))(
       (s, dir) => {
-        val withSim = Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
-        val ref = withSim.filter(col("doc_id") === 0)
-          .select(col("simhash").as("ref_sim"))
-        withSim.crossJoin(broadcast(ref))
-          .select(col("doc_id"), col("simhash"),
-            Dedup.hamming64(col("simhash"), col("ref_sim")).as("hamming_to_0"))
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val noisy = d.select(col("doc_id"),
+          concat(lit("  "), upper(regexp_replace(col("text"), " ", "  ")),
+            lit(" ")).as("text"))
+        val a = Dedup.simhashes(d, "doc_id", "text")
+          .withColumnRenamed("simhash", "sim_a")
+        val b = Dedup.simhashes(noisy, "doc_id", "text")
+          .withColumnRenamed("simhash", "sim_b")
+        a.join(b, "doc_id")
+          .select(col("doc_id"),
+            Dedup.hamming64(col("sim_a"), col("sim_b")).as("ham_norm"))
           .orderBy("doc_id")
       }),
 
@@ -162,8 +203,47 @@ object ExtendedQueries {
           .drop("text")
           .orderBy("doc_id")),
 
-    // Heuristic language ID (function-word profiles + CJK check).
-    Query("q36_lang_id", None)(
+    // Heuristic language ID (function-word profiles + CJK check),
+    // oracle-checked against a full DuckDB behavioral twin: same
+    // lower-cased whitespace tokens, same per-language function-word
+    // counts over `n = max(|toks|, 1)`, same argmax with Spark's
+    // struct-comparison tie-break (score first, then language code —
+    // list_aggregate('max') on (s, lang) structs matches array_max),
+    // same CJK char-ratio override, same "und" fallback.
+    Query("q36_lang_id", Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled, text,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |                   x -> lower(x)) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled, text,
+        |    CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','a','in','is','it','that','for','was',
+        |       'on','are','with','as','at','this'], x))) AS DOUBLE) AS c_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['el','la','de','que','y','en','un','una','los','las','por',
+        |       'con','para','es','no','se'], x))) AS DOUBLE) AS c_es,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','ich','nicht','ein','eine',
+        |       'mit','auf','für','von','zu','den'], x))) AS DOUBLE) AS c_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','de','des','et','est','un','une','dans',
+        |       'que','pour','avec','sur','au','ce'], x))) AS DOUBLE) AS c_fr
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, labeled, text,
+        |    list_aggregate(
+        |      [{'s': c_en / n, 'lang': 'en'}, {'s': c_es / n, 'lang': 'es'},
+        |       {'s': c_de / n, 'lang': 'de'}, {'s': c_fr / n, 'lang': 'fr'}],
+        |      'max') AS best
+        |  FROM s)
+        |SELECT doc_id, labeled,
+        |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '',
+        |                                  'g')) > length(text) * 0.3 THEN 'zh'
+        |       WHEN best.s > 0 THEN best.lang ELSE 'und' END AS predicted
+        |FROM b ORDER BY doc_id""".stripMargin))(
       (s, dir) =>
         TextAnalysis.withLangId(
             t(s, dir, "documents")
@@ -172,16 +252,32 @@ object ExtendedQueries {
           .orderBy("doc_id")),
 
     // Normalized content fingerprint (xxhash64) — exact-dedup key.
-    Query("q37_fingerprint", None)(
+    // Oracle: the fingerprint partition of the corpus must be
+    // ISOMORPHIC to partitioning by the normalized text itself
+    // (assuming no 64-bit collisions, a certainty at verify scale), so
+    // each doc's fingerprint-group size must equal its normalized-text
+    // group size — per-row, DuckDB-checkable. Raw hash values pinned
+    // by TextAnalysisSpec.
+    Query("q37_fingerprint", Some(
+      """SELECT doc_id, COUNT(*) OVER (
+        |  PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |) AS n_same_fp FROM documents ORDER BY doc_id""".stripMargin))(
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"),
             TextAnalysis.fingerprint(col("text")).as("fp"))
+          .withColumn("n_same_fp", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+          .select("doc_id", "n_same_fp")
           .orderBy("doc_id")),
 
     // LSH-restricted approximate top-k (sign random projection,
-    // multi-band probe) — the scale path for q34; recall pinned by
-    // SimilaritySpec against the brute-force baseline.
+    // multi-band probe) — the scale path for q34. Deliberately
+    // rows-only: the seeded Gaussian hyperplane family has no SQL
+    // twin and multi-probe recall < 1.0 by design (the probed buckets
+    // cover ~recall of the true top-k), so no DuckDB-computable
+    // invariant pins the exact row set. Recall vs brute force and
+    // q47-equality are pinned by SimilaritySpec instead.
     Query("q38_ann_lsh", None)(
       (s, dir) =>
         Similarity.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -205,13 +301,22 @@ object ExtendedQueries {
           .orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs (pigeonhole chunk buckets, hamming ≤ 3)
-    // on the clone-planted corpus — every clone pair at hamming 0.
-    Query("q40_simhash_pairs", None)(
+    // on the clone-planted corpus, checked as a recall invariant: the
+    // full pipeline runs, then the output is restricted to the planted
+    // (doc, clone) pairs — which MUST all be present at hamming 0
+    // (identical text ⇒ identical fingerprint ⇒ all chunks agree), a
+    // set DuckDB enumerates exactly. Discovery of non-planted hamming
+    // ≤ 3 pairs is pinned by DedupSpec (perturbed-doc fixtures).
+    Query("q40_simhash_pairs", Some(
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM documents ORDER BY id_a""".stripMargin))(
       (s, dir) => {
         val d = t(s, dir, "documents").select("doc_id", "text")
         val corpus = d.unionAll(
           d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
         Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+          .filter(col("id_b") === col("id_a") + 1000000)
           .orderBy("id_a", "id_b")
       }),
 
@@ -235,8 +340,16 @@ object ExtendedQueries {
 
     // IVF-cell-restricted approximate top-k — the second ANN scale
     // path (sampled coarse centroids; probe the 4 nearest of 16
-    // cells). Recall vs brute force pinned by SimilaritySpec.
-    Query("q43_ann_ivf", None)(
+    // cells). Oracle: DuckDB's EXACT brute-force top-10 — at verify
+    // scale the probed cells deterministically contain the entire true
+    // top-10 (recall 1.0, seeded assignment), so the approximate
+    // result must hash-match the exact one.
+    Query("q43_ann_ivf", Some(
+      """SELECT v.vec_id,
+        |  ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS score
+        |FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))(
       (s, dir) =>
         Similarity.ivfTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
           queryVec(s, dir), k = 10, nClusters = 16, nProbe = 4)),
@@ -324,8 +437,15 @@ object ExtendedQueries {
 
     // ANN probe against the PERSISTED IVF index: k-means cells as the
     // partition column, centroids stored beside the data; probing the
-    // 4 nearest of 16 cells scans only those directories.
-    Query("q49_ann_ivf_indexed", None)(
+    // 4 nearest of 16 cells scans only those directories. Same exact
+    // top-10 oracle as q43: the trained cells probed at verify scale
+    // contain the full true top-10, so approximate == exact.
+    Query("q49_ann_ivf_indexed", Some(
+      """SELECT v.vec_id,
+        |  ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS score
+        |FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))(
       (s, dir) =>
         Similarity.ivfTopKIndexed(s, ivfIndexPath(s, dir), "embedding",
           "vec_id", queryVec(s, dir), k = 10, nProbe = 4)),
@@ -333,14 +453,25 @@ object ExtendedQueries {
     // Approximate distinct (HLL++) — the cardinality-estimation
     // primitive distinct-value extraction needs at 100 TB (exact
     // distinct shuffles every value; the sketch is mergeable and
-    // constant-size). No DuckDB oracle (different sketch); accuracy vs
-    // exact is pinned by spec.
-    Query("q42_approx_distinct", None)(
+    // constant-size). The sketch itself has no DuckDB twin, so the
+    // oracle checks the estimator's CONTRACT: exact distinct (which
+    // DuckDB recomputes) rides along, and `approx_ok` asserts the
+    // estimate lands within 3× the requested relative standard
+    // deviation of it — per group, hash-checked.
+    Query("q42_approx_distinct", Some(
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS cnt, true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))(
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            count(lit(1)).as("cnt"))
+          .agg(count_distinct(col("l_partkey")).as("exact_parts"),
+            count(lit(1)).as("cnt"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
+          .select(col("l_returnflag"), col("exact_parts"), col("cnt"),
+            (abs(col("__approx") - col("exact_parts")).cast("double")
+              / col("exact_parts") <= 0.06).as("approx_ok"))
           .orderBy("l_returnflag"))
   )
 }
