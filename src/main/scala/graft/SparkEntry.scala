@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtendedQueries, Query}
+import graft.queries.{CoreQueries, ExtendedQueries, Query, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   /** Every declared query (reference surface + extended LLM-pipeline
     * operators), in registration order.
     */
-  def allQueries: Seq[Query] = CoreQueries.all ++ ExtendedQueries.all
+  def allQueries: Seq[Query] =
+    CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting/packing operators for training-data
+  * pipelines (extended surface beyond the reference, like Dedup and
+  * TextAnalysis). Everything here is keyed on md5 of row CONTENT, not
+  * `rand()` or xxhash64, for three properties a 100 TB pipeline needs:
+  *   - reproducible across runs, executors, and partitionings (no RNG
+  *     state, no row-order dependence);
+  *   - stable under re-ingestion — a re-crawled duplicate document
+  *     lands in the same split, so train/test contamination can't
+  *     sneak in through the sampler;
+  *   - engine-portable — md5 is bit-identical in any engine, so a
+  *     downstream system (or the DuckDB oracle) reproduces the exact
+  *     same membership, which xxhash64 (Spark-private seeding) cannot.
+  * All operators are narrow (no shuffle) except packBySequence, which
+  * shuffles once on its partition columns.
+  */
+object Sampling {
+
+  /** Numeric value 0..15 of one lowercase-hex character column. */
+  private def hexVal(c: Column): Column =
+    ascii(c) - when(ascii(c) >= 97, lit(87)).otherwise(lit(48))
+
+  /** Deterministic bucket 0..255 from two hex chars of md5(key),
+    * starting at 1-based offset `off` (use different offsets for
+    * independent decisions, e.g. split vs sample, so membership in one
+    * doesn't correlate with the other).
+    */
+  def md5Bucket256(key: Column, off: Int = 1): Column = {
+    require(off >= 1 && off <= 31, s"off must leave two hex chars, got $off")
+    val h = md5(key)
+    hexVal(substring(h, off, 1)) * 16 + hexVal(substring(h, off + 1, 1))
+  }
+
+  /** Content-keyed train/val/test split: appends `split` based on the
+    * key's md5 bucket. Thresholds are integer 256ths (rounded from the
+    * requested percentages) so the boundary is exact and portable.
+    */
+  def deterministicSplit(df: DataFrame, key: Column,
+      trainPct: Int = 80, valPct: Int = 10,
+      outCol: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val t1 = math.round(256.0 * trainPct / 100).toInt
+    val t2 = t1 + math.round(256.0 * valPct / 100).toInt
+    val hv = md5Bucket256(key, 1)
+    df.withColumn(outCol,
+      when(hv < t1, "train").when(hv < t2, "val").otherwise("test"))
+  }
+
+  /** Deterministic weighted (mixture) sampling: keep a row iff its md5
+    * bucket falls below `weight256` (0..256, the per-row keep weight in
+    * 256ths — integer so the threshold is exact in any engine). This is
+    * the mixture-reweighting primitive: upweight wiki, downsample crawl,
+    * expressed as a per-source weight column.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight256: Column): DataFrame =
+    df.filter(md5Bucket256(key, 3) < weight256)
+
+  /** Deterministic sequence packing: orders rows within each group of
+    * `partCols` by `orderCol` and assigns `pack_id` = the token-budget
+    * bin the row STARTS in (floor(preceding-token-total / budget)) —
+    * the contiguous-fill packing used to batch documents into
+    * fixed-token training sequences. One shuffle on `partCols`; the
+    * running total is a per-group window, so group size (a source, a
+    * shard) bounds the sort — never a global order-by.
+    */
+  def packBySequence(df: DataFrame, partCols: Seq[String], orderCol: String,
+      tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokenCol)) / lit(budget)))
+      .drop("__cum")
+  }
+}

@@ -25,17 +25,23 @@ object TextAnalysis {
   def bpeIshTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
-  /** Word n-gram shingles from a MATERIALIZED token-array column:
-    * contiguous n-token windows joined by single spaces; distinct.
-    * Taking tokens (not raw text) keeps the per-window `element_at`
-    * lookups O(1) array reads instead of re-splitting the text.
+  /** All word n-grams (non-distinct, in order) from a MATERIALIZED
+    * token-array column: contiguous n-token windows joined by single
+    * spaces. Taking tokens (not raw text) keeps the per-window
+    * `element_at` lookups O(1) array reads instead of re-splitting the
+    * text.
     */
-  def shinglesFromTokens(w: Column, n: Int): Column = {
+  def ngramsFromTokens(w: Column, n: Int): Column = {
     val windows = transform(sequence(lit(0), size(w) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
-    array_distinct(
-      when(size(w) >= n, windows).otherwise(array().cast("array<string>")))
+    when(size(w) >= n, windows).otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles (distinct n-grams) — the set form used for
+    * Jaccard/MinHash.
+    */
+  def shinglesFromTokens(w: Column, n: Int): Column =
+    array_distinct(ngramsFromTokens(w, n))
 
   /** Convenience: shingles straight from text — only for bounded
     * inputs (tests); pipelines use shinglesFromTokens over a
@@ -116,4 +122,38 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Per-document n-gram repetition statistics — the Gopher-style
+    * repetition quality signals (most-common-n-gram fraction,
+    * duplicated-n-gram fraction) that gate boilerplate/spam out of
+    * training corpora. One shuffle on (id, gram): the n-gram explode
+    * is narrow, per-(doc, gram) counts combine map-side, and the
+    * per-doc rollup is a second small aggregation on `id` — never a
+    * corpus-wide string sort. Docs with fewer than `n` tokens have no
+    * n-grams and drop out (their quality signal is `n_tokens`, not
+    * repetition).
+    *
+    * Output per id: n_{n}grams (total), n_distinct, top_n (count of
+    * the most frequent gram), top_frac = top_n / total, dup_frac =
+    * (grams occurring more than once) / total.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol), wsTokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(ngramsFromTokens(col("__w"), n)).as("gram"))
+    grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max("c").as("top_gram_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("__dup"))
+      .select(col(idCol), col("n_grams"), col("n_distinct_grams"),
+        col("top_gram_n"),
+        round(col("top_gram_n").cast("double") / col("n_grams"), 6)
+          .as("top_gram_frac"),
+        round(col("__dup").cast("double") / col("n_grams"), 6)
+          .as("dup_gram_frac"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the deterministic sampling/split/packing operators: known md5
+  * bucket values, split stability under duplication and re-partitioning,
+  * monotone sample membership, and exact packing boundaries.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("md5Bucket256 matches hand-computed md5 hex values") {
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
+    //   chars 1-2 "90" -> 9*16 + 0 = 144; chars 3-4 "01" -> 0*16+1 = 1
+    val r = Seq("abc").toDF("s")
+      .select(Sampling.md5Bucket256(col("s"), 1).as("b1"),
+        Sampling.md5Bucket256(col("s"), 3).as("b3"))
+      .head()
+    assert(r.getInt(0) == 144)
+    assert(r.getInt(1) == 1)
+  }
+
+  test("deterministicSplit covers ~80/10/10 and is content-stable") {
+    val df = (0 until 2000).map(i => (i.toLong, s"document number $i body"))
+      .toDF("id", "text")
+    val s = Sampling.deterministicSplit(df, col("text"))
+    val frac = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.80) < 0.05, s"train=$frac")
+    assert(math.abs(frac("val") - 0.10) < 0.04, s"val=$frac")
+    assert(math.abs(frac("test") - 0.10) < 0.04, s"test=$frac")
+
+    // same content, different row/partitioning → identical assignment
+    val dup = Sampling.deterministicSplit(
+      df.repartition(7).withColumn("id", col("id") + 10000), col("text"))
+    val joined = s.select(col("text"), col("split").as("a"))
+      .join(dup.select(col("text"), col("split").as("b")), "text")
+    assert(joined.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("weightedSample is exact at the extremes and monotone in weight") {
+    val df = (0 until 500).map(i => (i.toLong, s"text $i")).toDF("id", "text")
+    assert(Sampling.weightedSample(df, col("text"), lit(0)).count() == 0)
+    assert(Sampling.weightedSample(df, col("text"), lit(256)).count() == 500)
+    val k64 = Sampling.weightedSample(df, col("text"), lit(64))
+    val k128 = Sampling.weightedSample(df, col("text"), lit(128))
+    assert(k64.count() > 0 && k64.count() < k128.count())
+    // monotone membership: everything kept at 64 is kept at 128
+    assert(k64.select("id").exceptAll(k128.select("id")).count() == 0)
+  }
+
+  test("packBySequence fills 10-token bins contiguously per group") {
+    val rows = Seq(
+      ("s1", 1L, 4L), ("s1", 2L, 4L), ("s1", 3L, 4L), // cum-starts 0,4,8
+      ("s1", 4L, 12L),                                // starts at 12 → pack 1
+      ("s2", 5L, 9L), ("s2", 6L, 2L)                  // starts 0, 9 → 0, 0
+    ).toDF("source", "doc_id", "n_tokens")
+    val r = Sampling.packBySequence(rows, Seq("source"), "doc_id",
+        "n_tokens", budget = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L,
+      5L -> 0L, 6L -> 0L))
+  }
+
+  test("repetitionStats computes exact gram counts and fractions") {
+    val df = Seq((1L, "a b a b a"), (2L, "x y z w")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: 2-grams [a b, b a, a b, b a] → 4 total, 2 distinct, top 2
+    assert(r(0).getAs[Long]("n_grams") == 4L)
+    assert(r(0).getAs[Long]("n_distinct_grams") == 2L)
+    assert(r(0).getAs[Long]("top_gram_n") == 2L)
+    assert(r(0).getAs[Double]("top_gram_frac") == 0.5)
+    assert(r(0).getAs[Double]("dup_gram_frac") == 1.0)
+    // doc 2: all distinct → top 1, dup_frac 0
+    assert(r(1).getAs[Long]("n_grams") == 3L)
+    assert(r(1).getAs[Double]("dup_gram_frac") == 0.0)
+  }
+}
