@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a frame to full cluster parallelism BEFORE per-row
+    * featurization (tokenize → 32 minhash slots → shingles), which is
+    * the CPU-bound cost of every near-dup operator. A small corpus
+    * (one parquet row group) otherwise runs that work on ONE core; a
+    * 100 TB corpus already has more input splits than executors, so
+    * the condition makes this a no-op exactly when a repartition would
+    * be an expensive full-text shuffle.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Exact dedup: keep one deterministic representative (min of
     * `tiebreak`) per key group. `dropDuplicates` is avoided — its kept
     * row is partition-order-dependent, which breaks oracle parity and
@@ -52,7 +65,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32): DataFrame =
-    df.select(col(idCol),
+    spread(df).select(col(idCol),
       graft.functions.MinHashExprs.minhashSignature(
         TextAnalysis.wsTokens(col(textCol)), n, numHashes).as("sig"))
 
@@ -61,7 +74,7 @@ object Dedup {
     */
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
-    df.select(col(idCol),
+    spread(df).select(col(idCol),
         graft.functions.MinHashExprs.minhashBandHashes(
           TextAnalysis.wsTokens(col(textCol)), n, numHashes, bands)
           .as("__bands"))
@@ -114,7 +127,7 @@ object Dedup {
   def nearDupPairsVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 10000, minJaccard: Double = 0.8): DataFrame = {
-    val feat = df.select(col(idCol).as("id"),
+    val feat = spread(df).select(col(idCol).as("id"),
         TextAnalysis.wsTokens(col(textCol)).as("__w"))
       .select(col("id"),
         graft.functions.MinHashExprs.minhashBandHashes(
@@ -156,7 +169,7 @@ object Dedup {
     */
   def shingleFrame(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
-    df.select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("__w"))
+    spread(df).select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("__w"))
       .select(col(idCol),
         TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh"))
 
@@ -166,7 +179,7 @@ object Dedup {
     * interpreted). Near-dup when hamming distance ≤ threshold.
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    spread(df).select(col(idCol),
       graft.functions.VectorExprs.simhash64(
         TextAnalysis.wsTokens(lower(col(textCol)))).as("simhash"))
 

@@ -139,7 +139,7 @@ object TextAnalysis {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
-    val grams = df
+    val grams = Dedup.spread(df)
       .select(col(idCol), wsTokens(col(textCol)).as("__w"))
       .select(col(idCol), explode(ngramsFromTokens(col("__w"), n)).as("gram"))
     grams.groupBy(col(idCol), col("gram"))

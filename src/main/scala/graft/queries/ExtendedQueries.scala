@@ -66,6 +66,18 @@ object ExtendedQueries {
     })
   }
 
+  /** Build both persisted ANN indexes for `dir` eagerly. Bench calls
+    * this before timing and reports the build cost as its own metric:
+    * the indexes are one-time artifacts a deployment builds beside the
+    * corpus, so probe latency (q47/q49) and build cost are separate
+    * numbers — folding the build into whichever probe runs first would
+    * misstate both.
+    */
+  def prebuildIndexes(s: SparkSession, dir: String): Unit = {
+    lshIndexPath(s, dir)
+    ivfIndexPath(s, dir)
+  }
+
   val all: Seq[Query] = Seq(
 
     // Exact dedup keyed on a content hash (here no dups exist — every
