@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find (and remove) training documents
+  * that share word n-grams with an evaluation corpus — the standard
+  * defense against test-set leakage into training data.
+  *
+  * Shape at 100 TB: the EVAL side is small by nature (benchmark suites
+  * are megabytes), so its distinct n-gram set is broadcast and the
+  * train side never shuffles — one scan, one broadcast hash join, one
+  * partial+final aggregation on the train doc id. The train corpus is
+  * shingled via the same materialized-token path as the dedup
+  * operators (see Dedup doc on interpreted higher-order functions).
+  */
+object Decontaminate {
+
+  /** Per contaminated train doc: how many distinct n-grams it shares
+    * with the eval corpus and how many eval docs it overlaps. Only
+    * contaminated docs appear (inner join on the gram).
+    */
+  def contaminationReport(train: DataFrame, trainId: String,
+      trainText: String, eval: DataFrame, evalId: String, evalText: String,
+      n: Int = 8): DataFrame = {
+    val evalGrams = Dedup.shingleFrame(eval, evalId, evalText, n)
+      .select(explode(col("sh")).as("gram"), col(evalId).as("__eval_id"))
+      .distinct()
+    val trainGrams = Dedup.shingleFrame(train, trainId, trainText, n)
+      .select(col(trainId), explode(col("sh")).as("gram"))
+    trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col(trainId))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"),
+        count_distinct(col("__eval_id")).as("n_eval_docs"))
+  }
+
+  /** The cleaned training corpus: drop every doc the report flags
+    * (left anti join on the contaminated id set).
+    */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+      eval: DataFrame, evalId: String, evalText: String,
+      n: Int = 8): DataFrame = {
+    val bad = contaminationReport(train, trainId, trainText,
+      eval, evalId, evalText, n).select(col(trainId))
+    train.join(bad, Seq(trainId), "left_anti")
+  }
+}

@@ -123,6 +123,18 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** PII scrubbing: replace email addresses and NANP-style phone
+    * numbers with a redaction token — the minimum-viable privacy pass
+    * over a web corpus. Patterns stay in the regex subset shared by
+    * Java and RE2 (no lookaround) so downstream engines reproduce the
+    * exact transformation; narrow (no shuffle), codegen'd.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+  def scrubPii(text: Column, token: String = "[PII]"): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, token),
+      PhonePattern, token)
+
   /** Per-document n-gram repetition statistics — the Gopher-style
     * repetition quality signals (most-common-n-gram fraction,
     * duplicated-n-gram fraction) that gate boilerplate/spam out of

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Sampling, TextAnalysis}
 
 /** Training-data curation operators beyond analysis: repetition-quality
   * gating, deterministic split/mixture sampling, and sequence packing —
@@ -90,6 +90,55 @@ object TrainingQueries {
           .select("doc_id", "source")
           .orderBy("doc_id")
       }),
+
+    // Benchmark decontamination report: train docs (id ≥ 20) sharing
+    // any word 5-gram with the "benchmark" slice (id < 20), with
+    // shared-gram and eval-doc counts. Eval grams broadcast — the
+    // train side never shuffles before the per-doc aggregation.
+    Query("q54_decontaminate", Some(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |       || toks[i+3] || ' ' || toks[i+4]
+        |     FOR i IN generate_series(1, len(toks) - 4)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |evg AS (SELECT DISTINCT unnest(sh) AS gram, doc_id AS eval_id
+        |        FROM sh WHERE doc_id < 20),
+        |trg AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+        |        WHERE doc_id >= 20)
+        |SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared_grams,
+        |  COUNT(DISTINCT e.eval_id) AS n_eval_docs
+        |FROM trg t JOIN evg e USING (gram)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        Decontaminate.contaminationReport(
+            docs.filter(col("doc_id") >= 20), "doc_id", "text",
+            docs.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      }),
+
+    // PII scrubbing over text with deterministically planted PII (the
+    // testdata corpus is synthetic and clean, so both engines append
+    // the same email + phone before scrubbing — a full behavioral
+    // twin of the redaction regexes).
+    Query("q55_pii_scrub", Some(
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |      text || ' contact user' || doc_id ||
+        |        '@example.com or (555) 123-4567',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]',
+        |      'g'),
+        |    '\(\d{3}\) \d{3}-\d{4}', '[PII]', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.scrubPii(
+              concat(col("text"), lit(" contact user"), col("doc_id"),
+                lit("@example.com or (555) 123-4567"))).as("scrubbed"))
+          .orderBy("doc_id")),
 
     // Sequence packing: per-source contiguous fill into 512-token
     // bins; pack_id = the bin the document STARTS in. One shuffle on

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins decontamination on corpora with planted eval overlap and PII
+  * scrubbing on planted identifiers.
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evalSet = Seq(
+    (100L, "the capital of france is paris and it is on the seine"),
+    (101L, "water boils at one hundred degrees celsius at sea level")
+  ).toDF("doc_id", "text")
+
+  private val train = Seq(
+    // contaminated: contains eval doc 100's 8-gram verbatim
+    (1L, "trivia dump the capital of france is paris and it is nice"),
+    // contaminated with BOTH eval docs
+    (2L, "the capital of france is paris and it rains water boils at " +
+      "one hundred degrees celsius at sea level today"),
+    (3L, "a completely unrelated document about spark physical plans"),
+    (4L, "short")
+  ).toDF("doc_id", "text")
+
+  test("contaminationReport flags exactly the overlapping docs") {
+    val r = Decontaminate.contaminationReport(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getAs[Long]("n_shared_grams"), x.getAs[Long]("n_eval_docs"))).toMap
+    assert(byId(1L)._2 == 1L) // overlaps only eval 100
+    assert(byId(2L)._2 == 2L) // overlaps both eval docs
+    assert(byId(2L)._1 > byId(1L)._1)
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest intact") {
+    val r = Decontaminate.decontaminate(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(3L, 4L))
+  }
+
+  test("scrubPii redacts emails and phone numbers, leaves clean text") {
+    val r = Seq(
+      ("reach me at jane.doe+spam@sub.example.co.uk thanks", true),
+      ("call (555) 867-5309 after five", true),
+      ("no identifiers in this one", false)
+    ).toDF("text", "dirty")
+      .select(col("dirty"), TextAnalysis.scrubPii(col("text")).as("out"))
+      .collect()
+    assert(r.filter(_.getBoolean(0)).forall(_.getString(1).contains("[PII]")))
+    assert(r.filter(_.getBoolean(0)).forall(x =>
+      !x.getString(1).contains("@") && !x.getString(1).contains("(555)")))
+    assert(r.filter(!_.getBoolean(0))
+      .forall(_.getString(1) == "no identifiers in this one"))
+  }
+}
