@@ -53,6 +53,33 @@ class PlanSpec extends SparkSpec {
       ivf.take(1200))
   }
 
+  test("repetition stats aggregate partially before shuffling (q50)") {
+    val p = plan("q50_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(800))
+  }
+
+  test("split/mixture/scrub are narrow — no hash shuffle (q51, q52, q55)") {
+    // only the deterministic-output sort (range partitioning) may
+    // exchange; a hashpartitioning exchange would mean the md5/regex
+    // work stopped being per-row
+    Seq("q51_split", "q52_mixture", "q55_pii_scrub").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n${p.take(800)}")
+    }
+  }
+
+  test("packing shuffles once, on the window partition key (q53)") {
+    val p = plan("q53_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1000))
+  }
+
+  test("decontamination broadcasts the eval gram set (q54)") {
+    val p = plan("q54_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("SortMergeJoin"), p.take(1000))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
