@@ -18,8 +18,7 @@ object Tables {
   // otherwise re-lists files and re-reads the footer schema per query —
   // pure fixed overhead when Bench/Verify run the whole inventory in
   // one session. DataFrames are immutable, so sharing is safe.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cache = new SessionCache[DataFrame]
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events" &&
@@ -32,10 +31,7 @@ object Tables {
       // build; this guarded set covers driver-owned sessions only, and
       // only once.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // evict entries of stopped sessions so repeated getOrCreate/stop
-    // cycles in one JVM can't pin dead sessions (and their plans)
-    cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+    cache.get(spark, s"$sfDir/$name.parquet")(
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 }

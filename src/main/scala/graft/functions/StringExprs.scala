@@ -21,6 +21,13 @@ object StringExprs {
     * "Cased" follows CPython's definition (upper, lower, or titlecase
     * letters); uncased letters (e.g. CJK) don't restart capitalization,
     * matching pandas exactly.
+    *
+    * Known divergence: case mappings are per-codepoint
+    * (Character.toTitleCase/toLowerCase), so characters whose CPython
+    * full mapping EXPANDS differ — pandas titles `ß` to `Ss` and the
+    * `ﬁ` ligature to `Fi`; this expression leaves them single-width.
+    * Single-codepoint mappings (the entirety of Latin-1 names, and
+    * everything in the CRM reference data) match exactly.
     */
   final case class PandasTitleExpr(child: Expression)
       extends UnaryExpression {

@@ -74,12 +74,17 @@ object Dedup {
     */
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    // posexplode_outer + null-drop, not posexplode — the inner form's
+    // inferred `size(__bands) > 0` filter (InferFiltersFromGenerate)
+    // pushes below the projection and re-runs the whole minhash
+    // featurization a second time per row
     spread(df).select(col(idCol),
         graft.functions.MinHashExprs.minhashBandHashes(
           TextAnalysis.wsTokens(col(textCol)), n, numHashes, bands)
           .as("__bands"))
       .select(col(idCol),
-        posexplode(col("__bands")).as(Seq("band", "bucket")))
+        posexplode_outer(col("__bands")).as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull)
 
   /** Near-dup candidate pairs by MinHash+LSH: shingle → signature →
     * band buckets → ONE shuffle on (band, bucket) → pair ids within
@@ -123,6 +128,13 @@ object Dedup {
     * buckets, once per verify side). At 100 TB the persisted frame is
     * (id, 8 longs, shingle array) — MEMORY_AND_DISK, spillable, read
     * three times, computed once.
+    *
+    * This is an ALGORITHM, not a lazy transformation: the (small) pair
+    * result is materialized eagerly so the corpus-sized feature cache
+    * can be released before returning — otherwise every call pins a
+    * featurized copy of the corpus in executor storage for the rest of
+    * the session. The returned frame is persisted; callers running
+    * many corpora through one session may `unpersist()` it when done.
     */
   def nearDupPairsVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
@@ -145,12 +157,16 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    pairs
+    val verified = pairs
       .join(feat.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(feat.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(jaccardFromShingles(col("sh_a"), col("sh_b")), 6).as("jacc"))
       .filter(col("jacc") >= minJaccard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    feat.unpersist(blocking = false)
+    verified
   }
 
   /** Exact n-gram Jaccard over two MATERIALIZED shingle-array columns —
@@ -214,7 +230,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.as("a")
     val b = chunked.as("b")
-    a.join(b,
+    // eager finish, same rationale as nearDupPairsVerified: the pair
+    // result is small; the chunked fingerprint frame is corpus-sized
+    // and must not outlive the call as a cache entry
+    val out = a.join(b,
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
@@ -222,5 +241,9 @@ object Dedup {
         hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    chunked.unpersist(blocking = false)
+    out
   }
 }

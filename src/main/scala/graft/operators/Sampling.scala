@@ -21,10 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Numeric value 0..15 of one lowercase-hex character column. */
-  private def hexVal(c: Column): Column =
-    ascii(c) - when(ascii(c) >= 97, lit(87)).otherwise(lit(48))
-
   /** Deterministic bucket 0..255 from two hex chars of md5(key),
     * starting at 1-based offset `off` (use different offsets for
     * independent decisions, e.g. split vs sample, so membership in one
@@ -32,8 +28,7 @@ object Sampling {
     */
   def md5Bucket256(key: Column, off: Int = 1): Column = {
     require(off >= 1 && off <= 31, s"off must leave two hex chars, got $off")
-    val h = md5(key)
-    hexVal(substring(h, off, 1)) * 16 + hexVal(substring(h, off + 1, 1))
+    conv(substring(md5(key), off, 2), 16, 10).cast("int")
   }
 
   /** Content-keyed train/val/test split: appends `split` based on the

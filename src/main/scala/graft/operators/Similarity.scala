@@ -218,11 +218,12 @@ object Similarity {
 
   /** The LSH index frame: one row per (vector, band) with its bucket —
     * the layout key is (band, bucket), both low-cardinality
-    * (bands × 2^planesPerBand directories).
+    * (bands × 2^planesPerBand directories). `dims` must match the
+    * corpus vectors: a shorter plane silently truncates the dot
+    * product, putting every vector in a bucket from the wrong family.
     */
   def lshIndexFrame(corpus: DataFrame, embCol: String, idCol: String,
-      planesPerBand: Int = 8, bands: Int = 4, seed: Long = 42L,
-      dims: Int = 64): DataFrame = {
+      planesPerBand: Int, bands: Int, seed: Long, dims: Int): DataFrame = {
     val families = Seq.tabulate(bands)(b =>
       hyperplanes(dims, planesPerBand, seed + b))
     corpus.select(col(idCol), col(embCol),
@@ -230,25 +231,47 @@ object Similarity {
         .as(Seq("band", "bucket")))
   }
 
-  /** Build (write) the partitioned LSH index at `path`. */
+  /** Build (write) the partitioned LSH index at `path`. The vector
+    * dimensionality is read FROM the corpus (one bounded head()), and
+    * the full family parameterization (planes, bands, seed, dims) is
+    * persisted beside the data as `_meta` — the probe rebuilds its
+    * hyperplanes from that record, so index and probe can never use
+    * different families (the silent-recall-collapse failure mode of
+    * letting callers re-supply the parameters).
+    */
   def buildLshIndex(corpus: DataFrame, embCol: String, idCol: String,
       path: String, planesPerBand: Int = 8, bands: Int = 4,
-      seed: Long = 42L, dims: Int = 64): Unit =
+      seed: Long = 42L): Unit = {
+    val dims = corpus.select(size(col(embCol))).head().getInt(0)
     graft.sources.Layout.writePartitioned(
       lshIndexFrame(corpus, embCol, idCol, planesPerBand, bands, seed, dims),
       path, Seq("band", "bucket"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((planesPerBand, bands, seed, dims))
+      .toDF("planes_per_band", "bands", "seed", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
 
   /** Probe the persisted LSH index: the bucket predicate hits ONLY the
-    * `bands` matching partition directories (PartitionFilters in the
+    * matching band partition directories (PartitionFilters in the
     * plan — non-matching files are never opened), then dedups vectors
-    * found in multiple probed bands and scores. Result set identical to
-    * [[lshTopK]] with the same family parameters.
+    * found in multiple probed bands and scores. The plane family comes
+    * from the index's own `_meta` record; a query vector of the wrong
+    * dimensionality is rejected instead of silently mis-bucketing.
+    * Result set identical to [[lshTopK]] with the same parameters.
     */
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      embCol: String, idCol: String, query: Seq[Double], k: Int,
-      planesPerBand: Int = 8, bands: Int = 4, seed: Long = 42L): DataFrame = {
+      embCol: String, idCol: String, query: Seq[Double],
+      k: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    val (planesPerBand, bands) =
+      (meta.getAs[Int]("planes_per_band"), meta.getAs[Int]("bands"))
+    val (seed, dims) = (meta.getAs[Long]("seed"), meta.getAs[Int]("dims"))
+    require(query.size == dims,
+      s"query has ${query.size} dims but the index was built for $dims")
     val families = Seq.tabulate(bands)(b =>
-      hyperplanes(query.size, planesPerBand, seed + b))
+      hyperplanes(dims, planesPerBand, seed + b))
     val probe = families.zipWithIndex.map { case (f, b) =>
       col("band") === b && col("bucket") === qBucketOf(f, query)
     }.reduce(_ || _)
@@ -293,6 +316,9 @@ object Similarity {
     def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
     val centroids = spark.read.parquet(s"$path/_centroids")
       .collect().map(r => r.getAs[Int]("i") -> r.getSeq[Double](1).toSeq)
+    require(centroids.nonEmpty && centroids.head._2.size == query.size,
+      s"query has ${query.size} dims but the index centroids have " +
+        s"${centroids.headOption.map(_._2.size).getOrElse(0)}")
     val qCells = centroids.map { case (i, c) =>
       (sq(c) - 2.0 * c.zip(query).map { case (a, b) => a * b }.sum, i)
     }.sortBy(_._1).take(nProbe).map(_._2)

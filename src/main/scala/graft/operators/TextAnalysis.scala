@@ -151,9 +151,14 @@ object TextAnalysis {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
+    // explode_outer + null-drop, not explode — see Decontaminate: the
+    // inner form's inferred size() filter re-derives the n-gram array
+    // (and re-splits the text) once more per row
     val grams = Dedup.spread(df)
       .select(col(idCol), wsTokens(col(textCol)).as("__w"))
-      .select(col(idCol), explode(ngramsFromTokens(col("__w"), n)).as("gram"))
+      .select(col(idCol),
+        explode_outer(ngramsFromTokens(col("__w"), n)).as("gram"))
+      .filter(col("gram").isNotNull)
     grams.groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))

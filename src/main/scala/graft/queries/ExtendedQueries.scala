@@ -26,45 +26,49 @@ object ExtendedQueries {
     * Cached per (session, dir): three ANN queries share it, and the
     * head() collect is pure fixed overhead when re-derived per query.
     */
-  private val qvCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[Double]]
-  private def queryVec(s: SparkSession, dir: String): Seq[Double] = {
-    qvCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    qvCache.getOrElseUpdate((s, dir),
+  private val qvCache = new graft.SessionCache[Seq[Double]]
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    qvCache.get(s, dir)(
       t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toSeq)
-  }
 
   /** Persisted ANN indexes, built once per (session, sfDir) into a
     * temp dir — the index build is the amortized cost (one write job);
     * every probe after it is a partition-pruned scan. Mirrors a real
-    * deployment where the index is written beside the corpus.
+    * deployment where the index is written beside the corpus. Temp
+    * dirs are registered for recursive deletion at JVM exit (cache
+    * eviction alone would drop the path but orphan the files).
     */
-  private val lshIdxCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
-  private def lshIndexPath(s: SparkSession, dir: String): String = {
-    lshIdxCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    lshIdxCache.getOrElseUpdate((s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft_lsh_idx")
-        .toString
+  private def newIdxDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        val all = Files.walk(p).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach(f =>
+          try Files.deleteIfExists(f) catch { case _: Exception => () })
+      }
+    }
+    p.toString
+  }
+  private val lshIdxCache = new graft.SessionCache[String]
+  private def lshIndexPath(s: SparkSession, dir: String): String =
+    lshIdxCache.get(s, dir) {
+      val p = newIdxDir("graft_lsh_idx")
       Similarity.buildLshIndex(t(s, dir, "embeddings"), "embedding",
         "vec_id", p, planesPerBand = 6, bands = 4)
       p
-    })
-  }
-  private val ivfIdxCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
-  private def ivfIndexPath(s: SparkSession, dir: String): String = {
-    ivfIdxCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    ivfIdxCache.getOrElseUpdate((s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
-        .toString
+    }
+  private val ivfIdxCache = new graft.SessionCache[String]
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIdxCache.get(s, dir) {
+      val p = newIdxDir("graft_ivf_idx")
       Similarity.buildIvfIndex(t(s, dir, "embeddings"), "embedding",
         "vec_id", p, nClusters = 16)
       p
-    })
-  }
+    }
 
   /** Build both persisted ANN indexes for `dir` eagerly. Bench calls
     * this before timing and reports the build cost as its own metric:
@@ -298,14 +302,21 @@ object ExtendedQueries {
     // Embedding-cosine near-dup pairs within blocking groups (label =
     // the block key; at scale an LSH bucket id). Oracle-checked: the
     // DuckDB twin scores the identical pair set with
-    // list_cosine_similarity.
+    // list_cosine_similarity, INCLUDING the operator's block-size cap
+    // (blocks over 10000 rows are excluded from pairing on both sides,
+    // so the oracle stays faithful at any scale, not just below the
+    // cap).
     Query("q39_embed_neardup", Some(
-      """SELECT id_a, id_b, score FROM (
+      """WITH sized AS (
+        |  SELECT vec_id, embedding, label,
+        |    COUNT(*) OVER (PARTITION BY label) AS bsz FROM embeddings)
+        |SELECT id_a, id_b, score FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |      CAST(b.embedding AS DOUBLE[])), 6) AS score
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  FROM sized a JOIN sized b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE a.bsz <= 10000)
         |WHERE score >= 0.35 ORDER BY id_a, id_b""".stripMargin))(
       (s, dir) =>
         Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "embedding",
@@ -445,7 +456,7 @@ object ExtendedQueries {
     Query("q47_ann_indexed", None)(
       (s, dir) =>
         Similarity.lshTopKIndexed(s, lshIndexPath(s, dir), "embedding",
-          "vec_id", queryVec(s, dir), k = 10, planesPerBand = 6, bands = 4)),
+          "vec_id", queryVec(s, dir), k = 10)),
 
     // ANN probe against the PERSISTED IVF index: k-means cells as the
     // partition column, centroids stored beside the data; probing the

@@ -95,8 +95,13 @@ class SimilaritySpec extends SparkSpec {
     val scan = Similarity.lshTopK(emb, "embedding", "vec_id", q, 10,
       planesPerBand = 6, bands = 4).as[(Long, Double)].collect().toSeq
     val probe = Similarity.lshTopKIndexed(spark, idx, "embedding", "vec_id",
-      q, 10, planesPerBand = 6, bands = 4).as[(Long, Double)].collect().toSeq
+      q, 10).as[(Long, Double)].collect().toSeq
     assert(probe == scan)
+    // wrong-dimensionality query is rejected, not silently mis-bucketed
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKIndexed(spark, idx, "embedding", "vec_id",
+        q ++ Seq(0.0), 10)
+    }
   }
 
   test("persisted IVF index probe matches trained-IVF scan (same seed)") {
