@@ -361,6 +361,27 @@ object ExtendedQueries {
               col("event_type"), col("value")))
           .orderBy("win_start", "event_type")),
 
+    // Stream-static enrichment run in batch mode: events joined to the
+    // customer dimension (broadcast — a stream-static join holds no
+    // stream state), then aggregated per segment. The same operator
+    // runs on readStream input (EventStreamSpec drives it with
+    // MemoryStream); this batch twin is the oracle-checkable form.
+    Query("q57_stream_enrich", Some(
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin))(
+      (s, dir) =>
+        graft.streaming.EventStream.enriched(
+            t(s, dir, "events").select("user_id", "value"),
+            t(s, dir, "customer"), "user_id", "c_custkey",
+            Seq("c_mktsegment"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"), dsumq(col("value")).as("sum_val"))
+          .select(col("c_mktsegment").as("segment"), col("cnt"),
+            col("sum_val"))
+          .orderBy("segment")),
+
     // IVF-cell-restricted approximate top-k — the second ANN scale
     // path (sampled coarse centroids; probe the 4 nearest of 16
     // cells). Oracle: DuckDB's EXACT brute-force top-10 — at verify

@@ -44,6 +44,22 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.drop(1): _*)
 
+  /** Stream-static enrichment: join the (unbounded) event stream
+    * against a bounded dimension frame — the canonical "attach user/
+    * customer attributes at ingest" step. The static side is
+    * broadcast (dimensions are bounded metadata at any scale), so the
+    * stream side stays shuffle-free and stateless: no watermark is
+    * needed because a stream-static inner/left join holds NO stream
+    * state — each micro-batch joins and emits. Works identically on a
+    * bounded batch frame (the batch/stream unification contract).
+    */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String, dimCols: Seq[String]): DataFrame =
+    events.join(
+      broadcast(dim.select((dimKey +: dimCols).map(col): _*)),
+      events(eventKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
   /** Inactivity-gap sessionization via flatMapGroupsWithState: a
     * session closes when a user is silent for `gap`. Event-time
     * processing with per-group state — the canonical custom-state

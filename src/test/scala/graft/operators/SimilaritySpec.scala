@@ -131,4 +131,25 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & trained).size >= (exact & sampled).size - 2,
       s"trained recall ${(exact & trained).size} far below sampled ${(exact & sampled).size}")
   }
+
+  test("srpBucket works as the fine blocking key for embedding near-dup") {
+    import spark.implicits._
+    // the 100 TB shape SCALE.md prescribes when a label block is too
+    // coarse: block on the sign-random-projection bucket instead —
+    // twins land in the same bucket by construction, far vectors
+    // (opposite side of the planes) land elsewhere or fail the
+    // threshold, and block sizes follow bucket occupancy (~n/2^planes)
+    val planes = Similarity.hyperplanes(dims = 4, p = 4)
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.1f, 0.0f, 0.0f)), // exact twin of 1
+      (3L, Seq(-1.0f, 0.3f, -0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val blocked = vs.withColumn("blk",
+      Similarity.srpBucket(col("embedding"), planes))
+    val pairs = Similarity.blockedNearDupPairs(blocked, "embedding",
+        "vec_id", "blk", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }

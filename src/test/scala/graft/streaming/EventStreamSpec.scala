@@ -117,4 +117,25 @@ class EventStreamSpec extends SparkSpec {
       assert(got == Set(1L, 4L), s"got $got")
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = enriched(mem.toDF(), dim, "user_id", "cust_id", Seq("tier"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 9, "view", 3.0)) // 9: no dim row -> null tier
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("event_id", "tier").as[(Long, Option[String])]
+        .collect().toMap
+      assert(out == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    } finally q.stop()
+  }
 }
