@@ -38,12 +38,17 @@ object Dedup {
     */
   private val heavyCaches = scala.collection.concurrent.TrieMap
     .empty[org.apache.spark.sql.SparkSession, List[DataFrame]]
-  private def persistHeavy(df: DataFrame): DataFrame = {
+  private def persistHeavy(df: DataFrame,
+      freshScope: Boolean = true): DataFrame = {
     heavyCaches.filterInPlace((k, _) => !k.sparkContext.isStopped)
-    heavyCaches.getOrElse(df.sparkSession, Nil)
-      .foreach(_.unpersist(blocking = false))
+    val prev =
+      if (freshScope) {
+        heavyCaches.getOrElse(df.sparkSession, Nil)
+          .foreach(_.unpersist(blocking = false))
+        Nil
+      } else heavyCaches.getOrElse(df.sparkSession, Nil)
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    heavyCaches.update(df.sparkSession, List(p))
+    heavyCaches.update(df.sparkSession, p :: prev)
     p
   }
 
@@ -142,46 +147,78 @@ object Dedup {
       .distinct()
   }
 
-  /** The full verified near-dup pipeline with ONE featurization pass:
-    * tokens → (band hashes, shingle array) computed in a single scan
-    * and persisted, so LSH candidate generation AND Jaccard
-    * verification read the same materialized feature frame instead of
-    * re-tokenizing the corpus per stage (the feature pass is the
-    * dominant per-row cost; the naive composition pays it 3×: once for
-    * buckets, once per verify side). At 100 TB the persisted frame is
-    * (id, 8 longs, shingle array) — MEMORY_AND_DISK, spillable, read
-    * three times, computed once.
-    * The feature cache is registered with [[persistHeavy]]: it lives
-    * until the next near-dup call on the same session, keeping the
-    * result fully lazy (downstream filters push into the pairing join).
+  /** The full verified near-dup pipeline, exact-dedup FIRST (the
+    * canonical order): documents are grouped by their token-normalized
+    * content, near-dup discovery (minhash → LSH buckets → Jaccard
+    * verify) runs on ONE representative per distinct content, and the
+    * full pair list is reconstructed afterwards — intra-group pairs
+    * are exact duplicates (Jaccard 1 by construction, no computation),
+    * cross-group pairs expand each verified representative pair over
+    * both groups' members. On a twin-dense corpus (re-crawls, mirrors,
+    * boilerplate) this cuts featurization and verification from
+    * O(docs) / O(member pairs) to O(distinct contents) /
+    * O(rep pairs), and duplicate piles can no longer blow an LSH
+    * bucket past its cap (a 10k-twin pile is one rep, not one bucket).
+    *
+    * Featurization of the reps is one scan (tokens → band hashes +
+    * shingles, see object doc); both heavy frames ride
+    * [[persistHeavy]] — lazy, released when the next near-dup call
+    * starts.
     */
   def nearDupPairsVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 10000, minJaccard: Double = 0.8): DataFrame = {
+    // 1) exact-dedup on token-normalized content; gid = min member id
+    val grouped = persistHeavy(
+      spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("__key",
+          concat_ws(" ", TextAnalysis.wsTokens(col("text"))))
+        .withColumn("gid", min(col("id")).over(Window.partitionBy("__key"))))
+    val members = grouped.select(col("id"), col("gid"))
+    // 2) featurize representatives only
     val feat = persistHeavy(
-      spread(df).select(col(idCol).as("id"),
-          TextAnalysis.wsTokens(col(textCol)).as("__w"))
-        .select(col("id"),
+      grouped.filter(col("id") === col("gid"))
+        .select(col("gid"), TextAnalysis.wsTokens(col("text")).as("__w"))
+        .select(col("gid"),
           graft.functions.MinHashExprs.minhashBandHashes(
             col("__w"), n, numHashes, bands).as("__bands"),
-          TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh")))
+          TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh")),
+      freshScope = false)
+    // 3) LSH candidates over representatives (capped buckets)
     val sized = feat
-      .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bucket")))
+      .select(col("gid"), posexplode(col("__bands")).as(Seq("band", "bucket")))
       .withColumn("__bsz", count(lit(1)).over(
         Window.partitionBy("band", "bucket")))
     val buckets = sized.filter(col("__bsz") <= maxBucketSize).drop("__bsz")
-    val pairs = buckets.as("a").join(buckets.as("b"),
+    val repPairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
       .distinct()
-    pairs
-      .join(feat.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(feat.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    // 4) exact Jaccard verify, once per representative pair
+    val verified = repPairs
+      .join(feat.select(col("gid").as("ga"), col("sh").as("sh_a")), "ga")
+      .join(feat.select(col("gid").as("gb"), col("sh").as("sh_b")), "gb")
+      .select(col("ga"), col("gb"),
         round(jaccardFromShingles(col("sh_a"), col("sh_b")), 6).as("jacc"))
       .filter(col("jacc") >= minJaccard)
+    // 5) expand back to member pairs.
+    //    intra-group: every member pair of a multi-doc group is an
+    //    exact dup — Jaccard 1.0, except degenerate sub-n-token docs
+    //    (empty shingle set ⇒ Jaccard 0 by convention ⇒ not a pair)
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.gid") === col("m2.gid") && col("m1.id") < col("m2.id"))
+      .select(col("m1.gid").as("gid"),
+        col("m1.id").as("id_a"), col("m2.id").as("id_b"))
+      .join(feat.filter(size(col("sh")) > 0).select(col("gid")), "gid")
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jacc"))
+    val cross = verified
+      .join(members.select(col("gid").as("ga"), col("id").as("ia")), "ga")
+      .join(members.select(col("gid").as("gb"), col("id").as("ib")), "gb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jacc"))
+    intra.unionAll(cross)
   }
 
   /** Exact n-gram Jaccard over two MATERIALIZED shingle-array columns —
