@@ -66,30 +66,56 @@ object Similarity {
     *
     * Adversarial-skew guard (same shape as
     * [[Dedup.minhashCandidatePairs]]): the self-join is quadratic in
-    * block size, so one hot blocking key (a boilerplate cluster, a
-    * default label) would dominate the whole job at 100 TB. Blocks
-    * above `maxBlockSize` are excluded from pairing — an oversize
-    * block means the blocking key is too coarse for pairwise scoring
-    * and should be split (finer LSH) or exact-deduped first. The size
+    * DISTINCT vectors per block (identical vectors are deduped first
+    * and only expand the output), so one hot blocking key (a
+    * boilerplate cluster, a default label) would dominate the whole
+    * job at 100 TB. Blocks above `maxBlockSize` distinct vectors are
+    * excluded from pairing — an oversize block means the blocking key
+    * is too coarse for pairwise scoring and should be split (finer
+    * LSH — see SimilaritySpec's srpBucket-blocking test). The size
     * count rides the same shuffle partitioning the join needs.
     */
   def blockedNearDupPairs(corpus: DataFrame, embCol: String, idCol: String,
       blockCol: String, threshold: Double,
       maxBlockSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val v = toDouble(col(embCol))
-    val withNorm = corpus
+    // identical-vector dedup first (same canonical order as
+    // Dedup.nearDupPairsVerified): score once per distinct vector pair,
+    // expand to members after. Re-crawled/mirrored corpora carry many
+    // bit-identical embeddings; without this they multiply the
+    // quadratic pairing, with it they only multiply the OUTPUT. The
+    // block-size cap therefore guards the real quadratic driver —
+    // DISTINCT vectors per block.
+    val grouped = corpus
       .select(col(idCol).as("id"), col(blockCol).as("blk"), v.as("v"))
-      .select(col("id"), col("blk"), col("v"), norm(col("v")).as("nrm"))
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+      .withColumn("gid", min(col("id")).over(
+        Window.partitionBy(col("blk"), col("v"))))
+    val members = grouped.select(col("id"), col("gid"))
+    val reps = grouped.filter(col("id") === col("gid"))
+      .select(col("gid"), col("blk"), col("v"), norm(col("v")).as("nrm"))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("blk")))
       .filter(col("__bsz") <= maxBlockSize).drop("__bsz")
-    val a = withNorm.as("a")
-    val b = withNorm.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    val intra = reps
+      .select(col("gid"),
+        round(dot(col("v"), col("v")) / (col("nrm") * col("nrm")), 6)
+          .as("score"))
+      .join(members.select(col("gid"), col("id").as("ia")), "gid")
+      .join(members.select(col("gid"), col("id").as("ib")), "gid")
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("score"))
+    val repPairs = reps.as("a").join(reps.as("b"),
+        col("a.blk") === col("b.blk") && col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
           .as("score"))
       .filter(col("score") >= threshold)
+    val cross = repPairs
+      .join(members.select(col("gid").as("ga"), col("id").as("ia")), "ga")
+      .join(members.select(col("gid").as("gb"), col("id").as("ib")), "gb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("score"))
+    intra.filter(col("score") >= threshold).unionAll(cross)
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN

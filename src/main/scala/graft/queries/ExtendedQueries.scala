@@ -303,20 +303,22 @@ object ExtendedQueries {
     // the block key; at scale an LSH bucket id). Oracle-checked: the
     // DuckDB twin scores the identical pair set with
     // list_cosine_similarity, INCLUDING the operator's block-size cap
-    // (blocks over 10000 rows are excluded from pairing on both sides,
-    // so the oracle stays faithful at any scale, not just below the
-    // cap).
+    // — which counts DISTINCT vectors per block (identical vectors
+    // dedup before the quadratic pairing), so the oracle stays
+    // faithful at any scale, not just below the cap.
     Query("q39_embed_neardup", Some(
-      """WITH sized AS (
-        |  SELECT vec_id, embedding, label,
-        |    COUNT(*) OVER (PARTITION BY label) AS bsz FROM embeddings)
+      """WITH bs AS (
+        |  SELECT label, COUNT(DISTINCT embedding) AS nreps
+        |  FROM embeddings GROUP BY label),
+        |ok AS (
+        |  SELECT e.vec_id, e.embedding, e.label FROM embeddings e
+        |  JOIN bs USING (label) WHERE bs.nreps <= 10000)
         |SELECT id_a, id_b, score FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |      CAST(b.embedding AS DOUBLE[])), 6) AS score
-        |  FROM sized a JOIN sized b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE a.bsz <= 10000)
+        |  FROM ok a JOIN ok b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE score >= 0.35 ORDER BY id_a, id_b""".stripMargin))(
       (s, dir) =>
         Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "embedding",

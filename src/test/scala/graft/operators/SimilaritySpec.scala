@@ -71,17 +71,28 @@ class SimilaritySpec extends SparkSpec {
       s"IVF overlap with exact top-10 too low: ${(exact & ivf.map(_._1).toSet).size}")
   }
 
-  test("block-size cap excludes hot blocks from quadratic pairing") {
-    // 30 identical vectors under ONE blocking key: the degenerate case
-    // where the self-join would go quadratic on a hot block.
+  test("block-size cap guards distinct vectors; identical piles dedup free") {
+    // 30 IDENTICAL vectors under one blocking key: dedup-first makes
+    // this ONE representative, so the cap never binds and all member
+    // pairs come from cheap expansion (quadratic only in output).
     val hot = spark.range(30).select(col("id").as("vec_id"),
       typedlit(Seq(1.0f, 0.0f, 1.0f)).as("embedding"),
       lit("hot").as("label"))
-    val capped = Similarity.blockedNearDupPairs(hot, "embedding", "vec_id",
+    val pile = Similarity.blockedNearDupPairs(hot, "embedding", "vec_id",
       "label", threshold = 0.0, maxBlockSize = 10)
-    assert(capped.count() == 0, "oversize block must be excluded")
-    val uncapped = Similarity.blockedNearDupPairs(hot, "embedding", "vec_id",
-      "label", threshold = 0.0)
+    assert(pile.count() == 30L * 29 / 2,
+      "an identical-vector pile must dedup to one rep, not hit the cap")
+    assert(pile.filter(col("score") < 0.999999).count() == 0)
+    // 30 DISTINCT vectors under one key: the real quadratic driver —
+    // the cap must exclude the block.
+    val distinctHot = spark.range(30).select(col("id").as("vec_id"),
+      array(col("id").cast("float"), lit(1.0f), lit(0.5f)).as("embedding"),
+      lit("hot").as("label"))
+    val capped = Similarity.blockedNearDupPairs(distinctHot, "embedding",
+      "vec_id", "label", threshold = 0.0, maxBlockSize = 10)
+    assert(capped.count() == 0, "oversize distinct block must be excluded")
+    val uncapped = Similarity.blockedNearDupPairs(distinctHot, "embedding",
+      "vec_id", "label", threshold = 0.0)
     assert(uncapped.count() == 30L * 29 / 2)
   }
 
