@@ -152,12 +152,24 @@ object Similarity {
     ivfTopKWithCentroids(corpus, embCol, idCol, query, k, centroids, nProbe)
   }
 
-  /** Learn `nClusters` k-means centroids over the embedding column. */
+  /** Learn `nClusters` k-means centroids over the embedding column.
+    * Training runs on a deterministic sample capped at `maxTrainRows`:
+    * a coarse quantizer needs only enough points to place `nClusters`
+    * centers well (thousands, not billions) — at 100 TB fitting the
+    * full corpus through 10 MLlib iterations would read it 10×, while
+    * the cell ASSIGNMENT (one codegen'd argmin pass) still covers
+    * every vector at index build.
+    */
   def trainCentroids(corpus: DataFrame, embCol: String, nClusters: Int,
-      seed: Long): Seq[Seq[Double]] = {
+      seed: Long, maxTrainRows: Int = 4096): Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(
+    val n = corpus.count()
+    val sampled =
+      if (n > maxTrainRows)
+        corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+      else corpus
+    val feats = sampled.select(
       array_to_vector(col(embCol).cast("array<double>")).as("features"))
     new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
       .fit(feats).clusterCenters.map(_.toArray.toSeq).toSeq
