@@ -104,6 +104,35 @@ object Multimodal {
     (width, height, feats)
   }
 
+  /** Ingest raw media files from a directory tree via Spark's
+    * `binaryFile` source — the 100 TB ingestion path for image/audio
+    * dumps: each file becomes one row (path, modificationTime, length,
+    * content) read in parallel across input splits, no driver-side
+    * listing loop. Rows are shaped into the media schema: media_id =
+    * a deterministic hash of the path (stable across re-ingests),
+    * kind = from the file extension, meta carries path + mtime.
+    * `pathGlob` prunes at the LISTING level (e.g. `*.png`) — files
+    * that don't match are never opened.
+    */
+  def readMediaDir(spark: SparkSession, dir: String,
+      pathGlob: String = "*"): Dataset[MediaItem] = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val kind = when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
+      .otherwise("binary")
+    asMedia(raw.select(
+      xxhash64(col("path")).as("media_id"),
+      kind.as("kind"),
+      col("content").as("payload"),
+      map(lit("path"), col("path"),
+        lit("mtime"), col("modificationTime").cast("string")).as("meta")))(
+      spark)
+  }
+
   /** Wrap a DataFrame with binary media columns into the typed
     * Dataset. Accepts any source frame with compatible columns.
     */

@@ -103,4 +103,41 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(byId.keys.forall(_ % 3 == 0)) // only the video kind
   }
+
+  test("readMediaDir ingests a directory via binaryFile with glob pruning") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("mediadir")
+    def writePng(name: String, w: Int, h: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      javax.imageio.ImageIO.write(img, "png", dir.resolve(name).toFile)
+    }
+    writePng("a.png", 8, 4)
+    writePng("b.png", 5, 7)
+    java.nio.file.Files.write(dir.resolve("notes.txt"),
+      "not an image".getBytes)
+    try {
+      val all = Multimodal.readMediaDir(spark, dir.toString)
+      assert(all.count() == 3)
+      val kinds = all.collect().map(m =>
+        m.meta("path").split('/').last -> m.kind).toMap
+      assert(kinds("a.png") == "image" && kinds("notes.txt") == "binary")
+
+      // glob prunes at listing level: only the PNGs are read
+      val pngs = Multimodal.readMediaDir(spark, dir.toString, "*.png")
+      val feats = extractFeatures(pngs, dim = 8).collect()
+        .map(f => f.media_id -> ((f.width, f.height))).toMap
+      assert(feats.size == 2)
+      assert(feats.values.toSet == Set((8, 4), (5, 7)))
+      // media ids are stable across re-ingests (path-keyed hash)
+      val again = Multimodal.readMediaDir(spark, dir.toString, "*.png")
+        .collect().map(_.media_id).toSet
+      assert(again == feats.keySet)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
