@@ -134,4 +134,34 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = -1)
     }
   }
+
+  test("nearDupPairsVerified: dedup-first expansion covers all member pairs") {
+    // group A = {1, 4} (identical), group B = {2, 3} (identical,
+    // near-dup of A), group C = {5, 6} (identical but sub-n-token:
+    // no shingles, so NOT pairs despite being exact duplicates —
+    // Jaccard-0-on-empty convention), singleton {7} unrelated.
+    val tA = "the quick brown fox jumps over the lazy dog at dawn today"
+    val tB = "the quick brown fox jumps over the lazy cat at dawn today"
+    val corpus = Seq(
+      (1L, tA), (4L, tA), (2L, tB), (3L, tB),
+      (5L, "one two"), (6L, "one two"),
+      (7L, "completely unrelated content about distributed physical plans")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsVerified(corpus, "doc_id", "text",
+        bands = 16, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // intra: (1,4), (2,3) at 1.0; cross: all A x B member pairs with
+    // ids properly ordered (4 > 2, 3 exercises least/greatest)
+    assert(pairSet == Set((1L, 4L), (2L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 4L)) == 1.0 && byPair((2L, 3L)) == 1.0)
+    // every cross pair carries the one representative Jaccard
+    val crossVals = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .map(byPair).toSet
+    assert(crossVals.size == 1 && crossVals.head >= 0.5 &&
+      crossVals.head < 1.0)
+  }
 }
