@@ -39,7 +39,10 @@ object Dedup {
   private val heavyCaches = scala.collection.concurrent.TrieMap
     .empty[org.apache.spark.sql.SparkSession, List[DataFrame]]
   private def persistHeavy(df: DataFrame,
-      freshScope: Boolean = true): DataFrame = {
+      freshScope: Boolean = true): DataFrame = heavyCaches.synchronized {
+    // synchronized: the read-evict-update sequence must be atomic or
+    // two concurrent calls race on the registry and the loser's frame
+    // stays persisted with no owner — the exact leak this prevents
     heavyCaches.filterInPlace((k, _) => !k.sparkContext.isStopped)
     val prev =
       if (freshScope) {
@@ -168,12 +171,16 @@ object Dedup {
   def nearDupPairsVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 10000, minJaccard: Double = 0.8): DataFrame = {
-    // 1) exact-dedup on token-normalized content; gid = min member id
+    // 1) exact-dedup on token-normalized content; gid = min member id.
+    //    __key is dropped before the persist — it is a second full-
+    //    text-sized copy needed only to compute gid, and caching it
+    //    would double the heavy frame this registry exists to bound
     val grouped = persistHeavy(
       spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
         .withColumn("__key",
           concat_ws(" ", TextAnalysis.wsTokens(col("text"))))
-        .withColumn("gid", min(col("id")).over(Window.partitionBy("__key"))))
+        .withColumn("gid", min(col("id")).over(Window.partitionBy("__key")))
+        .select(col("id"), col("gid"), col("text")))
     val members = grouped.select(col("id"), col("gid"))
     // 2) featurize representatives only
     val feat = persistHeavy(

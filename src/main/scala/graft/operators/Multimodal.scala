@@ -112,12 +112,23 @@ object Multimodal {
     * a deterministic hash of the path (stable across re-ingests),
     * kind = from the file extension, meta carries path + mtime.
     * `pathGlob` prunes at the LISTING level (e.g. `*.png`) — files
-    * that don't match are never opened.
+    * that don't match are never opened. Nested shard layouts (files
+    * under `shard0/`, `shard1/`, ... subdirectories — the normal dump
+    * shape) are walked via `recursiveFileLookup`, not partition
+    * inference.
+    *
+    * media_id is a 64-bit hash of (path, length): stable across
+    * re-ingests of the same file, and the extra length term pushes the
+    * birthday-collision horizon past a path-only hash. As with the
+    * fingerprint operator, collisions are assumed absent at realistic
+    * file counts; pipelines above ~1e8 files should carry `meta.path`
+    * as the true key.
     */
   def readMediaDir(spark: SparkSession, dir: String,
       pathGlob: String = "*"): Dataset[MediaItem] = {
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", pathGlob)
+      .option("recursiveFileLookup", "true")
       .load(dir)
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     val kind = when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
@@ -125,7 +136,7 @@ object Multimodal {
       .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
       .otherwise("binary")
     asMedia(raw.select(
-      xxhash64(col("path")).as("media_id"),
+      xxhash64(col("path"), col("length")).as("media_id"),
       kind.as("kind"),
       col("content").as("payload"),
       map(lit("path"), col("path"),

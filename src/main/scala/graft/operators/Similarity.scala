@@ -164,15 +164,27 @@ object Similarity {
       seed: Long, maxTrainRows: Int = 4096): Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val n = corpus.count()
-    val sampled =
-      if (n > maxTrainRows)
-        corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-      else corpus
-    val feats = sampled.select(
+    // "is it big?" is probed with a BOUNDED count (limit reads at most
+    // maxTrainRows + 1 rows — never a full corpus scan just to size a
+    // fraction). Small corpora train as-is; larger ones take a
+    // deterministic pseudo-random sample: order by a seeded hash of
+    // the vector, take the first maxTrainRows — plans as
+    // TakeOrderedAndProject (bounded per-partition heap + driver
+    // merge), one pass, no shuffle, hash order approximating an
+    // unbiased permutation
+    val feats = corpus.select(
       array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val sampled =
+      if (corpus.limit(maxTrainRows + 1).count() <= maxTrainRows) feats
+      else corpus
+        .select(array_to_vector(col(embCol).cast("array<double>"))
+          .as("features"),
+          xxhash64(col(embCol), lit(seed)).as("__h"))
+        .orderBy(col("__h"))
+        .limit(maxTrainRows)
+        .select(col("features"))
     new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
-      .fit(feats).clusterCenters.map(_.toArray.toSeq).toSeq
+      .fit(sampled).clusterCenters.map(_.toArray.toSeq).toSeq
   }
 
   private def ivfTopKWithCentroids(corpus: DataFrame, embCol: String,

@@ -368,8 +368,13 @@ object ExtendedQueries {
     // stream state), then aggregated per segment. The same operator
     // runs on readStream input (EventStreamSpec drives it with
     // MemoryStream); this batch twin is the oracle-checkable form.
+    // Unmatched keys survive the left join as NULL segment; both
+    // sides coalesce to a sentinel (the q45 convention) because Spark
+    // sorts NULLS FIRST and DuckDB NULLS LAST — latent today (every
+    // user_id matches), divergent the day one doesn't.
     Query("q57_stream_enrich", Some(
-      """SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt,
+      """SELECT COALESCE(c.c_mktsegment, '<none>') AS segment,
+        |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY segment ORDER BY segment""".stripMargin))(
@@ -378,10 +383,9 @@ object ExtendedQueries {
             t(s, dir, "events").select("user_id", "value"),
             t(s, dir, "customer"), "user_id", "c_custkey",
             Seq("c_mktsegment"))
-          .groupBy(col("c_mktsegment"))
+          .groupBy(coalesce(col("c_mktsegment"), lit("<none>"))
+            .as("segment"))
           .agg(count(lit(1)).as("cnt"), dsumq(col("value")).as("sum_val"))
-          .select(col("c_mktsegment").as("segment"), col("cnt"),
-            col("sum_val"))
           .orderBy("segment")),
 
     // IVF-cell-restricted approximate top-k — the second ANN scale

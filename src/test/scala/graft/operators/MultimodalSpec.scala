@@ -110,10 +110,12 @@ class MultimodalSpec extends SparkSpec {
     def writePng(name: String, w: Int, h: Int): Unit = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
-      javax.imageio.ImageIO.write(img, "png", dir.resolve(name).toFile)
+      val f = dir.resolve(name)
+      java.nio.file.Files.createDirectories(f.getParent)
+      javax.imageio.ImageIO.write(img, "png", f.toFile)
     }
     writePng("a.png", 8, 4)
-    writePng("b.png", 5, 7)
+    writePng("shard1/b.png", 5, 7) // nested: recursiveFileLookup path
     java.nio.file.Files.write(dir.resolve("notes.txt"),
       "not an image".getBytes)
     try {
