@@ -267,6 +267,13 @@ object Dedup {
     * agree exactly on at least one chunk, so candidates come from ONE
     * shuffle on (chunk_idx, chunk_value) and only candidates pay the
     * hamming check. Never corpus×corpus.
+    *
+    * Exact-dedup FIRST, like [[nearDupPairsVerified]]: identical
+    * (case/whitespace-normalized) docs share a fingerprint, so the
+    * pigeonhole join runs on one representative per distinct content
+    * (a twin pile can't flood a chunk bucket) and member pairs are
+    * reconstructed afterwards — intra-group at hamming 0 by
+    * construction, cross-group carrying the representative distance.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -279,23 +286,38 @@ object Dedup {
     val width = 64 / chunks
     // Java shifts are mod 64: 1L << 64 wraps to 1, making the mask 0.
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    // persist: the self-join references this frame twice — without it
-    // each side re-scans the corpus and re-hashes every token.
-    // persistHeavy-registered (lazy; released by the next near-dup call)
-    val sims = simhashes(df, idCol, textCol).withColumnRenamed(idCol, "id")
-    val chunked = persistHeavy(sims.select(col("id"), col("simhash"),
+    val grouped = persistHeavy(
+      spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("__key",
+          concat_ws(" ", TextAnalysis.wsTokens(lower(col("text")))))
+        .withColumn("gid", min(col("id")).over(Window.partitionBy("__key")))
+        .select(col("id"), col("gid"), col("text")))
+    val members = grouped.select(col("id"), col("gid"))
+    // fingerprint + chunk keys for representatives only; persisted —
+    // the pairing self-join reads it twice
+    val sims = simhashes(grouped.filter(col("id") === col("gid"))
+      .select(col("gid"), col("text")), "gid", "text")
+    val chunked = persistHeavy(sims.select(col("gid"), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("chunk_idx", "chunk_val"))))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b,
+      }: _*)).as(Seq("chunk_idx", "chunk_val"))), freshScope = false)
+    val repPairs = chunked.as("a").join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
         hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.gid") === col("m2.gid") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(0).as("hamming"))
+    val cross = repPairs
+      .join(members.select(col("gid").as("ga"), col("id").as("ia")), "ga")
+      .join(members.select(col("gid").as("gb"), col("id").as("ib")), "gb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    intra.unionAll(cross)
   }
 }
