@@ -60,6 +60,24 @@ object EventStream {
       events(eventKey) === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Append-mode partitioned parquet sink for a streaming frame — the
+    * durable end of the stream path: finalized rows (e.g. closed
+    * windows from [[windowedStats]], whose watermark makes append mode
+    * legal) land as parquet under one directory per partition-column
+    * value, exactly the [[graft.sources.Layout]] shape batch queries
+    * partition-prune against. Checkpointing makes the sink
+    * exactly-once across restarts.
+    */
+  def toPartitionedParquet(df: DataFrame, path: String, checkpoint: String,
+      partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Inactivity-gap sessionization via flatMapGroupsWithState: a
     * session closes when a user is silent for `gap`. Event-time
     * processing with per-group state — the canonical custom-state

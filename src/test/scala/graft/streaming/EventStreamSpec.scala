@@ -138,4 +138,44 @@ class EventStreamSpec extends SparkSpec {
       assert(out == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
     } finally q.stop()
   }
+
+  test("windowed stats stream to a partitioned parquet sink, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("stream_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt")
+    val mem = MemoryStream[Event]
+    val q = toPartitionedParquet(
+      windowedStats(mem.toDF(), "1 hour", "1 hour"),
+      out.toString, ckpt.toString, Seq("event_type"))
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(30), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 so its windows finalize
+      mem.addData(Event(9, ts(600), 3, "late", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(1200), 3, "later", 0.0))
+      q.processAllAvailable()
+      // directory-per-value layout + finalized hour-0 rows present
+      val clickDir = out.resolve("event_type=click")
+      assert(java.nio.file.Files.isDirectory(clickDir),
+        s"expected partition dir $clickDir")
+      val rows = spark.read.parquet(out.toString)
+        .select("event_type", "cnt", "sum_val")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 3.0)))
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      Seq(out, ckpt).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }
