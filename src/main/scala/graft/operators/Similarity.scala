@@ -210,6 +210,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN join: top-k corpus neighbors for EVERY query vector at
+    * once. The query set is bounded (broadcast); scoring is one
+    * codegen'd pass over corpus × queries (BroadcastNestedLoopJoin —
+    * never a shuffled cartesian), and per-query top-k uses the
+    * bounded-heap [[graft.functions.TopKAgg]] aggregate, so each
+    * partition ships at most k candidates per query into the final
+    * merge — the grouped generalization of TakeOrderedAndProject. The
+    * window form (`row_number ≤ k`) would shuffle every scored row.
+    * Output: (qid, id, score), k rows per query.
+    */
+  def knnJoin(corpus: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, queryEmbCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.TopKAgg
+    val q = broadcast(queries.select(col(queryIdCol).as("qid"),
+      toDouble(col(queryEmbCol)).as("qv"))
+      .select(col("qid"), col("qv"), norm(col("qv")).as("qn")))
+    val scored = corpus
+      .select(col(idCol).as("id"), toDouble(col(embCol)).as("v"))
+      .select(col("id"), col("v"), norm(col("v")).as("vn"))
+      .crossJoin(q)
+      .select(col("qid"), col("id"),
+        round(dot(col("v"), col("qv")) / (col("vn") * col("qn")), 6)
+          .as("score"))
+    scored.groupBy("qid")
+      .agg(TopKAgg.topK(k)(col("id"), col("score")).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.id").as(idCol), col("s.score").as("score"))
+  }
+
   /** Deterministic random-hyperplane family for LSH bucketing: `p`
     * signed planes over `dims` dimensions, seeded — the same family on
     * every executor and every run.

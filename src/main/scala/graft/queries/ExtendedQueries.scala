@@ -500,6 +500,31 @@ object ExtendedQueries {
         Similarity.ivfTopKIndexed(s, ivfIndexPath(s, dir), "embedding",
           "vec_id", queryVec(s, dir), k = 10, nProbe = 4)),
 
+    // Batch kNN join: top-5 neighbors for each of three query vectors
+    // in one pass, per-query top-k via the bounded-heap aggregator
+    // (map-side partial — see Similarity.knnJoin). Oracle: DuckDB
+    // ranks the exact same scored cross product per query.
+    Query("q58_knn_join", Some(
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |      q.qv), 6) AS score
+        |  FROM embeddings v CROSS JOIN q)
+        |SELECT qid, vec_id, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, score DESC, vec_id""".stripMargin))(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnJoin(emb, "embedding", "vec_id",
+            emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 5)
+          .orderBy(col("qid"), col("score").desc, col("vec_id"))
+      }),
+
     // Approximate distinct (HLL++) — the cardinality-estimation
     // primitive distinct-value extraction needs at 100 TB (exact
     // distinct shuffles every value; the sketch is mergeable and

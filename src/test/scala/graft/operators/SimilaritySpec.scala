@@ -163,4 +163,35 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("knnJoin: per-query top-k matches per-query brute force") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.knnJoin(emb, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 4)
+      .orderBy(col("qid"), col("score").desc, col("vec_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 12)
+    // each query's slice equals its own brute-force top-k
+    (0L until 3L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val bf = Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, 4)
+        .as[(Long, Double)].collect().toSeq
+      val slice = got.filter(_._1 == qid).map(t => (t._2, t._3))
+      assert(slice.map(_._1) == bf.map(_._1), s"qid=$qid ids diverge")
+      // scores agree to rounding (knnJoin divides by both norms;
+      // bruteForceTopK pre-normalizes the query on the driver)
+      slice.zip(bf).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 2e-6, s"qid=$qid score $a vs $b") }
+    }
+    // the aggregation is partial+final (bounded map-side heaps), not a
+    // full shuffle of every scored row through a window
+    val plan = Similarity.knnJoin(emb, "embedding", "vec_id",
+      queries, "embedding", "vec_id", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk") ||
+      plan.toLowerCase.contains("objecthashaggregate"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
