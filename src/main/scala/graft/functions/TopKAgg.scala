@@ -21,21 +21,31 @@ object TopKAgg {
 
   final case class ScoredId(id: Long, score: Double)
 
+  // + 0.0 canonicalizes -0.0 so the tie falls to the id (SQL treats
+  // -0.0 == 0.0; Scala's TotalOrdering does not). Scores are required
+  // FINITE at the operator boundary (knnJoin drops null/NaN rows) —
+  // Scala's NaN total order is the reverse of SQL's NaN-first DESC,
+  // so letting NaN in here would silently diverge from the oracle.
   private val ord: Ordering[ScoredId] =
-    Ordering.by((s: ScoredId) => (-s.score, s.id))
+    Ordering.by((s: ScoredId) => (-(s.score + 0.0), s.id))
 
   final class TopK(k: Int)
       extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
     require(k > 0, s"k must be positive, got $k")
     override def zero: Seq[ScoredId] = Nil
+    // buffer invariant: sorted by `ord`, size ≤ k
     override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
-      // buffer stays sorted and ≤ k; the common no-op case (full
-      // buffer, candidate worse than the current k-th) is O(1)
+      // common no-op case (full buffer, candidate no better than the
+      // current k-th) is O(1); otherwise one O(k) sorted insertion
       if (b.size >= k && ord.gteq(a, b.last)) b
-      else ((b :+ a).sorted(ord)).take(k)
+      else {
+        val (better, worse) = b.span(x => ord.lteq(x, a))
+        ((better :+ a) ++ worse).take(k)
+      }
     override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] =
+      // merge of two sorted runs, O(k)
       (x ++ y).sorted(ord).take(k)
-    override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r.sorted(ord)
+    override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r // sorted already
     override def bufferEncoder: Encoder[Seq[ScoredId]] =
       ExpressionEncoder[Seq[ScoredId]]()
     override def outputEncoder: Encoder[Seq[ScoredId]] =

@@ -55,6 +55,41 @@ object Dedup {
     p
   }
 
+  /** Exact-dedup grouping for the dedup-first near-dup pipelines:
+    * one persisted (id, gid, text) frame where gid = min member id per
+    * `keyExpr` (a normalization of `text`). Members are all rows; the
+    * representatives are the rows with id == gid. Shared by the
+    * minhash, simhash, and (shape-wise) embedding pipelines so the
+    * grouping/expansion invariants live in ONE place.
+    */
+  private[operators] def exactGroups(df: DataFrame, idCol: String,
+      textCol: String, keyExpr: Column): DataFrame = persistHeavy(
+    spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("__key", keyExpr)
+      .withColumn("gid", min(col("id")).over(Window.partitionBy("__key")))
+      .select(col("id"), col("gid"), col("text")))
+
+  /** All (id_a < id_b) member pairs within each group, tagged with gid
+    * so callers can join per-group values (or filters) onto them.
+    */
+  private[operators] def intraPairs(members: DataFrame): DataFrame =
+    members.as("m1").join(members.as("m2"),
+        col("m1.gid") === col("m2.gid") && col("m1.id") < col("m2.id"))
+      .select(col("m1.gid").as("gid"),
+        col("m1.id").as("id_a"), col("m2.id").as("id_b"))
+
+  /** Expand verified representative pairs (ga, gb, values...) over
+    * both groups' members, restoring (id_a < id_b) ordering — member
+    * ids interleave across groups, so least/greatest, not m1/m2 order.
+    */
+  private[operators] def expandCross(repPairs: DataFrame, members: DataFrame,
+      valueCols: Seq[String]): DataFrame =
+    repPairs
+      .join(members.select(col("gid").as("ga"), col("id").as("ia")), "ga")
+      .join(members.select(col("gid").as("gb"), col("id").as("ib")), "gb")
+      .select(least(col("ia"), col("ib")).as("id_a") +:
+        greatest(col("ia"), col("ib")).as("id_b") +: valueCols.map(col): _*)
+
   /** Spread a frame to full cluster parallelism BEFORE per-row
     * featurization (tokenize → 32 minhash slots → shingles), which is
     * the CPU-bound cost of every near-dup operator. A small corpus
@@ -171,16 +206,9 @@ object Dedup {
   def nearDupPairsVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 10000, minJaccard: Double = 0.8): DataFrame = {
-    // 1) exact-dedup on token-normalized content; gid = min member id.
-    //    __key is dropped before the persist — it is a second full-
-    //    text-sized copy needed only to compute gid, and caching it
-    //    would double the heavy frame this registry exists to bound
-    val grouped = persistHeavy(
-      spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
-        .withColumn("__key",
-          concat_ws(" ", TextAnalysis.wsTokens(col("text"))))
-        .withColumn("gid", min(col("id")).over(Window.partitionBy("__key")))
-        .select(col("id"), col("gid"), col("text")))
+    // 1) exact-dedup on token-normalized content; gid = min member id
+    val grouped = exactGroups(df, idCol, textCol,
+      concat_ws(" ", TextAnalysis.wsTokens(col("text"))))
     val members = grouped.select(col("id"), col("gid"))
     // 2) featurize representatives only
     val feat = persistHeavy(
@@ -214,18 +242,10 @@ object Dedup {
     //    intra-group: every member pair of a multi-doc group is an
     //    exact dup — Jaccard 1.0, except degenerate sub-n-token docs
     //    (empty shingle set ⇒ Jaccard 0 by convention ⇒ not a pair)
-    val intra = members.as("m1").join(members.as("m2"),
-        col("m1.gid") === col("m2.gid") && col("m1.id") < col("m2.id"))
-      .select(col("m1.gid").as("gid"),
-        col("m1.id").as("id_a"), col("m2.id").as("id_b"))
+    val intra = intraPairs(members)
       .join(feat.filter(size(col("sh")) > 0).select(col("gid")), "gid")
       .select(col("id_a"), col("id_b"), lit(1.0).as("jacc"))
-    val cross = verified
-      .join(members.select(col("gid").as("ga"), col("id").as("ia")), "ga")
-      .join(members.select(col("gid").as("gb"), col("id").as("ib")), "gb")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("jacc"))
-    intra.unionAll(cross)
+    intra.unionAll(expandCross(verified, members, Seq("jacc")))
   }
 
   /** Exact n-gram Jaccard over two MATERIALIZED shingle-array columns —
@@ -286,12 +306,8 @@ object Dedup {
     val width = 64 / chunks
     // Java shifts are mod 64: 1L << 64 wraps to 1, making the mask 0.
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    val grouped = persistHeavy(
-      spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
-        .withColumn("__key",
-          concat_ws(" ", TextAnalysis.wsTokens(lower(col("text")))))
-        .withColumn("gid", min(col("id")).over(Window.partitionBy("__key")))
-        .select(col("id"), col("gid"), col("text")))
+    val grouped = exactGroups(df, idCol, textCol,
+      concat_ws(" ", TextAnalysis.wsTokens(lower(col("text")))))
     val members = grouped.select(col("id"), col("gid"))
     // fingerprint + chunk keys for representatives only; persisted —
     // the pairing self-join reads it twice
@@ -309,15 +325,11 @@ object Dedup {
         hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    val intra = members.as("m1").join(members.as("m2"),
-        col("m1.gid") === col("m2.gid") && col("m1.id") < col("m2.id"))
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
-        lit(0).as("hamming"))
-    val cross = repPairs
-      .join(members.select(col("gid").as("ga"), col("id").as("ia")), "ga")
-      .join(members.select(col("gid").as("gb"), col("id").as("ib")), "gb")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
-    intra.unionAll(cross)
+    val intra = intraPairs(members)
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    // terminal distinct preserves the original contract: duplicate
+    // input ROWS (same id + text twice) must not inflate pair counts
+    intra.unionAll(expandCross(repPairs, members, Seq("hamming")))
+      .distinct()
   }
 }

@@ -96,26 +96,21 @@ object Similarity {
       .select(col("gid"), col("blk"), col("v"), norm(col("v")).as("nrm"))
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("blk")))
       .filter(col("__bsz") <= maxBlockSize).drop("__bsz")
-    val intra = reps
-      .select(col("gid"),
+    // join against the CAP-FILTERED reps: an excluded block loses its
+    // identical pairs too, matching the oracle's whole-block exclusion
+    val intra = Dedup.intraPairs(members)
+      .join(reps.select(col("gid"),
         round(dot(col("v"), col("v")) / (col("nrm") * col("nrm")), 6)
-          .as("score"))
-      .join(members.select(col("gid"), col("id").as("ia")), "gid")
-      .join(members.select(col("gid"), col("id").as("ib")), "gid")
-      .filter(col("ia") < col("ib"))
-      .select(col("ia").as("id_a"), col("ib").as("id_b"), col("score"))
+          .as("score")), "gid")
+      .select(col("id_a"), col("id_b"), col("score"))
     val repPairs = reps.as("a").join(reps.as("b"),
         col("a.blk") === col("b.blk") && col("a.gid") < col("b.gid"))
       .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
           .as("score"))
       .filter(col("score") >= threshold)
-    val cross = repPairs
-      .join(members.select(col("gid").as("ga"), col("id").as("ia")), "ga")
-      .join(members.select(col("gid").as("gb"), col("id").as("ib")), "gb")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("score"))
-    intra.filter(col("score") >= threshold).unionAll(cross)
+    intra.filter(col("score") >= threshold)
+      .unionAll(Dedup.expandCross(repPairs, members, Seq("score")))
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN
@@ -234,6 +229,11 @@ object Similarity {
       .select(col("qid"), col("id"),
         round(dot(col("v"), col("qv")) / (col("vn") * col("qn")), 6)
           .as("score"))
+      // rows with undefined similarity (null embedding, zero norm) are
+      // DROPPED, not ranked: the heap's ordering contract requires
+      // finite scores (see TopKAgg), and "no similarity" is the honest
+      // reading of a degenerate vector
+      .filter(col("score").isNotNull && !isnan(col("score")))
     scored.groupBy("qid")
       .agg(TopKAgg.topK(k)(col("id"), col("score")).as("top"))
       .select(col("qid"), explode(col("top")).as("s"))
