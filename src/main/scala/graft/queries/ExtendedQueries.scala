@@ -128,7 +128,11 @@ object ExtendedQueries {
     // LSH, verified with exact 3-gram Jaccard. Oracle: DuckDB computes
     // the EXACT all-pairs word-3-gram Jaccard (affordable at verify
     // scale) — a hash match proves the LSH path has perfect recall AND
-    // perfect precision vs the exact O(n²) definition at this sf.
+    // perfect precision vs the exact O(n²) definition at this sf. The
+    // join carries a provably-safe size prefilter: J(A,B) ≥ τ implies
+    // |A∩B| ≥ τ(|A|+|B|)/(1+τ) and |A∩B| ≤ min, so min ≥ τ·max —
+    // pairs failing the length ratio can't reach the threshold and
+    // skip the intersection entirely.
     Query("q32_minhash_pairs", Some(
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -139,13 +143,15 @@ object ExtendedQueries {
         |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                   FOR i IN generate_series(1, len(toks) - 2)]) AS sh
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |        FROM corpus))
+        |        FROM corpus)),
+        |sized AS (SELECT doc_id, sh, len(sh) AS ln FROM sh)
         |SELECT id_a, id_b, jacc FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-        |      6) AS jacc
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |      / (a.ln + b.ln - len(list_intersect(a.sh, b.sh))), 6) AS jacc
+        |  FROM sized a JOIN sized b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(a.ln, b.ln) >= 0.8 * greatest(a.ln, b.ln))
         |WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin))(
       (s, dir) => {
         val d = t(s, dir, "documents").select("doc_id", "text")
