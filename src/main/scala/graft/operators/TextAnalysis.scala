@@ -135,6 +135,17 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, EmailPattern, token),
       PhonePattern, token)
 
+  /** URL and registrable-domain extraction — the keys for domain-level
+    * curation (per-domain quality priors, domain blocklists, domain
+    * dedup). Pattern stays in the Java/RE2-shared subset like
+    * [[scrubPii]]; `extractDomain` returns the first URL's host,
+    * lowercased, empty string when the text carries no URL.
+    */
+  val UrlPattern = "(?i)https?://[A-Za-z0-9.-]+(/[^\\s]*)?"
+  val HostPattern = "(?i)https?://([A-Za-z0-9.-]+)"
+  def extractDomain(text: Column): Column =
+    lower(regexp_extract(text, HostPattern, 1))
+
   /** Per-document n-gram repetition statistics — the Gopher-style
     * repetition quality signals (most-common-n-gram fraction,
     * duplicated-n-gram fraction) that gate boilerplate/spam out of

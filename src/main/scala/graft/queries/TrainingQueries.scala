@@ -160,6 +160,26 @@ object TrainingQueries {
             round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
           .orderBy("source")),
 
+    // Domain extraction + per-domain doc counts over deterministically
+    // planted URLs (the corpus is synthetic and URL-free, so both
+    // engines append the same source-derived URL first — the q55
+    // pattern): the keys for domain-level quality priors/blocklists.
+    Query("q59_domains", Some(
+      """SELECT lower(regexp_extract(
+        |    text || ' via https://cdn.' || source || '.example.org/d/'
+        |      || doc_id,
+        |    '(?i)https?://([A-Za-z0-9.-]+)', 1)) AS domain,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY domain ORDER BY domain""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(TextAnalysis.extractDomain(
+            concat(col("text"), lit(" via https://cdn."), col("source"),
+              lit(".example.org/d/"), col("doc_id"))).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("domain")),
+
     // Sequence packing: per-source contiguous fill into 512-token
     // bins; pack_id = the bin the document STARTS in. One shuffle on
     // source; the running total is a bounded per-group window.

@@ -58,4 +58,16 @@ class TextAnalysisSpec extends SparkSpec {
     // this, is, a, of, the → 5 of 8
     assert(math.abs(r.getAs[Double]("stop_ratio") - 5.0 / 8) < 1e-6)
   }
+
+  test("extractDomain: first host, lowercased, empty when no URL") {
+    import spark.implicits._
+    val r = Seq(
+      ("docs at HTTPS://CDN.Example.ORG/x and http://b.net later", "cdn.example.org"),
+      ("plain http://sub.domain-x.co.uk/path?q=1", "sub.domain-x.co.uk"),
+      ("no links here at all", "")
+    ).toDF("text", "want")
+      .select(TextAnalysis.extractDomain(col("text")).as("got"), col("want"))
+      .as[(String, String)].collect()
+    r.foreach { case (got, want) => assert(got == want) }
+  }
 }
