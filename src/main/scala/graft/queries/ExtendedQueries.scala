@@ -396,10 +396,11 @@ object ExtendedQueries {
 
     // IVF-cell-restricted approximate top-k — the second ANN scale
     // path (sampled coarse centroids; probe the 4 nearest of 16
-    // cells). Oracle: DuckDB's EXACT brute-force top-10 — at verify
-    // scale the probed cells deterministically contain the entire true
-    // top-10 (recall 1.0, seeded assignment), so the approximate
-    // result must hash-match the exact one.
+    // cells). Oracle: DuckDB's EXACT brute-force top-10 — a property
+    // OF THE VERIFY SCALE (sf0.01), where the probed cells
+    // deterministically contain the entire true top-10; at 10× the
+    // corpus the same probes recall 7-9/10 (approximate by design —
+    // measured in SCALE.md; recall floor pinned by SimilaritySpec).
     Query("q43_ann_ivf", Some(
       """SELECT v.vec_id,
         |  ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
@@ -494,8 +495,8 @@ object ExtendedQueries {
     // ANN probe against the PERSISTED IVF index: k-means cells as the
     // partition column, centroids stored beside the data; probing the
     // 4 nearest of 16 cells scans only those directories. Same exact
-    // top-10 oracle as q43: the trained cells probed at verify scale
-    // contain the full true top-10, so approximate == exact.
+    // top-10 oracle as q43, with the same scale caveat: equality holds
+    // at the verify scale; above it the probe is honestly approximate.
     Query("q49_ann_ivf_indexed", Some(
       """SELECT v.vec_id,
         |  ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
