@@ -80,6 +80,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1000))
   }
 
+  test("stream enrichment broadcasts the dimension (q57)") {
+    val p = plan("q57_stream_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("domain extraction aggregates partially before its one shuffle (q59)") {
+    val p = plan("q59_domains")
+    assert(p.contains("partial_count"), p.take(800))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
