@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtendedQueries, Query, TrainingQueries}
+import graft.queries.{CoreQueries, ExtendedQueries, Query, TemporalQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
     * operators), in registration order.
     */
   def allQueries: Seq[Query] =
-    CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all
+    CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all ++
+      TemporalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

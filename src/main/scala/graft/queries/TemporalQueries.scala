@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Temporal
+
+/** Temporal operators over the event log (extended surface,
+  * SURVEY.md §2.10): as-of join, bounded range join, batch
+  * sessionization. All three have FULL DuckDB oracles — the same
+  * union/window/bucket arithmetic is expressible in portable SQL, so
+  * the scale-shaped Spark plans are hash-checked end to end.
+  *
+  * Timestamps: `events.ts` reads as ns-epoch longs (Tables.scala), but
+  * these queries work at µs precision (`ts div 1000` / `epoch_us(ts)`)
+  * because DuckDB truncates the parquet ns column to µs — see `tsUs`.
+  */
+object TemporalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val HourUs = 3600000000L
+  private val HalfHourUs = 1800000000L
+
+  /** Event time as µs-epoch. The parquet column is ns; DuckDB truncates
+    * ns→µs on read, so BOTH engines work at µs precision — otherwise a
+    * sub-µs difference could flip a boundary/tie on one side only.
+    */
+  private val tsUs = expr("ts div 1000")
+
+  val all: Seq[Query] = Seq(
+
+    // As-of join: each purchase enriched with the user's LATEST click
+    // at or before the purchase instant (click-attribution shape).
+    // Spark side is the union + running-window form (one shuffle, no
+    // join explosion); the oracle replays the identical ordering —
+    // events before probes at the same instant, max click_id among
+    // equal-time clicks, payload as one struct so both fields come
+    // from the same click row.
+    Query("q60_asof_join", Some(
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS probe_id, user_id, epoch_us(ts) AS t
+        |      FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, t, 1 AS is_probe, probe_id,
+        |    CAST(NULL AS STRUCT(click_id BIGINT, click_value DOUBLE)) AS pay
+        |  FROM p
+        |  UNION ALL
+        |  SELECT user_id, t, 0, NULL,
+        |    {'click_id': event_id, 'click_value': value}
+        |  FROM c),
+        |w AS (SELECT *, last_value(pay IGNORE NULLS) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY t, is_probe, coalesce(pay.click_id, 9223372036854775807)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastp
+        |  FROM u)
+        |SELECT probe_id, user_id, lastp.click_id AS click_id,
+        |  lastp.click_value AS click_value
+        |FROM w WHERE is_probe = 1 ORDER BY probe_id""".stripMargin))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), tsUs.as("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("probe_id"), col("user_id"),
+            tsUs.as("ts"))
+        Temporal.asOfJoin(purchases, clicks, "user_id", "user_id",
+            "ts", "ts", "click_id", Seq("click_id", "click_value"))
+          .select("probe_id", "user_id", "click_id", "click_value")
+          .orderBy("probe_id")
+      }),
+
+    // Range join: per error event, how many same-user events landed in
+    // the preceding 30 minutes (burst-context window, exclusive of the
+    // error itself). Spark buckets time into interval-width bins so
+    // the non-equi predicate becomes an equi-join; the oracle is the
+    // plain inequality join (affordable at verify scale). LEFT +
+    // coalesce keeps zero-context errors in the result.
+    Query("q61_range_join", Some(
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'error'),
+        |e AS (SELECT user_id, epoch_us(ts) AS t FROM events)
+        |SELECT p.event_id, p.user_id, COUNT(e.t) AS n_prior
+        |FROM p LEFT JOIN e ON e.user_id = p.user_id
+        |  AND e.t >= p.t - 1800000000 AND e.t < p.t
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), tsUs.as("ts"))
+        val context = ev.select(col("user_id").as("u2"), tsUs.as("t2"))
+        val pairs = Temporal.rangeJoinPairs(errors, context,
+          "user_id", "u2", "ts", "t2",
+          lowerOffset = -HalfHourUs, upperOffset = 0L,
+          eventOut = Seq("t2" -> "match_t"))
+        val counts = pairs.groupBy("event_id")
+          .agg(count(lit(1)).as("__n"))
+        errors.join(counts, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("__n"), lit(0L)).as("n_prior"))
+          .orderBy("event_id")
+      }),
+
+    // Batch sessionization: 1-hour-gap sessions per user, summarized
+    // (count, bounds, exact-decimal value sum). The batch twin of
+    // EventStream.sessionize with a full oracle — the streaming path
+    // is pinned by EventStreamSpec instead.
+    Query("q62_sessionize", Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+        |           FROM events),
+        |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 3600000000
+        |        THEN 1 ELSE 0 END AS st FROM l),
+        |s AS (SELECT *, CAST(SUM(st) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS session_idx FROM f)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(t) AS start_us, MAX(t) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin))(
+      (s, dir) =>
+        Temporal.sessionize(
+            t(s, dir, "events").select(col("user_id"), col("event_id"),
+              tsUs.as("ts"), col("value")),
+            "user_id", "ts", "event_id", gap = HourUs)
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("start_us"), max(col("ts")).as("end_us"),
+            Query.dsum(col("value")).as("sum_val"))
+          .orderBy("user_id", "session_idx"))
+  )
+}
