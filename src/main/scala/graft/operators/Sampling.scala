@@ -74,4 +74,20 @@ object Sampling {
         floor((col("__cum") - col(tokenCol)) / lit(budget)))
       .drop("__cum")
   }
+
+  /** Per-group quota sampling: keep the top `n` rows of each group
+    * ranked by `orderCols` (make the last order column a unique key so
+    * the cut is deterministic) — the domain-cap curation primitive
+    * (no single domain/source may dominate the corpus). One shuffle on
+    * the group key; the per-group sort is bounded by group size, and
+    * rank > n rows drop before anything downstream — never a global
+    * top-k. Appends the 1-based rank as `rankCol`.
+    */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], n: Int, rankCol: String = "rk"): DataFrame = {
+    require(n > 0, s"quota must be positive, got $n")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= n)
+  }
 }

@@ -200,6 +200,78 @@ object TrainingQueries {
               size(TextAnalysis.wsTokens(col("text"))).cast("bigint")
                 .as("n_tokens")),
             Seq("source"), "doc_id", "n_tokens", budget = 512)
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Per-source quota cap: keep the top-3 longest documents of each
+    // source (rank deterministic via the doc_id tie-break) — the
+    // domain-cap primitive that stops one crawl domain from dominating
+    // a mixture. One shuffle on source; rank > quota rows drop before
+    // anything downstream.
+    Query("q63_quota", Some(
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        Sampling.quotaPerGroup(
+            t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+            Seq("source"), Seq(col("n_chars").desc, col("doc_id")), n = 3)
+          .withColumn("rk", col("rk").cast("bigint"))
+          .orderBy("doc_id")),
+
+    // Approximate percentiles (the 100 TB form of q56's exact ones):
+    // percentile_approx is a mergeable constant-size sketch — no
+    // per-group sort. The sketch has no DuckDB twin, so (the q42
+    // pattern) the oracle checks its CONTRACT: exact percentiles ride
+    // along, and okNN asserts the estimate lands inside the ±5-rank-pct
+    // exact envelope — far looser than the sketch's 1/1000 rank-error
+    // guarantee, so any real regression trips it.
+    Query("q64_approx_quantile", Some(
+      """SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
+        |  ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_exact,
+        |  true AS ok50, true AS ok90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(expr("percentile(n_chars, 0.5)"), 4).as("p50_exact"),
+            round(expr("percentile(n_chars, 0.9)"), 4).as("p90_exact"),
+            expr("percentile_approx(n_chars, 0.5, 1000)").as("__a50"),
+            expr("percentile_approx(n_chars, 0.9, 1000)").as("__a90"),
+            expr("percentile(n_chars, 0.45)").as("__lo50"),
+            expr("percentile(n_chars, 0.55)").as("__hi50"),
+            expr("percentile(n_chars, 0.85)").as("__lo90"),
+            expr("percentile(n_chars, 0.95)").as("__hi90"))
+          .select(col("source"), col("n_docs"),
+            col("p50_exact"), col("p90_exact"),
+            (col("__a50") >= col("__lo50") &&
+              col("__a50") <= col("__hi50")).as("ok50"),
+            (col("__a90") >= col("__lo90") &&
+              col("__a90") <= col("__hi90")).as("ok90"))
+          .orderBy("source")),
+
+    // Pivot (long→wide reshape): per-source doc counts by language —
+    // the corpus-mixture report. The pivot column set is declared
+    // up front (no extra distinct pass); empty cells coalesce to 0 to
+    // match the oracle's conditional counts.
+    Query("q65_pivot", Some(
+      """SELECT source,
+        |  COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+        |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+        |  COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+        |  COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+        |  COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))(
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        t(s, dir, "documents")
+          .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+          .select(col("source") +:
+            langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+          .orderBy("source")
+      })
   )
 }

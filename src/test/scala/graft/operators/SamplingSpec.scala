@@ -65,6 +65,17 @@ class SamplingSpec extends SparkSpec {
       5L -> 0L, 6L -> 0L))
   }
 
+  test("quotaPerGroup keeps exactly n per group with deterministic ties") {
+    val rows = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 100L), ("s1", 3L, 50L), ("s1", 4L, 200L),
+      ("s2", 5L, 10L)).toDF("source", "doc_id", "n_chars")
+    val r = Sampling.quotaPerGroup(rows, Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id")), n = 2)
+      .select("doc_id", "rk").as[(Long, Int)].collect().toMap
+    // s1 ranks: 4 (200), then 1 before 2 on the doc_id tie-break; 3 cut
+    assert(r == Map(4L -> 1, 1L -> 2, 5L -> 1))
+  }
+
   test("repetitionStats computes exact gram counts and fractions") {
     val df = Seq((1L, "a b a b a"), (2L, "x y z w")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 2)
