@@ -25,6 +25,12 @@ object Bench {
     val tIdx = System.nanoTime()
     val idxSec = try {
       graft.queries.ExtendedQueries.prebuildIndexes(spark, sfDir)
+      // one-time bucketed-layout builds (q66), same amortized-artifact
+      // treatment as the ANN indexes
+      graft.sources.Layout.bucketedTable(spark, sfDir, "lineitem",
+        Seq("l_orderkey"), numBuckets = 8)
+      graft.sources.Layout.bucketedTable(spark, sfDir, "orders",
+        Seq("o_orderkey"), numBuckets = 8)
       (System.nanoTime() - tIdx) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] index prebuild FAILED: ${e.getMessage}")

@@ -407,6 +407,29 @@ object CoreQueries {
           .select(col("p_partkey"),
             graft.functions.StringExprs.pandasTitle(
               regexp_replace(col("p_name"), " ", "-")).as("name_tc"))
-          .orderBy("p_partkey"))
+          .orderBy("p_partkey")),
+
+    // q14's raw-volume join over BUCKETED twins of both fact tables —
+    // the storage-layout answer to the one genuinely large shuffle in
+    // the inventory. The bucketed build is a one-time cached job (the
+    // ANN-index pattern; Bench times it in the prebuild metric); after
+    // it, the join reads co-located buckets and shuffles NOTHING on the
+    // join key (PlanSpec pins this with broadcast disabled). Same
+    // result as the plain join, so the oracle is the plain SQL.
+    Query("q66_bucketed_join", Some(
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))(
+      (s, dir) => {
+        val li = s.table(graft.sources.Layout.bucketedTable(
+          s, dir, "lineitem", Seq("l_orderkey"), numBuckets = 8))
+        val or = s.table(graft.sources.Layout.bucketedTable(
+          s, dir, "orders", Seq("o_orderkey"), numBuckets = 8))
+        li.join(or, li("l_orderkey") === or("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("rev"))
+          .orderBy("o_orderstatus")
+      })
   )
 }

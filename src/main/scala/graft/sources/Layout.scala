@@ -43,4 +43,33 @@ object Layout {
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  // ---- cached bucketed twins of the testdata tables -----------------
+
+  private val bktCache = new graft.SessionCache[String]
+
+  private def md5Hex8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
+  /** A bucketed twin of testdata table `table`, built once per
+    * (session, sfDir) and cached — the one-time layout job a
+    * deployment runs beside the corpus (the ANN-index pattern), after
+    * which every same-key join is shuffle-free. Returns the catalog
+    * table name. The in-memory catalog is per-JVM but the warehouse
+    * directory persists, so stale locations are cleared before the
+    * (managed-table) write.
+    */
+  def bucketedTable(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      table: String, keys: Seq[String], numBuckets: Int): String = {
+    val name = s"graft_bkt_${table}_${md5Hex8(sfDir)}"
+    bktCache.get(spark, s"$sfDir/$table") {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      writeBucketed(graft.Tables(spark, sfDir, table), name, keys, numBuckets)
+      name
+    }
+  }
 }

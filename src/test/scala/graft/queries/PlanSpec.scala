@@ -91,6 +91,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(800))
   }
 
+  test("bucketed-twin join shuffles nothing on the join key (q66)") {
+    // broadcast disabled so the small verify-scale tables can't dodge
+    // the SortMergeJoin the layout exists for; only the downstream
+    // status aggregation may exchange
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q66_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p.take(1200))
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"), p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
