@@ -11,12 +11,18 @@ import org.apache.spark.sql.types._
   * Spark-side shape (schema, encoders, partition batching, feature
   * vector output) is the real contract.
   *
-  * IMAGE DECODE IS REAL: `image`-kind payloads go through
-  * `javax.imageio` (pure-JVM PNG/JPEG/GIF/BMP codecs) — true
-  * dimensions plus a normalized luminance histogram as the feature
-  * vector. Audio/video codecs don't exist in a bare JVM, so those
-  * modalities (and undecodable image bytes) fall back to the
-  * deterministic `decodeStub`, keeping the operator total.
+  * DECODE IS REAL FOR ALL THREE MODALITY HEADERS:
+  *   - `image` via `javax.imageio` (pure-JVM PNG/JPEG/GIF/BMP codecs):
+  *     true dimensions + a normalized luminance histogram.
+  *   - `audio` via `javax.sound.sampled` (pure-JVM WAV/AIFF/AU PCM
+  *     codecs): true frame count, channels, duration, and a per-segment
+  *     RMS loudness envelope over the mono mix.
+  *   - `video` via a pure-JVM ISO BMFF (MP4) box parser: true
+  *     width/height (tkhd) and duration (mvhd). Pixel/frame DATA stays
+  *     out of reach without a real codec, so the video feature vector
+  *     is the deterministic byte fingerprint — declared, not hidden.
+  * Undecodable payloads of any kind fall back to `decodeStub`, keeping
+  * the operator total on a 100 TB corpus of occasionally-corrupt data.
   */
 object Multimodal {
 
@@ -27,14 +33,23 @@ object Multimodal {
       payload: Array[Byte],
       meta: Map[String, String])
 
-  /** Decoded feature row. */
+  /** Decoded feature row. `width`/`height` are pixels for image/video;
+    * for audio they carry (sample frames, channels) — the time × depth
+    * dimensions of the modality. `duration_s` is 0 for still images
+    * and for stub-decoded payloads.
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Int,
       width: Int,
       height: Int,
+      duration_s: Float,
       features: Array[Float])
+
+  /** Internal decode result shared by the per-modality decoders. */
+  private[operators] final case class Decoded(
+      width: Int, height: Int, durationS: Float, features: Array[Float])
 
   /** The on-disk schema for a media table. */
   val mediaSchema: StructType = StructType(Seq(
@@ -56,7 +71,7 @@ object Multimodal {
     * occasionally-corrupt payloads.
     */
   private[operators] def decodeImage(payload: Array[Byte],
-      dim: Int): Option[(Int, Int, Array[Float])] = {
+      dim: Int): Option[Decoded] = {
     if (payload == null || payload.isEmpty) return None
     try {
       val img = javax.imageio.ImageIO.read(
@@ -82,17 +97,173 @@ object Multimodal {
         val n = (w.toLong * h).toFloat
         var i = 0
         while (i < dim) { hist(i) /= n; i += 1 }
-        Some((w, h, hist))
+        Some(Decoded(w, h, 0f, hist))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** STUB decoder for modalities with no pure-JVM codec (audio/video)
-    * and undecodable image bytes: deterministic pseudo-dimensions and a
+  /** Real audio decode (javax.sound.sampled — the JVM's built-in
+    * WAV/AIFF/AU readers, 8/16-bit PCM): true frame count (`width`),
+    * channel count (`height`), duration, and a `dim`-segment RMS
+    * loudness envelope over the full-scale-normalized mono mix — the
+    * standard silence/clipping quality signal for audio curation.
+    */
+  private[operators] def decodeAudio(payload: Array[Byte],
+      dim: Int): Option[Decoded] = {
+    if (payload == null || payload.isEmpty) return None
+    import javax.sound.sampled.AudioFormat.Encoding
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        if ((enc != Encoding.PCM_SIGNED && enc != Encoding.PCM_UNSIGNED) ||
+          (bits != 8 && bits != 16)) return None
+        val channels = fmt.getChannels
+        val bytes = in.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameSize = bytesPerSample * channels
+        val nFrames = bytes.length / frameSize
+        if (nFrames == 0 || channels == 0) return None
+        val big = fmt.isBigEndian
+        val mono = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var c = 0
+          var acc = 0.0
+          while (c < channels) {
+            val off = i * frameSize + c * bytesPerSample
+            val v =
+              if (bits == 8) {
+                if (enc == Encoding.PCM_UNSIGNED)
+                  ((bytes(off) & 0xff) - 128) / 128.0
+                else bytes(off) / 128.0
+              } else {
+                val lo = if (big) bytes(off + 1) else bytes(off)
+                val hi = if (big) bytes(off) else bytes(off + 1)
+                val s = (((hi & 0xff) << 8) | (lo & 0xff)).toShort
+                (if (enc == Encoding.PCM_UNSIGNED) (s & 0xffff) - 32768
+                 else s.toInt) / 32768.0
+              }
+            acc += v
+            c += 1
+          }
+          mono(i) = acc / channels
+          i += 1
+        }
+        val feats = new Array[Float](dim)
+        var b = 0
+        while (b < dim) {
+          val from = (b.toLong * nFrames / dim).toInt
+          val to = ((b + 1).toLong * nFrames / dim).toInt
+          if (to > from) {
+            var ss = 0.0
+            var j = from
+            while (j < to) { ss += mono(j) * mono(j); j += 1 }
+            feats(b) = math.sqrt(ss / (to - from)).toFloat
+          }
+          b += 1
+        }
+        val durS =
+          if (fmt.getFrameRate > 0) nFrames / fmt.getFrameRate else 0f
+        Some(Decoded(nFrames, channels, durS, feats))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Video container metadata parsed from the ISO BMFF (MP4) box tree —
+    * pure byte-walking per the public ISO 14496-12 layout, no codec.
+    */
+  final case class Mp4Meta(width: Int, height: Int, timescale: Long,
+      durationTicks: Long) {
+    def durationS: Float =
+      if (timescale > 0) (durationTicks.toDouble / timescale).toFloat else 0f
+  }
+
+  /** Walk the MP4 box tree for moov → mvhd (timescale, duration) and
+    * moov → trak → tkhd (presentation width/height, 16.16 fixed-point;
+    * the first track with nonzero dims is the video track — audio
+    * tracks carry 0×0). Handles 64-bit box sizes and v0/v1 full boxes;
+    * any malformed structure returns None rather than throwing.
+    */
+  private[operators] def parseMp4Meta(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (payload == null || payload.length < 16) return None
+    def u32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String = new String(payload, o, 4, "ISO-8859-1")
+
+    var timescale = 0L
+    var duration = 0L
+    var w = 0
+    var h = 0
+    var sawMoov = false
+
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off)
+        val typ = fourcc(off + 4)
+        var hdr = 8
+        if (size == 1) {
+          if (off + 16 > end) return
+          size = u64(off + 8); hdr = 16
+        } else if (size == 0) size = (end - off).toLong
+        if (size < hdr || off.toLong + size > end) return // malformed
+        val body = off + hdr
+        val bodyEnd = (off + size).toInt
+        typ match {
+          case "moov" => sawMoov = true; walk(body, bodyEnd)
+          case "trak" => walk(body, bodyEnd)
+          case "mvhd" if bodyEnd - body >= 20 =>
+            val v = payload(body) & 0xff
+            if (v == 1 && bodyEnd - body >= 32) {
+              timescale = u32(body + 20); duration = u64(body + 24)
+            } else if (v == 0) {
+              timescale = u32(body + 12); duration = u32(body + 16)
+            }
+          case "tkhd" =>
+            val v = payload(body) & 0xff
+            // fullbox(4) + times/track/reserved/duration (v0: 20,
+            // v1: 32) + reserved(8) + layer/alt/volume/reserved(8)
+            // + matrix(36) → width, height
+            val fix = body + 4 + (if (v == 1) 32 else 20) + 8 + 8 + 36
+            if (fix + 8 <= bodyEnd) {
+              val tw = (u32(fix) >> 16).toInt
+              val th = (u32(fix + 4) >> 16).toInt
+              if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+            }
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+    try walk(0, payload.length)
+    catch { case scala.util.control.NonFatal(_) => return None }
+    if (sawMoov) Some(Mp4Meta(w, h, timescale, duration)) else None
+  }
+
+  /** Video decode: REAL container metadata (dimensions + duration from
+    * the MP4 box tree); the feature vector is the deterministic byte
+    * fingerprint — decoding pixels needs a codec no bare JVM ships, and
+    * that boundary is declared rather than faked.
+    */
+  private[operators] def decodeVideo(payload: Array[Byte],
+      dim: Int): Option[Decoded] =
+    parseMp4Meta(payload).collect {
+      case m if m.width > 0 && m.height > 0 =>
+        Decoded(m.width, m.height, m.durationS, decodeStub(payload, dim).features)
+    }
+
+  /** STUB decoder — the total fallback for undecodable payloads and
+    * `binary`-kind rows: deterministic pseudo-dimensions and a
     * `dim`-float feature vector derived from payload bytes (a rolling
     * polynomial over byte values). Replace with a real codec + model.
     */
-  private[operators] def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+  private[operators] def decodeStub(payload: Array[Byte], dim: Int): Decoded = {
     val bytes = if (payload == null) Array.empty[Byte] else payload
     val h0 = bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
     val width = 16 + math.floorMod(h0, 1024).toInt
@@ -101,7 +272,7 @@ object Multimodal {
       val hi = bytes.foldLeft(h0 + i)((h, b) => 131 * h + b + i)
       (math.floorMod(hi, 2000) - 1000) / 1000.0f
     }
-    (width, height, feats)
+    Decoded(width, height, 0f, feats)
   }
 
   /** Ingest raw media files from a directory tree via Spark's
@@ -166,14 +337,18 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // image batches decode for real (ImageIO); a model-based
+        // per-modality headers decode for real; a model-based
         // featurizer would run the whole batch in one call here
         batch.map { m =>
           val payload = Option(m.payload).getOrElse(Array.empty[Byte])
-          val (w, h, f) =
-            (if (m.kind == "image") decodeImage(payload, dim) else None)
-              .getOrElse(decodeStub(payload, dim))
-          MediaFeatures(m.media_id, m.kind, payload.length, w, h, f)
+          val d = (m.kind match {
+            case "image" => decodeImage(payload, dim)
+            case "audio" => decodeAudio(payload, dim)
+            case "video" => decodeVideo(payload, dim)
+            case _ => None
+          }).getOrElse(decodeStub(payload, dim))
+          MediaFeatures(m.media_id, m.kind, payload.length,
+            d.width, d.height, d.durationS, d.features)
         }
       }
     }
@@ -208,6 +383,20 @@ object Multimodal {
     val nFrames = greatest(
       (length(col("payload")) / 1024).cast("int"), lit(1))
     df.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride))).as("frame_idx"))
+  }
+
+  /** Frame sampling from REAL container duration (the post-decode
+    * form): every `stride`-th frame index at `fps` over the parsed
+    * `duration_s`. Video rows whose container didn't parse carry
+    * duration 0 and emit the single frame 0. Narrow, partition-local.
+    */
+  def frameSamplePlanTimed(feats: Dataset[MediaFeatures], fps: Double,
+      stride: Int): DataFrame = {
+    val nFrames = greatest(
+      round(col("duration_s") * fps).cast("int"), lit(1))
+    feats.toDF().filter(col("kind") === "video")
       .select(col("media_id"),
         explode(sequence(lit(0), nFrames - 1, lit(stride))).as("frame_idx"))
   }

@@ -5,12 +5,60 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.operators.Multimodal._
 
-/** The decode itself is a deterministic stub (no codecs in this
-  * environment); what these tests pin is the REAL part — schema,
-  * encoder round-trip, partition batching, feature shape, and the
-  * resize/frame-sample plan math.
+/** Pins the multimodal surface: schema/encoder round-trip, partition
+  * batching, plan math, and the REAL per-modality decoders — ImageIO
+  * pixels, javax.sound PCM audio, and the pure-JVM MP4 box parser —
+  * each against a generated fixture with known ground truth. Only
+  * video PIXEL features remain stubbed (no codec in a bare JVM).
   */
 class MultimodalSpec extends SparkSpec {
+
+  /** 1 s of 440 Hz half-amplitude sine, 16-bit mono PCM at 8 kHz,
+    * wrapped as a WAV by the JVM's own writer.
+    */
+  private def sineWav(rate: Int = 8000, amp: Double = 0.5): Array[Byte] = {
+    val n = rate
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Minimal valid ISO BMFF tree: ftyp + moov(mvhd, trak(tkhd)). */
+  private def miniMp4(w: Int, h: Int, timescale: Int,
+      duration: Int): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(body.length + 8)
+        .putInt(body.length + 8).put(typ.getBytes("ISO-8859-1")).put(body)
+        .array()
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)           // version 0 + flags
+      b.putInt(0).putInt(0) // ctime, mtime
+      b.putInt(timescale).putInt(duration)
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0)                                         // v0 + flags
+      b.putInt(0).putInt(0).putInt(1).putInt(0).putInt(0) // times/id/dur
+      b.position(b.position() + 16 + 36)                  // reserved+matrix
+      b.putInt(w << 16).putInt(h << 16)                   // 16.16 fixed
+      box("tkhd", b.array())
+    }
+    box("ftyp", "isomisom".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+  }
 
   private lazy val media = {
     implicit val s = spark
@@ -71,6 +119,46 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.features(4) - 0.5f) < 1e-6)
     assert(math.abs(f.features(15) - 0.5f) < 1e-6)
     assert(math.abs(f.features.sum - 1.0f) < 1e-5)
+  }
+
+  test("real WAV decodes via javax.sound: frames, channels, duration, RMS") {
+    implicit val s = spark
+    import s.implicits._
+    val wav = sineWav()
+    val ds = asMedia(Seq((3L, "audio", wav, Map("f" -> "tone.wav")))
+      .toDF("media_id", "kind", "payload", "meta"))
+    val f = extractFeatures(ds, dim = 8).head()
+    assert(f.width == 8000)      // sample frames (1 s at 8 kHz)
+    assert(f.height == 1)        // mono
+    assert(math.abs(f.duration_s - 1.0f) < 1e-3)
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ≈ 0.3536, per segment
+    val want = 0.5 / math.sqrt(2)
+    f.features.foreach(v => assert(math.abs(v - want) < 0.01, v))
+  }
+
+  test("real MP4 metadata parses from the box tree") {
+    val meta = Multimodal.parseMp4Meta(miniMp4(640, 360, 1000, 5000)).get
+    assert(meta.width == 640 && meta.height == 360)
+    assert(meta.timescale == 1000L && meta.durationTicks == 5000L)
+    assert(math.abs(meta.durationS - 5.0f) < 1e-6)
+    // non-BMFF bytes must not parse
+    assert(Multimodal.parseMp4Meta("certainly not an mp4".getBytes).isEmpty)
+  }
+
+  test("video rows get real container dims/duration; frames follow them") {
+    implicit val s = spark
+    import s.implicits._
+    val mp4 = miniMp4(1280, 720, 600, 1800) // 3 s at timescale 600
+    val ds = asMedia(Seq((4L, "video", mp4, Map.empty[String, String]))
+      .toDF("media_id", "kind", "payload", "meta"))
+    val feats = extractFeatures(ds, dim = 8)
+    val f = feats.head()
+    assert(f.width == 1280 && f.height == 720)
+    assert(math.abs(f.duration_s - 3.0f) < 1e-6)
+    // 3 s at 10 fps, stride 10 → frames 0, 10, 20
+    val idxs = frameSamplePlanTimed(feats, fps = 10, stride = 10)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(idxs.toSeq == Seq(0, 10, 20))
   }
 
   test("undecodable image bytes fall back to the deterministic stub") {
