@@ -248,6 +248,70 @@ object Dedup {
     intra.unionAll(expandCross(verified, members, Seq("jacc")))
   }
 
+  /** Connected components over an undirected pair graph — the FINAL
+    * step of near-dup dedup: candidate pairs (minhash/simhash/embedding
+    * neighbors) say "these two are the same"; the component label says
+    * which CLUSTER each document belongs to, and min-id election picks
+    * the one representative to keep. Returns (id, comp) for every node,
+    * comp = the smallest id reachable from it (isolated nodes label
+    * themselves).
+    *
+    * Iterative min-label propagation: each round, every node lowers its
+    * label to the minimum of its neighbors' labels (one equi-join + one
+    * partial-aggregated shuffle on node id), converging in
+    * graph-diameter rounds — near-dup clusters are shallow (mirrors,
+    * re-crawls, boilerplate families), so the bound is small in
+    * practice; published alternating large-star/small-star contracts
+    * the same computation in O(log n) rounds if ever needed. Per round
+    * the label frame is localCheckpoint'ed: without truncation the
+    * lineage doubles per iteration and Catalyst planning, not the data,
+    * becomes the bottleneck. Convergence is detected by the strictly
+    * decreasing label sum (exact decimal — no overflow at 64-bit ids),
+    * costing one scan of the already-materialized labels instead of a
+    * change-count join.
+    *
+    * Edge ids must be drawn from `nodes` (near-dup pairs over the same
+    * corpus satisfy this by construction). Throws if `maxIter` rounds
+    * don't converge — a silently partial labeling is a wrong answer,
+    * not an approximation.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("dst"), col(bCol).as("src"))
+      .unionAll(edges.select(col(bCol).as("dst"), col(aCol).as("src")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+        .localCheckpoint(true)
+      def sig(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+          .getDecimal(0)
+      var prev = sig(labels)
+      var i = 0
+      while (i < maxIter) {
+        val nbr = sym
+          .join(labels.select(col("id").as("dst"), col("comp").as("nc")),
+            "dst")
+          .groupBy("src").agg(min(col("nc")).as("nbrMin"))
+        val next = labels
+          .join(nbr.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbrMin"), col("comp")))
+              .as("comp"))
+          .localCheckpoint(true)
+        val cur = sig(next)
+        labels = next
+        if (cur.compareTo(prev) == 0) return labels
+        prev = cur
+        i += 1
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds the bound; raise maxIter")
+    } finally sym.unpersist(blocking = false)
+  }
+
   /** Exact n-gram Jaccard over two MATERIALIZED shingle-array columns —
     * the verification step applied to LSH candidates (never all pairs).
     * Callers join candidate pairs against a per-doc shingle frame

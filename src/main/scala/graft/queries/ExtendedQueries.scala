@@ -554,6 +554,48 @@ object ExtendedQueries {
           .select(col("l_returnflag"), col("exact_parts"), col("cnt"),
             (abs(col("__approx") - col("exact_parts")).cast("double")
               / col("exact_parts") <= 0.06).as("approx_ok"))
-          .orderBy("l_returnflag"))
+          .orderBy("l_returnflag")),
+
+    // Connected components over the embedding near-dup pair graph —
+    // the final dedup step: pairs say "same", the component label says
+    // which CLUSTER, and min-id election picks the kept representative.
+    // Spark runs iterative min-label propagation (diameter-bounded
+    // rounds, one join + one partial-agg shuffle each); the oracle
+    // recomputes the same edge set (the q39 SQL) and closes it with a
+    // recursive CTE — exact at any scale, affordable at verify scale.
+    Query("q67_components", Some(
+      """WITH RECURSIVE
+        |bs AS (
+        |  SELECT label, COUNT(DISTINCT embedding) AS nreps
+        |  FROM embeddings GROUP BY label),
+        |ok AS (
+        |  SELECT e.vec_id, e.embedding, e.label FROM embeddings e
+        |  JOIN bs USING (label) WHERE bs.nreps <= 10000),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |    FROM ok a JOIN ok b
+        |      ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  WHERE score >= 0.35),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.r)
+        |SELECT id AS vec_id, MIN(r) AS comp, (id = MIN(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin))(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pairs = Similarity.blockedNearDupPairs(emb, "embedding",
+          "vec_id", "label", threshold = 0.35)
+        Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+            pairs.select("id_a", "id_b"))
+          .select(col("id").as("vec_id"), col("comp"),
+            (col("id") === col("comp")).as("keep"))
+          .orderBy("vec_id")
+      })
   )
 }

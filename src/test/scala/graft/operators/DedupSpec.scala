@@ -164,4 +164,31 @@ class DedupSpec extends SparkSpec {
     assert(crossVals.size == 1 && crossVals.head >= 0.5 &&
       crossVals.head < 1.0)
   }
+
+  test("connectedComponents labels chains, pairs, and isolated nodes") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3, pair 5-6, isolated 4 and 7
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (multi-round)") {
+    val n = 12L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", edges)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents refuses a silently partial labeling") {
+    val nodes = (1L to 12L).toDF("id")
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", edges, maxIter = 2)
+    }
+  }
 }
