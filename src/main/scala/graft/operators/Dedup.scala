@@ -278,15 +278,21 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 25): DataFrame = {
+    // hash-partitioned on the join key ONCE before persisting: every
+    // round's join then reads co-located edge partitions instead of
+    // re-shuffling the (much larger) edge side per iteration
     val sym = edges.select(col(aCol).as("dst"), col(bCol).as("src"))
       .unionAll(edges.select(col(bCol).as("dst"), col(aCol).as("src")))
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
-        .localCheckpoint(true)
+      // lazy checkpoint + signature in ONE action per round: the sum
+      // scan is what materializes (and truncates) the round's labels
       def sig(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
           .getDecimal(0)
+      var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+        .localCheckpoint(false)
       var prev = sig(labels)
       var i = 0
       while (i < maxIter) {
@@ -299,7 +305,7 @@ object Dedup {
           .select(col("id"),
             least(col("comp"), coalesce(col("nbrMin"), col("comp")))
               .as("comp"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val cur = sig(next)
         labels = next
         if (cur.compareTo(prev) == 0) return labels
