@@ -184,4 +184,96 @@ object TextAnalysis {
         round(col("__dup").cast("double") / col("n_grams"), 6)
           .as("dup_gram_frac"))
   }
+
+  /** Top-`k` TF-IDF terms per document — keyword extraction for
+    * topical tagging/routing. TF = per-(doc, term) count over
+    * lower-cased whitespace tokens; IDF = ln((N+1)/(df+1)) (smoothed:
+    * defined even for all-doc terms); rank by ROUNDED score then term
+    * so the cut is stable across engines (two engines' ln may differ
+    * in the last ulp — rounding absorbs it, the term tie-break settles
+    * equal-score families).
+    *
+    * Scale shape: one (doc, term) shuffle with map-side combine, one
+    * term-keyed shuffle for document frequencies, the corpus size as a
+    * broadcast scalar, and a bounded per-doc window. Never a
+    * collect-and-loop vocabulary.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val terms = Dedup.spread(df)
+      .select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rk"))
+  }
+
+  /** Per-document mean unigram surprisal (-ln P(token) under the
+    * corpus's own unigram model) — the model-free perplexity proxy:
+    * word-salad and off-distribution documents score high, repetitive
+    * boilerplate scores low. Per-token surprisals go through the exact
+    * decimal-sum convention so partial-aggregation order can't drift
+    * the mean.
+    *
+    * Scale shape: one term-keyed count shuffle (the model), a
+    * broadcast total, one join of tokens against the model, one
+    * per-doc aggregation.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val terms = Dedup.spread(df)
+      .select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = terms.agg(count(lit(1)).as("__tot"))
+    terms.join(freq, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((-log(col("cnt").cast("double") / col("__tot")))
+          .cast("decimal(18,12)")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s").cast("double") / col("n_tokens"), 6)
+          .as("surprisal"))
+  }
+
+  /** Line-level boilerplate removal: drop every line that appears in
+    * more than `maxFrac` of the documents of its `groupCol` (source /
+    * domain) — the shared-footer/nav-chrome filter. Documents reduced
+    * to nothing come back as empty strings, not dropped rows.
+    *
+    * Scale shape: lines explode narrowly; one (group, line) distinct-
+    * doc count rides a single shuffle; reassembly is a per-doc
+    * aggregation whose order comes from `array_sort` over (idx, line)
+    * structs — deterministic under any partitioning, no window sort.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, maxFrac: Double = 0.5,
+      outCol: String = "clean"): DataFrame = {
+    val lines = Dedup.spread(df)
+      .select(col(idCol), col(groupCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val groupDocs = df.groupBy(col(groupCol))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+    val lineDocs = lines.groupBy(col(groupCol), col("line"))
+      .agg(count_distinct(col(idCol)).as("__ldocs"))
+    val kept = lines
+      .join(lineDocs, Seq(groupCol, "line"))
+      .join(groupDocs, Seq(groupCol))
+      .filter(col("__ldocs") <= lit(maxFrac) * col("__docs"))
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line"))).as(outCol))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(outCol), lit("")).as(outCol))
+  }
 }

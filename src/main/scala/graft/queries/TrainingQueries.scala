@@ -272,6 +272,89 @@ object TrainingQueries {
           .select(col("source") +:
             langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
           .orderBy("source")
-      })
+      }),
+
+    // TF-IDF keyword extraction: top-3 terms per document. Rank over
+    // the ROUNDED score (both engines' ln may differ in the last ulp;
+    // rounding absorbs it) with the term as tie-break.
+    Query("q68_tfidf", Some(
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    ROUND(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rk FROM scored)
+        |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.tfidfTopK(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rk")),
+
+    // Mean unigram surprisal per document under the corpus's own
+    // unigram model — the model-free perplexity proxy for quality
+    // gating. Per-token -ln P goes through the exact decimal-sum
+    // convention on both engines.
+    Query("q69_surprisal", Some(
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS tot FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(-ln(CAST(cnt AS DOUBLE) / tot)
+        |    AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS surprisal
+        |FROM toks JOIN freq USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.unigramSurprisal(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // Line-level boilerplate removal over planted multi-line docs (the
+    // corpus is single-line, so both engines append the same shared
+    // footer — removed, >50% of the source's docs — and a unique
+    // per-doc line — kept): the shared-footer/nav-chrome filter, with
+    // deterministic line-order reassembly.
+    Query("q70_boilerplate", Some(
+      """WITH d AS (SELECT doc_id, source,
+        |    text || chr(10) || '(c) ' || source || ' crawler export'
+        |      || chr(10) || 'doc ' || doc_id AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id, source, u.idx AS idx, u.line AS line
+        |  FROM (SELECT doc_id, source,
+        |      unnest([{'idx': i, 'line': ls[i]}
+        |              FOR i IN generate_series(1, len(ls))]) AS u
+        |    FROM (SELECT doc_id, source,
+        |            string_split(text, chr(10)) AS ls FROM d))),
+        |gd AS (SELECT source, COUNT(DISTINCT doc_id) AS docs
+        |       FROM d GROUP BY 1),
+        |ld AS (SELECT source, line, COUNT(DISTINCT doc_id) AS ldocs
+        |       FROM lines GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT l.doc_id,
+        |    array_to_string(list(l.line ORDER BY l.idx), chr(10)) AS clean
+        |  FROM lines l
+        |  JOIN ld ON l.source = ld.source AND l.line = ld.line
+        |  JOIN gd ON l.source = gd.source
+        |  WHERE ld.ldocs <= 0.5 * gd.docs
+        |  GROUP BY l.doc_id)
+        |SELECT d.doc_id, COALESCE(k.clean, '') AS clean
+        |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.stripBoilerplate(
+            t(s, dir, "documents").select(col("doc_id"), col("source"),
+              concat(col("text"), lit("\n(c) "), col("source"),
+                lit(" crawler export\ndoc "), col("doc_id")).as("text")),
+            "doc_id", "text", "source", maxFrac = 0.5)
+          .orderBy("doc_id"))
   )
 }

@@ -70,4 +70,47 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, String)].collect()
     r.foreach { case (got, want) => assert(got == want) }
   }
+
+  test("tfidfTopK: hand-computed scores, rounded-score + term tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple Apple banana"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getLong(3)))
+    val byDoc = r.groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    // doc1: apple tf2 (case-folded) → 2·ln(4/2)=1.386294; banana 0.287682
+    assert(byDoc(1L).map(t => (t._2, t._3)).toSeq ==
+      Seq(("apple", 1.386294), ("banana", 0.287682)))
+    // doc3: cherry 3·ln(4/3)=0.863046 beats date ln(4/2)=0.693147
+    assert(byDoc(3L).map(t => (t._2, t._3)).toSeq ==
+      Seq(("cherry", 0.863046), ("date", 0.693147)))
+  }
+
+  test("unigramSurprisal: exact -ln P means from the corpus model") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    // tot=3: P(a)=2/3, P(b)=1/3
+    assert(r(1L) == ((2L, 0.405465)))   // -ln(2/3)
+    assert(r(2L) == ((1L, 1.098612)))   // -ln(1/3)
+  }
+
+  test("stripBoilerplate: shared lines drop, order survives, empty stays") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "z\nFOOTER\na"),   // order z, a must survive as-is
+      (2L, "s1", "keep2\nFOOTER"),
+      (3L, "s1", "FOOTER"),          // reduced to nothing → empty string
+      (4L, "s2", "only\nshared"),
+      (5L, "s2", "shared")           // shared in 2/2; only in 1/2 (= cap)
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", "source")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "z\na", 2L -> "keep2", 3L -> "",
+      4L -> "only", 5L -> ""))
+  }
 }
