@@ -60,6 +60,30 @@ object EventStream {
       events(eventKey) === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Stream-stream interval join: each left event pairs with the right
+    * events of the same key whose timestamp falls in
+    * `[left.ts + lowerOffset, left.ts + upperOffset)` — the streaming
+    * twin of the batch `Temporal.rangeJoinPairs` (purchase↔click
+    * attribution, error-burst context, impression↔conversion). BOTH
+    * sides carry watermarks and the join condition time-bounds each
+    * side against the other, which is what lets Structured Streaming
+    * evict buffered state: without the two range bounds the join would
+    * buffer both streams forever. Columns are prefixed (`l_`/`r_`) so
+    * the self-join of one source stream is expressible.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lowerOffset: String, upperOffset: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_ts", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_ts", watermark)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") + expr(s"INTERVAL $lowerOffset") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $upperOffset"))
+  }
+
   /** Append-mode partitioned parquet sink for a streaming frame — the
     * durable end of the stream path: finalized rows (e.g. closed
     * windows from [[windowedStats]], whose watermark makes append mode

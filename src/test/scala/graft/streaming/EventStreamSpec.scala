@@ -178,4 +178,31 @@ class EventStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("stream-stream interval join pairs events inside the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    // clicks within [purchase - 30 min, purchase) attach; others don't
+    val joined = intervalJoin(
+      purchases.toDF().select("event_id", "ts", "user_id"),
+      clicks.toDF().select("event_id", "ts", "user_id"),
+      "user_id", "-30 minutes", "0 seconds")
+    val q = joined
+      .select(col("l_event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(100, ts(10), 1, "click", 0), // in-window for purchase@35
+        Event(101, ts(34), 1, "click", 0), // in-window
+        Event(102, ts(35), 1, "click", 0), // AT purchase ts → excluded
+        Event(103, ts(10), 2, "click", 0)) // other user
+      purchases.addData(Event(200, ts(35), 1, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("ij_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((200L, 100L), (200L, 101L)))
+    } finally q.stop()
+  }
 }
