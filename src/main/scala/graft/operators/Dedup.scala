@@ -287,10 +287,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // lazy checkpoint + signature in ONE action per round: the sum
-      // scan is what materializes (and truncates) the round's labels
+      // scan is what materializes (and truncates) the round's labels.
+      // sum over zero rows is SQL NULL — an empty node set must return
+      // an empty labeling, not NPE on the signature compare.
       def sig(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-          .getDecimal(0)
+        Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+          .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
         .localCheckpoint(false)
       var prev = sig(labels)
@@ -307,6 +309,11 @@ object Dedup {
               .as("comp"))
           .localCheckpoint(false)
         val cur = sig(next)
+        // the superseded round's checkpoint blocks are dead once `next`
+        // is materialized — without the release a long run retains
+        // every round's label copy until the ContextCleaner gets there
+        // (Dataset.unpersist is a no-op on checkpoint storage)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(labels)
         labels = next
         if (cur.compareTo(prev) == 0) return labels
         prev = cur

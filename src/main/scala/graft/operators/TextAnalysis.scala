@@ -233,7 +233,9 @@ object TextAnalysis {
     val terms = Dedup.spread(df)
       .select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
     val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val tot = terms.agg(count(lit(1)).as("__tot"))
+    // total from the tiny term-frequency frame — summing `terms` again
+    // would re-run the corpus-wide tokenize/explode just to count rows
+    val tot = freq.agg(sum(col("cnt")).as("__tot"))
     terms.join(freq, "term")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))

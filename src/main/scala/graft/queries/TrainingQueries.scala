@@ -225,8 +225,13 @@ object TrainingQueries {
     // per-group sort. The sketch has no DuckDB twin, so (the q42
     // pattern) the oracle checks its CONTRACT: exact percentiles ride
     // along, and okNN asserts the estimate lands inside the ±5-rank-pct
-    // exact envelope — far looser than the sketch's 1/1000 rank-error
-    // guarantee, so any real regression trips it.
+    // envelope — far looser than the sketch's 1/1000 rank-error
+    // guarantee, so any real regression trips it. The envelope bounds
+    // are DISCRETE quantiles (high-accuracy percentile_approx), not
+    // interpolated ones: the sketch returns an actual data value, and
+    // for a small group the interpolated p45-p55 band can contain NO
+    // data value — the discrete band always contains every data value
+    // whose rank is in range, so a correct sketch can never false-fail.
     Query("q64_approx_quantile", Some(
       """SELECT source, COUNT(*) AS n_docs,
         |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
@@ -241,10 +246,10 @@ object TrainingQueries {
             round(expr("percentile(n_chars, 0.9)"), 4).as("p90_exact"),
             expr("percentile_approx(n_chars, 0.5, 1000)").as("__a50"),
             expr("percentile_approx(n_chars, 0.9, 1000)").as("__a90"),
-            expr("percentile(n_chars, 0.45)").as("__lo50"),
-            expr("percentile(n_chars, 0.55)").as("__hi50"),
-            expr("percentile(n_chars, 0.85)").as("__lo90"),
-            expr("percentile(n_chars, 0.95)").as("__hi90"))
+            expr("percentile_approx(n_chars, 0.45, 1000000)").as("__lo50"),
+            expr("percentile_approx(n_chars, 0.55, 1000000)").as("__hi50"),
+            expr("percentile_approx(n_chars, 0.85, 1000000)").as("__lo90"),
+            expr("percentile_approx(n_chars, 0.95, 1000000)").as("__hi90"))
           .select(col("source"), col("n_docs"),
             col("p50_exact"), col("p90_exact"),
             (col("__a50") >= col("__lo50") &&

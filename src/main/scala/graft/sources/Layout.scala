@@ -62,8 +62,13 @@ object Layout {
     */
   def bucketedTable(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       table: String, keys: Seq[String], numBuckets: Int): String = {
-    val name = s"graft_bkt_${table}_${md5Hex8(sfDir)}"
-    bktCache.get(spark, s"$sfDir/$table") {
+    // the layout identity is (source, keys, bucket count) — a second
+    // caller asking for a DIFFERENT bucketing of the same table must
+    // get its own build, not the first one's (whose join key would
+    // silently reintroduce the shuffle the layout exists to remove)
+    val spec = s"$sfDir/$table/${keys.mkString(",")}/$numBuckets"
+    val name = s"graft_bkt_${table}_${md5Hex8(spec)}"
+    bktCache.get(spark, spec) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)

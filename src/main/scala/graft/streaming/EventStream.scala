@@ -69,19 +69,20 @@ object EventStream {
     * side against the other, which is what lets Structured Streaming
     * evict buffered state: without the two range bounds the join would
     * buffer both streams forever. Columns are prefixed (`l_`/`r_`) so
-    * the self-join of one source stream is expressible.
+    * the self-join of one source stream is expressible. `tsCol` names
+    * each side's event-time column (both sides must carry it).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       lowerOffset: String, upperOffset: String,
-      watermark: String = "2 hours"): DataFrame = {
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
     val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
-      .withWatermark(s"l_ts", watermark)
+      .withWatermark(s"l_$tsCol", watermark)
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
-      .withWatermark(s"r_ts", watermark)
+      .withWatermark(s"r_$tsCol", watermark)
     l.join(r,
       col(s"l_$key") === col(s"r_$key") &&
-        col("r_ts") >= col("l_ts") + expr(s"INTERVAL $lowerOffset") &&
-        col("r_ts") < col("l_ts") + expr(s"INTERVAL $upperOffset"))
+        col(s"r_$tsCol") >= col(s"l_$tsCol") + expr(s"INTERVAL $lowerOffset") &&
+        col(s"r_$tsCol") < col(s"l_$tsCol") + expr(s"INTERVAL $upperOffset"))
   }
 
   /** Append-mode partitioned parquet sink for a streaming frame — the

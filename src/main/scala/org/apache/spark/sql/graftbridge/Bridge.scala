@@ -13,4 +13,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the storage behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` is a no-op there (checkpoint blocks live on
+    * the RDD, not in the CacheManager), so iterative algorithms that
+    * checkpoint per round must drop superseded rounds through the
+    * underlying RDD — after this the Dataset CANNOT be recomputed
+    * (its lineage was truncated); only call it on frames no live
+    * result depends on.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

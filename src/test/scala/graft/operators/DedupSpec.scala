@@ -184,6 +184,12 @@ class DedupSpec extends SparkSpec {
     assert(got.length == n && got.forall(_._2 == 1L))
   }
 
+  test("connectedComponents returns empty on an empty node set") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(nodes, "id", edges).count() == 0L)
+  }
+
   test("connectedComponents refuses a silently partial labeling") {
     val nodes = (1L to 12L).toDF("id")
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
