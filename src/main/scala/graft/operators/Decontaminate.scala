@@ -52,4 +52,55 @@ object Decontaminate {
       eval, evalId, evalText, n).select(col(trainId))
     train.join(bad, Seq(trainId), "left_anti")
   }
+
+  /** FUZZY decontamination: train docs that are near-duplicates of an
+    * eval doc (word-`n`-gram Jaccard ≥ `minJaccard`), catching the
+    * lightly-edited leaks exact-gram overlap misses. Per flagged train
+    * doc: how many eval docs it nears and the maximum Jaccard.
+    *
+    * Candidates come from MinHash band buckets computed on BOTH sides
+    * with identical seeds, joined on (band, bucket) — and because the
+    * eval side is benchmark-sized, its buckets AND its shingle arrays
+    * broadcast: the train corpus is scanned once, shuffles nothing,
+    * and only bucket-colliding cross pairs pay the exact Jaccard.
+    */
+  def fuzzyContaminationReport(train: DataFrame, trainId: String,
+      trainText: String, eval: DataFrame, evalId: String, evalText: String,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val trainFeat = Dedup.spread(train)
+      .select(col(trainId).as("__tid"),
+        TextAnalysis.wsTokens(col(trainText)).as("__w"))
+      .select(col("__tid"),
+        graft.functions.MinHashExprs.minhashBandHashes(
+          col("__w"), n, numHashes = 32, bands = 8).as("__bands"),
+        TextAnalysis.shinglesFromTokens(col("__w"), n).as("__tsh"))
+    val evalFeat = eval
+      .select(col(evalId).as("__eid"),
+        TextAnalysis.wsTokens(col(evalText)).as("__w"))
+      .select(col("__eid"),
+        graft.functions.MinHashExprs.minhashBandHashes(
+          col("__w"), n, numHashes = 32, bands = 8).as("__bands"),
+        TextAnalysis.shinglesFromTokens(col("__w"), n).as("__esh"))
+    val trainBuckets = trainFeat.select(col("__tid"), col("__tsh"),
+      posexplode_outer(col("__bands")).as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull)
+    val evalBuckets = evalFeat.select(col("__eid"), col("__esh"),
+      posexplode_outer(col("__bands")).as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull)
+    trainBuckets
+      .join(broadcast(evalBuckets), Seq("band", "bucket"))
+      // score BEFORE the pair-dedup so the distinct shuffles a (long,
+      // long, double) row, not two shingle arrays; a pair colliding in
+      // k ≤ bands buckets recomputes the Jaccard k times — bounded,
+      // and far cheaper than shuffling array payloads
+      .select(col("__tid"), col("__eid"),
+        round(Dedup.jaccardFromShingles(col("__tsh"), col("__esh")), 6)
+          .as("jacc"))
+      .distinct()
+      .filter(col("jacc") >= minJaccard)
+      .groupBy(col("__tid"))
+      .agg(count_distinct(col("__eid")).as("n_eval_near"),
+        max(col("jacc")).as("max_jacc"))
+      .withColumnRenamed("__tid", trainId)
+  }
 }

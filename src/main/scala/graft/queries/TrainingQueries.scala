@@ -360,6 +360,90 @@ object TrainingQueries {
               concat(col("text"), lit("\n(c) "), col("source"),
                 lit(" crawler export\ndoc "), col("doc_id")).as("text")),
             "doc_id", "text", "source", maxFrac = 0.5)
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // FUZZY decontamination over a train corpus with planted
+    // near-copies of the eval slice (id + 1000000): LSH candidates on
+    // both sides, eval side broadcast, exact Jaccard on collisions.
+    // Oracle: the exact all-pairs cross-slice Jaccard with the q32
+    // provable length prefilter — a hash match proves the broadcast
+    // LSH path has perfect recall AND precision vs the O(train×eval)
+    // definition at this sf.
+    Query("q71_fuzzy_decontam", Some(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                   FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM corpus)),
+        |sized AS (SELECT doc_id, sh, len(sh) AS ln FROM sh),
+        |tr AS (SELECT * FROM sized WHERE doc_id >= 20),
+        |ev AS (SELECT * FROM sized WHERE doc_id < 20),
+        |p AS (
+        |  SELECT t.doc_id AS tid, e.doc_id AS eid,
+        |    ROUND(CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE)
+        |      / (t.ln + e.ln - len(list_intersect(t.sh, e.sh))), 6) AS jacc
+        |  FROM tr t JOIN ev e
+        |    ON least(t.ln, e.ln) >= 0.8 * greatest(t.ln, e.ln))
+        |SELECT tid AS doc_id, COUNT(DISTINCT eid) AS n_eval_near,
+        |  MAX(jacc) AS max_jacc
+        |FROM p WHERE jacc >= 0.8 GROUP BY tid ORDER BY doc_id""".stripMargin))(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val evalSlice = d.filter(col("doc_id") < 20)
+        val train = d.filter(col("doc_id") >= 20).unionAll(
+          evalSlice.select((col("doc_id") + 1000000).as("doc_id"),
+            col("text")))
+        graft.operators.Decontaminate.fuzzyContaminationReport(
+            train, "doc_id", "text", evalSlice, "doc_id", "text",
+            n = 3, minJaccard = 0.8)
+          .orderBy("doc_id")
+      }),
+
+    // Column profiling ("analyze table"): nulls / distinct / min / max
+    // per column in ONE scan, one output row per column. Doubles render
+    // through decimal(18,2) so both engines print identical strings.
+    Query("q72_profile", Some(
+      """SELECT * FROM (
+        |  SELECT 'c_acctbal' AS col,
+        |    COUNT(*) - COUNT(c_acctbal) AS n_nulls,
+        |    COUNT(DISTINCT CAST(c_acctbal AS DECIMAL(18,2))) AS n_distinct,
+        |    CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS min_v,
+        |    CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS max_v
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_custkey', COUNT(*) - COUNT(c_custkey),
+        |    COUNT(DISTINCT c_custkey),
+        |    CAST(MIN(c_custkey) AS VARCHAR), CAST(MAX(c_custkey) AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(*) - COUNT(c_mktsegment),
+        |    COUNT(DISTINCT c_mktsegment),
+        |    MIN(c_mktsegment), MAX(c_mktsegment)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*) - COUNT(c_name),
+        |    COUNT(DISTINCT c_name), MIN(c_name), MAX(c_name)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(*) - COUNT(c_nationkey),
+        |    COUNT(DISTINCT c_nationkey),
+        |    CAST(MIN(c_nationkey) AS VARCHAR),
+        |    CAST(MAX(c_nationkey) AS VARCHAR)
+        |  FROM customer)
+        |ORDER BY col""".stripMargin))(
+      (s, dir) =>
+        graft.operators.Profiling.profile(t(s, dir, "customer"), Seq(
+            "c_acctbal" -> col("c_acctbal").cast("decimal(18,2)"),
+            "c_custkey" -> col("c_custkey"),
+            "c_mktsegment" -> col("c_mktsegment"),
+            "c_name" -> col("c_name"),
+            "c_nationkey" -> col("c_nationkey")))
+          .orderBy("col"))
   )
 }

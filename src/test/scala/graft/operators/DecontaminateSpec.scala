@@ -44,6 +44,22 @@ class DecontaminateSpec extends SparkSpec {
     assert(r.toSeq == Seq(3L, 4L))
   }
 
+  test("fuzzyContaminationReport flags near-copies, skips unrelated docs") {
+    val evalDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"))
+      .toDF("doc_id", "text")
+    val trainDocs = Seq(
+      // one word changed: 9 of 12 3-shingles shared → J = 9/15 = 0.6
+      (10L, "the quick brown fox jumps over the lazy dog and walks far away home"),
+      (11L, "completely different content about spark engines and data pipelines today"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.fuzzyContaminationReport(trainDocs, "doc_id",
+        "text", evalDocs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    assert(r == Map(10L -> ((1L, 0.6))))
+  }
+
   test("scrubPii redacts emails and phone numbers, leaves clean text") {
     val r = Seq(
       ("reach me at jane.doe+spam@sub.example.co.uk thanks", true),
