@@ -44,6 +44,24 @@ object Layout {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Export train-ready shards: range-partition on `orderCol` into
+    * `numShards` globally-ordered, disjoint-range files (shard k holds
+    * keys strictly below shard k+1's), each capped at
+    * `maxRecordsPerFile` rows (0 = uncapped). This is the final
+    * "corpus → training shards" step: a trainer streams shard files in
+    * key order with no further shuffle, and the range partitioning
+    * samples the key distribution so skewed keys still yield balanced
+    * shards — a hash layout would interleave keys across every file.
+    */
+  def writeShards(df: DataFrame, path: String, orderCol: String,
+      numShards: Int, maxRecordsPerFile: Int = 0): Unit =
+    df.repartitionByRange(numShards,
+        org.apache.spark.sql.functions.col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .parquet(path)
+
   // ---- cached bucketed twins of the testdata tables -----------------
 
   private val bktCache = new graft.SessionCache[String]

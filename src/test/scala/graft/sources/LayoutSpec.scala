@@ -40,6 +40,30 @@ class LayoutSpec extends SparkSpec {
     assert(joined.agg(sum("count(1)")).head().getLong(0) == direct)
   }
 
+  test("writeShards: disjoint ordered ranges, record cap honored") {
+    val dir = Files.createTempDirectory("graft_shards").toString + "/docs"
+    val df = spark.range(0, 100).toDF("id")
+      .select((col("id") * 7919 % 100).as("key"), col("id"))
+    Layout.writeShards(df, dir, "key", numShards = 4, maxRecordsPerFile = 10)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 10) // 100 rows / cap 10
+    // every file's key range is disjoint from every other's: sorting
+    // files by their min key must sort their max keys too, without
+    // overlap — the "stream shards in order" contract
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getPath).agg(
+        org.apache.spark.sql.functions.min("key"),
+        org.apache.spark.sql.functions.max("key")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ => ()
+    }
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("partitioned write enables partition pruning in the scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
     val ev = graft.Tables(spark, sf, "events")
