@@ -134,6 +134,57 @@ object TemporalQueries {
           .agg(count(lit(1)).as("n_events"),
             min(col("ts")).as("start_us"), max(col("ts")).as("end_us"),
             Query.dsum(col("value")).as("sum_val"))
-          .orderBy("user_id", "session_idx"))
+          .orderBy("user_id", "session_idx")),
+
+    // Analytic-window battery over the per-user event timeline: gap to
+    // the previous event (lag), quartile bucket (ntile), and rank
+    // position (percent_rank, rounded) — the remaining window-function
+    // family beyond row_number (q17) and running sums (q53/q62). One
+    // shuffle on user_id; every window shares the same ordering.
+    Query("q73_analytics", Some(
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pr
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin))(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), tsUs.as("ts"))
+          .select(col("event_id"), col("user_id"),
+            (col("ts") - lag(col("ts"), 1).over(w)).as("gap_us"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"))
+          .orderBy("event_id")
+      }),
+
+    // CUBE grouping sets — all four (type × hour-bucket) subtotal
+    // combinations in one pass, completing the grouping-sets family
+    // with q45's ROLLUP. Grouping-null keys normalize to sentinels
+    // (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+    Query("q74_cube", Some(
+      """SELECT COALESCE(event_type, '<all>') AS et,
+        |  COALESCE(day, '<all>') AS day,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM (SELECT event_type,
+        |        CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR) AS day,
+        |        value FROM events)
+        |GROUP BY CUBE(event_type, day)
+        |ORDER BY et, day""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").cast("string").as("day"),
+            col("value"))
+          .cube("event_type", "day")
+          .agg(count(lit(1)).as("cnt"), Query.dsum(col("value")).as("sum_val"))
+          .select(coalesce(col("event_type"), lit("<all>")).as("et"),
+            coalesce(col("day"), lit("<all>")).as("day"),
+            col("cnt"), col("sum_val"))
+          .orderBy("et", "day"))
   )
 }

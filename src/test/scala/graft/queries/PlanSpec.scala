@@ -91,6 +91,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(800))
   }
 
+  test("as-of join is one union-window shuffle, no join explosion (q60)") {
+    val p = plan("q60_asof_join")
+    // the only hash exchange is the window partitioning on the key;
+    // a second one would mean the union form regressed to a join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
+
+  test("fuzzy decontamination broadcasts the eval side (q71)") {
+    val p = plan("q71_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("SortMergeJoin"), p.take(1000))
+  }
+
+  test("column profiling reads the table once (q72)") {
+    val p = plan("q72_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
   test("bucketed-twin join shuffles nothing on the join key (q66)") {
     // broadcast disabled so the small verify-scale tables can't dodge
     // the SortMergeJoin the layout exists for; only the downstream
