@@ -63,30 +63,29 @@ object Decontaminate {
     * eval side is benchmark-sized, its buckets AND its shingle arrays
     * broadcast: the train corpus is scanned once, shuffles nothing,
     * and only bucket-colliding cross pairs pay the exact Jaccard.
+    *
+    * Banding is 16 bands × 2 rows (not the near-dup default 8 × 4):
+    * decontamination is recall-critical — a missed leak poisons an
+    * eval — and at the 0.8 threshold 16×2 misses a qualifying pair
+    * with probability (1 − 0.8²)¹⁶ ≈ 7e-8, versus ~1.5% for 8×4. The
+    * extra candidates this admits are cheap: they only pay a
+    * broadcast-side Jaccard.
     */
   def fuzzyContaminationReport(train: DataFrame, trainId: String,
       trainText: String, eval: DataFrame, evalId: String, evalText: String,
-      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val trainFeat = Dedup.spread(train)
-      .select(col(trainId).as("__tid"),
-        TextAnalysis.wsTokens(col(trainText)).as("__w"))
-      .select(col("__tid"),
-        graft.functions.MinHashExprs.minhashBandHashes(
-          col("__w"), n, numHashes = 32, bands = 8).as("__bands"),
-        TextAnalysis.shinglesFromTokens(col("__w"), n).as("__tsh"))
-    val evalFeat = eval
-      .select(col(evalId).as("__eid"),
-        TextAnalysis.wsTokens(col(evalText)).as("__w"))
-      .select(col("__eid"),
-        graft.functions.MinHashExprs.minhashBandHashes(
-          col("__w"), n, numHashes = 32, bands = 8).as("__bands"),
-        TextAnalysis.shinglesFromTokens(col("__w"), n).as("__esh"))
-    val trainBuckets = trainFeat.select(col("__tid"), col("__tsh"),
-      posexplode_outer(col("__bands")).as(Seq("band", "bucket")))
-      .filter(col("bucket").isNotNull)
-    val evalBuckets = evalFeat.select(col("__eid"), col("__esh"),
-      posexplode_outer(col("__bands")).as(Seq("band", "bucket")))
-      .filter(col("bucket").isNotNull)
+      n: Int = 3, minJaccard: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val trainFeat = Dedup.bandedShingleFeatures(
+      Dedup.spread(train).select(col(trainId).as("__tid"),
+        col(trainText).as("__text")),
+      "__tid", "__text", n, numHashes, bands, shCol = "__tsh")
+    val evalFeat = Dedup.bandedShingleFeatures(
+      eval.select(col(evalId).as("__eid"), col(evalText).as("__text")),
+      "__eid", "__text", n, numHashes, bands, shCol = "__esh")
+    val trainBuckets = Dedup.explodeBuckets(trainFeat,
+      Seq(col("__tid"), col("__tsh")))
+    val evalBuckets = Dedup.explodeBuckets(evalFeat,
+      Seq(col("__eid"), col("__esh")))
     trainBuckets
       .join(broadcast(evalBuckets), Seq("band", "bucket"))
       // score BEFORE the pair-dedup so the distinct shuffles a (long,

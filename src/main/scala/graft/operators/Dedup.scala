@@ -123,6 +123,31 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** One featurization pass shared by the verified near-dup and fuzzy
+    * decontamination paths: (id, LSH band-hash array, shingle array)
+    * from a single tokenize (tokens materialized once — see object
+    * doc). Callers decide about `spread`/persist.
+    */
+  private[operators] def bandedShingleFeatures(df: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, bands: Int,
+      shCol: String = "sh"): DataFrame =
+    df.select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        graft.functions.MinHashExprs.minhashBandHashes(
+          col("__w"), n, numHashes, bands).as("__bands"),
+        TextAnalysis.shinglesFromTokens(col("__w"), n).as(shCol))
+
+  /** Explode a band-hash array column into (band, bucket) rows, keeping
+    * `keep`. The outer + null-drop form — the inner explode's inferred
+    * `size(...) > 0` filter re-derives the array expression when it is
+    * not a bound column (the q54 landmine; see minhashBuckets).
+    */
+  private[operators] def explodeBuckets(df: DataFrame,
+      keep: Seq[Column]): DataFrame =
+    df.select(keep :+
+      posexplode_outer(col("__bands")).as(Seq("band", "bucket")): _*)
+      .filter(col("bucket").isNotNull)
+
   /** id + minhash signature per document: `numHashes` permutations
     * approximated by seeded xxhash64 over the doc's distinct word-`n`-
     * gram shingles; slot i = min hash under seed i. The shingle array
@@ -212,16 +237,11 @@ object Dedup {
     val members = grouped.select(col("id"), col("gid"))
     // 2) featurize representatives only
     val feat = persistHeavy(
-      grouped.filter(col("id") === col("gid"))
-        .select(col("gid"), TextAnalysis.wsTokens(col("text")).as("__w"))
-        .select(col("gid"),
-          graft.functions.MinHashExprs.minhashBandHashes(
-            col("__w"), n, numHashes, bands).as("__bands"),
-          TextAnalysis.shinglesFromTokens(col("__w"), n).as("sh")),
+      bandedShingleFeatures(grouped.filter(col("id") === col("gid")),
+        "gid", "text", n, numHashes, bands),
       freshScope = false)
     // 3) LSH candidates over representatives (capped buckets)
-    val sized = feat
-      .select(col("gid"), posexplode(col("__bands")).as(Seq("band", "bucket")))
+    val sized = explodeBuckets(feat, Seq(col("gid")))
       .withColumn("__bsz", count(lit(1)).over(
         Window.partitionBy("band", "bucket")))
     val buckets = sized.filter(col("__bsz") <= maxBucketSize).drop("__bsz")

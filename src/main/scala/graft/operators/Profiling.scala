@@ -19,16 +19,20 @@ object Profiling {
 
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val structs = cols.map { case (name, v) =>
+    // positional aliases, NOT the user-supplied names: a display name
+    // with a dot/backtick would otherwise break the col() resolution
+    // of the generated struct columns
+    val structs = cols.zipWithIndex.map { case ((name, v), i) =>
       struct(
         lit(name).as("col"),
         (count(lit(1)) - count(v)).as("n_nulls"),
         count_distinct(v).as("n_distinct"),
         min(v).cast("string").as("min_v"),
-        max(v).cast("string").as("max_v")).as(s"__p_$name")
+        max(v).cast("string").as("max_v")).as(s"__p_$i")
     }
     df.agg(structs.head, structs.tail: _*)
-      .select(explode(array(cols.map(c => col(s"__p_${c._1}")): _*)).as("p"))
+      .select(explode(array(cols.indices.map(i => col(s"__p_$i")): _*))
+        .as("p"))
       .select(col("p.col"), col("p.n_nulls"), col("p.n_distinct"),
         col("p.min_v"), col("p.max_v"))
   }

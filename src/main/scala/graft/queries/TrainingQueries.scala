@@ -366,9 +366,10 @@ object TrainingQueries {
     // near-copies of the eval slice (id + 1000000): LSH candidates on
     // both sides, eval side broadcast, exact Jaccard on collisions.
     // Oracle: the exact all-pairs cross-slice Jaccard with the q32
-    // provable length prefilter — a hash match proves the broadcast
-    // LSH path has perfect recall AND precision vs the O(train×eval)
-    // definition at this sf.
+    // provable length prefilter. Equality with the exact definition is
+    // robust, not scale-lucky: identical planted pairs always collide,
+    // and the operator's 16×2 banding misses an organic J ≥ 0.8 pair
+    // with probability (1 − 0.8²)¹⁶ ≈ 7e-8 per pair.
     Query("q71_fuzzy_decontam", Some(
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -17,4 +17,11 @@ class ProfilingSpec extends SparkSpec {
     assert(r("k") == ((1L, 2L, "1", "3")))
     assert(r("s") == ((1L, 2L, "a", "b")))
   }
+
+  test("profile accepts display names with dots (no alias round-trip)") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val r = Profiling.profile(df, Seq("t.a" -> col("a"), "t.b" -> col("b")))
+      .collect().map(_.getString(0)).sorted
+    assert(r.toSeq == Seq("t.a", "t.b"))
+  }
 }
