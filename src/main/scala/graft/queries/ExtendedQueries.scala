@@ -33,6 +33,19 @@ object ExtendedQueries {
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toSeq)
 
+  /** The embedding near-dup pair set, persisted once per (session,
+    * dir): q39 reports it and q67 clusters it — in a real pipeline the
+    * pair set is materialized once and consumed by both, so the
+    * declared queries share the same frame (the Tables/queryVec
+    * pattern). Tiny (pairs above threshold), so the persist is cheap.
+    */
+  private val pairsCache = new graft.SessionCache[DataFrame]
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.get(s, dir)(
+      Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "embedding",
+          "vec_id", "label", threshold = 0.35)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Persisted ANN indexes, built once per (session, sfDir) into a
     * temp dir — the index build is the amortized cost (one write job);
     * every probe after it is a partition-pruned scan. Mirrors a real
@@ -326,10 +339,7 @@ object ExtendedQueries {
         |  FROM ok a JOIN ok b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE score >= 0.35 ORDER BY id_a, id_b""".stripMargin))(
-      (s, dir) =>
-        Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "embedding",
-            "vec_id", "label", threshold = 0.35)
-          .orderBy("id_a", "id_b")),
+      (s, dir) => nearDupPairs(s, dir).orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs (pigeonhole chunk buckets, hamming ≤ 3)
     // on the clone-planted corpus, checked as a recall invariant: the
@@ -587,15 +597,12 @@ object ExtendedQueries {
         |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.r)
         |SELECT id AS vec_id, MIN(r) AS comp, (id = MIN(r)) AS keep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin))(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val pairs = Similarity.blockedNearDupPairs(emb, "embedding",
-          "vec_id", "label", threshold = 0.35)
-        Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
-            pairs.select("id_a", "id_b"))
+      (s, dir) =>
+        Dedup.connectedComponents(
+            t(s, dir, "embeddings").select("vec_id"), "vec_id",
+            nearDupPairs(s, dir).select("id_a", "id_b"))
           .select(col("id").as("vec_id"), col("comp"),
             (col("id") === col("comp")).as("keep"))
-          .orderBy("vec_id")
-      })
+          .orderBy("vec_id"))
   )
 }
