@@ -82,4 +82,75 @@ class PropertiesSpec extends SparkSpec {
       .agg(sum("n_dups")).as[Long].head()
     assert(grouped == n)
   }
+
+  // ---- temporal / graph operators vs brute-force references --------
+
+  private val rnd = new scala.util.Random(42)
+  private val randEvents: Seq[(Long, Long, Long)] = // (key, t, eid)
+    (1L to 120L).map(eid =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, eid))
+
+  test("asOfJoin matches the naive per-probe argmax on random data") {
+    import graft.operators.Temporal
+    val events = randEvents.toDF("k", "t", "eid")
+    val probes = (1L to 40L)
+      .map(pid => (rnd.nextInt(5).toLong, rnd.nextInt(55).toLong, pid))
+      .toDF("k", "t", "pid")
+    val got = Temporal.asOfJoin(probes, events, "k", "k", "t", "t", "eid",
+        Seq("eid"))
+      .select("pid", "eid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    val evSeq = randEvents
+    probes.select("k", "t", "pid").as[(Long, Long, Long)].collect()
+      .foreach { case (k, t, pid) =>
+        val naive = evSeq.filter(e => e._1 == k && e._2 <= t)
+          .sortBy(e => (e._2, e._3)).lastOption.map(_._3)
+        assert(got(pid) == naive, s"probe $pid")
+      }
+  }
+
+  test("rangeJoinPairs matches the naive theta-join on random data") {
+    import graft.operators.Temporal
+    val events = randEvents.toDF("k2", "t2", "eid")
+    val probes = (1L to 40L)
+      .map(pid => (rnd.nextInt(5).toLong, rnd.nextInt(55).toLong, pid))
+      .toDF("k", "t", "pid")
+    val (lo, hi) = (-7L, 4L)
+    val got = Temporal.rangeJoinPairs(probes, events, "k", "k2", "t", "t2",
+        lo, hi, Seq("eid" -> "eid"))
+      .select("pid", "eid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (k, t, pid) <- probes.select("k", "t", "pid")
+        .as[(Long, Long, Long)].collect()
+      (ek, et, eid) <- randEvents
+      if ek == k && et >= t + lo && et < t + hi
+    } yield (pid, eid)).toSet
+    assert(got == want)
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val n = 30L
+    val nodes = (1L to n).toDF("id")
+    val edgeSeq = (1 to 25).map(_ =>
+      (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+      .filter { case (a, b) => a != b }
+    val edges = edgeSeq.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", edges)
+      .as[(Long, Long)].collect().toMap
+    // reference: path-compressed union-find
+    val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    edgeSeq.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (1L to n).foreach { i =>
+      // canonical label = min id in component on both sides
+      val members = (1L to n).filter(j => find(j) == find(i))
+      assert(got(i) == members.min, s"node $i")
+    }
+  }
 }
