@@ -53,6 +53,38 @@ object Decontaminate {
     train.join(bad, Seq(trainId), "left_anti")
   }
 
+  /** Per-train-doc Bloom contamination flags — the memory-lean form of
+    * [[contaminationReport]] for when the eval gram set is too large to
+    * broadcast as an exact hash set: a Bloom filter costs ~10 bits per
+    * gram at 1% false positives (vs ~10² bytes per entry for the set),
+    * and its guarantee has exactly the right polarity for this job —
+    * NO false negatives, so a leak can never slip through; false
+    * positives only send a few extra docs to exact re-checking.
+    * Returns (id, bloom_hit) for EVERY train doc.
+    *
+    * The filter builds distributedly (`stat.bloomFilter` is a
+    * mergeable aggregate over the gram frame) and ships to executors
+    * once in the predicate's closure; the train side stays one scan.
+    */
+  def bloomContaminationFlags(train: DataFrame, trainId: String,
+      trainText: String, eval: DataFrame, evalId: String, evalText: String,
+      n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val evalGrams = Dedup.shingleFrame(eval, evalId, evalText, n)
+      .select(explode_outer(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+    // the eval side is bounded (benchmark-sized), so the count action
+    // sizing the filter is cheap metadata, like the ANN centroid pull
+    val nGrams = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("gram", nGrams, fpp)
+    val mightContain = udf((g: String) => g != null && bf.mightContain(g))
+    Dedup.shingleFrame(train, trainId, trainText, n)
+      .select(col(trainId), explode_outer(col("sh")).as("gram"))
+      .groupBy(col(trainId))
+      .agg((sum(when(col("gram").isNotNull && mightContain(col("gram")), 1L)
+        .otherwise(0L)) > 0).as("bloom_hit"))
+  }
+
   /** FUZZY decontamination: train docs that are near-duplicates of an
     * eval doc (word-`n`-gram Jaccard ≥ `minJaccard`), catching the
     * lightly-edited leaks exact-gram overlap misses. Per flagged train

@@ -430,6 +430,29 @@ object CoreQueries {
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("rev"))
           .orderBy("o_orderstatus")
+      }),
+
+    // The q14 join through the SALTED path (Skew.saltedJoin): big side
+    // salted on a non-key column, small side replicated per salt, join
+    // key becomes (key, salt) so a hot order key's rows spread over 16
+    // reducers. Row-identical to the plain join — the oracle IS the
+    // plain join, making the equivalence a per-round hash check, not
+    // just a spec.
+    Query("q76_salted_join", Some(
+      """SELECT l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_extendedprice", "l_linestatus")
+        val or = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"))
+        graft.operators.Skew.saltedJoin(li, or, "l_orderkey",
+            saltFrom = col("l_partkey"))
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("rev"))
+          .orderBy("l_linestatus")
       })
   )
 }

@@ -406,6 +406,47 @@ object TrainingQueries {
           .orderBy("doc_id")
       }),
 
+    // Bloom-filter decontamination contract (the q42 pattern): the
+    // exact contaminated set rides along (DuckDB recomputes it), and
+    // bloom_covers asserts the Bloom path's no-false-negative
+    // guarantee — every exactly-contaminated doc must be bloom-hit.
+    // False positives are legal (they cost an exact re-check, not a
+    // leak), so only the implication is pinned, not equality.
+    Query("q75_bloom_decontam", Some(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |       || toks[i+3] || ' ' || toks[i+4]
+        |     FOR i IN generate_series(1, len(toks) - 4)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |evg AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id < 20),
+        |trg AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+        |        WHERE doc_id >= 20),
+        |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg USING (gram))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS exact_hit,
+        |  true AS bloom_covers
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+        |LEFT JOIN hit h USING (doc_id) ORDER BY d.doc_id""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val trainD = docs.filter(col("doc_id") >= 20)
+        val evalD = docs.filter(col("doc_id") < 20)
+        val exact = graft.operators.Decontaminate.contaminationReport(
+            trainD, "doc_id", "text", evalD, "doc_id", "text", n = 5)
+          .select(col("doc_id"), lit(true).as("__ex"))
+        val bloom = graft.operators.Decontaminate.bloomContaminationFlags(
+          trainD, "doc_id", "text", evalD, "doc_id", "text", n = 5)
+        trainD.select("doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(bloom, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__ex"), lit(false)).as("exact_hit"),
+            (coalesce(col("bloom_hit"), lit(false)) ||
+              !coalesce(col("__ex"), lit(false))).as("bloom_covers"))
+          .orderBy("doc_id")
+      }),
+
     // Column profiling ("analyze table"): nulls / distinct / min / max
     // per column in ONE scan, one output row per column. Doubles render
     // through decimal(18,2) so both engines print identical strings.

@@ -44,6 +44,20 @@ class DecontaminateSpec extends SparkSpec {
     assert(r.toSeq == Seq(3L, 4L))
   }
 
+  test("bloomContaminationFlags: no false negatives, every doc flagged") {
+    val exactIds = Decontaminate.contaminationReport(train, "doc_id",
+        "text", evalSet, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val flags = Decontaminate.bloomContaminationFlags(train, "doc_id",
+        "text", evalSet, "doc_id", "text", n = 8)
+      .as[(Long, Boolean)].collect().toMap
+    // the Bloom guarantee: exactly-contaminated ⇒ bloom-hit
+    exactIds.foreach(id => assert(flags(id), s"doc $id missed"))
+    // and the flag frame is total over the train side
+    assert(flags.keySet ==
+      train.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("fuzzyContaminationReport flags near-copies, skips unrelated docs") {
     val evalDocs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home"))
