@@ -95,6 +95,44 @@ object ExtendedQueries {
     ivfIndexPath(s, dir)
   }
 
+  /** DuckDB twin of one SRP band's bucket id: the seeded hyperplanes
+    * are deterministic (same `Similarity.hyperplanes` call the Spark
+    * plan makes), so they are baked into the SQL as double literals —
+    * oracle and plan share one plane family by construction. Sign and
+    * accumulation order match the engine: `list_dot_product` sums
+    * left-to-right in double, exactly like DotProductExpr.
+    */
+  private def srpBucketSql(vec: String, fam: Seq[Seq[Double]]): String =
+    fam.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vec, $arr) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Full oracle for the LSH-probed top-k (q38 and its indexed twin
+    * q47, identical result sets by construction): DuckDB recomputes the
+    * 4-band bucket of every corpus vector AND of the query vector
+    * (vec_id = 0) from the baked plane literals, keeps rows matching
+    * the query's bucket in any band, and ranks by exact cosine — the
+    * same filter-then-score plan the engine runs. Plane dims (64) match
+    * the testdata embedding width; planesPerBand/bands/seed mirror the
+    * query declarations below.
+    */
+  private lazy val lshOracleSql: String = {
+    val fams = Seq.tabulate(4)(b => Similarity.hyperplanes(64, 6, 42L + b))
+    val bandPred = fams.map { f =>
+      srpBucketSql("CAST(v.embedding AS DOUBLE[])", f) +
+        s" = (SELECT ${srpBucketSql("qv", f)} FROM q)"
+    }.mkString("(", ")\n   OR (", ")")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id = 0)
+       |SELECT v.vec_id,
+       |  ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+       |    (SELECT qv FROM q)), 6) AS score
+       |FROM embeddings v
+       |WHERE ($bandPred)
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Query] = Seq(
 
     // Exact dedup keyed on a content hash (here no dups exist — every
@@ -307,13 +345,13 @@ object ExtendedQueries {
           .orderBy("doc_id")),
 
     // LSH-restricted approximate top-k (sign random projection,
-    // multi-band probe) — the scale path for q34. Deliberately
-    // rows-only: the seeded Gaussian hyperplane family has no SQL
-    // twin and multi-probe recall < 1.0 by design (the probed buckets
-    // cover ~recall of the true top-k), so no DuckDB-computable
-    // invariant pins the exact row set. Recall vs brute force and
-    // q47-equality are pinned by SimilaritySpec instead.
-    Query("q38_ann_lsh", None)(
+    // multi-band probe) — the scale path for q34. Fully oracle-checked:
+    // the seeded hyperplane family IS SQL-expressible once its values
+    // are baked in as literals (see lshOracleSql), so DuckDB reproduces
+    // the exact bucket filter AND the exact approximate result set —
+    // recall < 1.0 and all. Recall vs brute force and q47-equality are
+    // additionally pinned by SimilaritySpec.
+    Query("q38_ann_lsh", Some(lshOracleSql))(
       (s, dir) =>
         Similarity.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
           queryVec(s, dir), k = 10, planesPerBand = 6, bands = 4)),
@@ -497,7 +535,7 @@ object ExtendedQueries {
     // is a partition-pruned scan (PartitionFilters — pinned by
     // PlanSpec) + distinct + top-k. Same rows as q38 by construction
     // (pinned by SimilaritySpec).
-    Query("q47_ann_indexed", None)(
+    Query("q47_ann_indexed", Some(lshOracleSql))(
       (s, dir) =>
         Similarity.lshTopKIndexed(s, lshIndexPath(s, dir), "embedding",
           "vec_id", queryVec(s, dir), k = 10)),
