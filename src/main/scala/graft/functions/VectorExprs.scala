@@ -119,8 +119,62 @@ object VectorExprs {
     override def prettyName: String = "simhash64"
   }
 
+  /** Shannon entropy (bits) of the token distribution in one array
+    * pass: hash-map counts, then H = log2(n) - Σ c·log2(c) / n — the
+    * built-in route (`transform` over `array_distinct` with a nested
+    * `filter` count) walks the array once per DISTINCT token,
+    * interpreted. Null elements are skipped; an empty (or all-null)
+    * array yields 0.0 — matching the DuckDB twin, which computes the
+    * same closed form with `log2`. Both engines evaluate in double and
+    * results are rounded at the query boundary, absorbing last-ulp
+    * log differences (the q68 ln convention).
+    */
+  final case class TokenEntropyExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    def compute(toks: ArrayData): Double = {
+      val n = toks.numElements()
+      val counts = new java.util.HashMap[Any, Int](math.max(16, n * 2))
+      var total = 0
+      var i = 0
+      while (i < n) {
+        if (!toks.isNullAt(i)) {
+          val t = toks.getUTF8String(i)
+          counts.merge(t, 1, (a, b) => a + b)
+          total += 1
+        }
+        i += 1
+      }
+      if (total == 0) return 0.0
+      val ln2 = math.log(2.0)
+      var s = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().toDouble
+        s += c * (math.log(c) / ln2)
+      }
+      math.log(total.toDouble) / ln2 - s / total
+    }
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("tokenEntropyExpr", this,
+        classOf[TokenEntropyExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "token_entropy"
+  }
+
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def tokenEntropy(tokens: Column): Column =
+    Bridge.column(TokenEntropyExpr(Bridge.expression(tokens)))
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))

@@ -247,6 +247,57 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Fixed-token-window document chunking with stride — the
+    * context-length splitter that turns long documents into training
+    * sequences (stride < chunkTokens gives overlapping windows).
+    * One narrow pass: tokens materialize once, window starts are a
+    * generated sequence (0, stride, 2·stride, … < n_tokens), each
+    * start slices its window from the bound token array. Partial tail
+    * windows are emitted (their true length is in `n_chunk_tokens`);
+    * callers drop or pad them by policy. Narrow — no shuffle; output
+    * rows ≈ input tokens / stride regardless of document skew.
+    *
+    * Empty/whitespace-only text follows the engine-wide tokenizer
+    * convention (`wsTokens("") = [""]` — one empty token), so every
+    * document emits at least one chunk and the operator is total.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0, s"stride must be positive, got $stride")
+    Dedup.spread(df)
+      .select(col(idCol), wsTokens(col(textCol)).as("__w"))
+      // starts materialized as a bound column before the explode so the
+      // generator's inferred size() filter (InferFiltersFromGenerate)
+      // cannot re-derive the sequence — the house explode pattern
+      .withColumn("__starts",
+        sequence(lit(0), size(col("__w")) - 1, lit(stride)))
+      .select(col(idCol), col("__w"),
+        posexplode_outer(col("__starts")).as(Seq("chunk_idx", "start")))
+      .filter(col("start").isNotNull)
+      .withColumn("__c", slice(col("__w"), col("start") + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx"), col("start"),
+        size(col("__c")).as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Per-document unigram (token) Shannon entropy in bits — the
+    * distribution-shape quality signal that separates natural prose
+    * (entropy tracks vocabulary richness) from degenerate repetition
+    * (entropy → 0) and word salad (entropy ≈ log2 n_tokens). Computed
+    * by one single-pass custom expression over the materialized token
+    * array (the built-in form would re-walk the array once per
+    * distinct token, interpreted); stays inside whole-stage codegen.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.spread(df)
+      .select(col(idCol), wsTokens(lower(col(textCol))).as("__w"))
+      .select(col(idCol),
+        size(col("__w")).as("n_tokens"),
+        size(array_distinct(col("__w"))).as("n_distinct"),
+        round(graft.functions.VectorExprs.tokenEntropy(col("__w")), 6)
+          .as("entropy"))
+
   /** Line-level boilerplate removal: drop every line that appears in
     * more than `maxFrac` of the documents of its `groupCol` (source /
     * domain) — the shared-footer/nav-chrome filter. Documents reduced

@@ -641,6 +641,40 @@ object ExtendedQueries {
             nearDupPairs(s, dir).select("id_a", "id_b"))
           .select(col("id").as("vec_id"), col("comp"),
             (col("id") === col("comp")).as("keep"))
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    // Per-label embedding centroids via the mergeable vector-mean
+    // aggregate (VecAggs.vecAvg): map-side partial sums, one
+    // (dims+1)-double buffer per (partition, label) into the shuffle —
+    // never the member vectors. Output one row per (label, dimension)
+    // so both engines compare plain doubles (array stringification
+    // differs across engines). The oracle recomputes each dimension's
+    // mean with a generate_series cross join (64 = testdata embedding
+    // width, like the q38 oracle).
+    Query("q78_centroids", Some(
+      """WITH m AS (
+        |  SELECT label, g.i AS dim, AVG(CAST(embedding[g.i] AS DOUBLE)) AS c
+        |  FROM embeddings, generate_series(1, 64) AS g(i)
+        |  GROUP BY label, g.i),
+        |n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+        |SELECT m.label, CAST(m.dim AS INTEGER) AS dim, ROUND(m.c, 6) AS c,
+        |  n.n
+        |FROM m JOIN n USING (label) ORDER BY label, dim""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.VecAggs.vecAvg(
+              col("embedding").cast("array<double>")).as("__raw"))
+          // rounded array bound BEFORE the explode (house pattern: the
+          // generator's inferred size() filter re-derives unbound
+          // arrays)
+          .withColumn("__c", transform(col("__raw"), x => round(x, 6)))
+          .select(col("label"), col("n"),
+            posexplode_outer(col("__c")).as(Seq("__d", "c")))
+          .filter(col("c").isNotNull)
+          .select(col("label"), (col("__d") + 1).as("dim"), col("c"),
+            col("n"))
+          .orderBy("label", "dim"))
   )
 }

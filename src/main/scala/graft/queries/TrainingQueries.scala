@@ -486,6 +486,54 @@ object TrainingQueries {
             "c_mktsegment" -> col("c_mktsegment"),
             "c_name" -> col("c_name"),
             "c_nationkey" -> col("c_nationkey")))
-          .orderBy("col"))
+          .orderBy("col")),
+
+    // Fixed-token-window chunking with overlap (32-token windows,
+    // stride 24) — long documents become context-length training
+    // sequences. Narrow (no shuffle): tokens materialize once, starts
+    // are a generated arithmetic sequence, windows slice the bound
+    // array. Partial tails ride along with their true length.
+    Query("q77_chunk", Some(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+        |    AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 24)) AS start
+        |  FROM t)
+        |SELECT doc_id, start // 24 AS chunk_idx, start,
+        |  len(list_slice(toks, start + 1, start + 32)) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.chunkByTokens(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", chunkTokens = 32, stride = 24)
+          .orderBy("doc_id", "chunk_idx")),
+
+    // Unigram Shannon entropy per document (bits, lower-cased tokens)
+    // — the distribution-shape quality signal: repetition drives it
+    // toward 0, word salad toward log2(n). One single-pass custom
+    // expression (TokenEntropyExpr) per row; the oracle computes the
+    // same closed form H = log2(n) - Σ c·log2(c)/n with DuckDB list
+    // lambdas, both engines rounding the double at the boundary.
+    Query("q79_entropy", Some(
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |                   x -> lower(x)) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+        |    list_transform(list_distinct(toks),
+        |      d -> len(list_filter(toks, x -> x = d))) AS cs
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+        |  ROUND(log2(CAST(n AS DOUBLE)) -
+        |    list_sum(list_transform(cs, c -> c * log2(CAST(c AS DOUBLE))))
+        |      / n, 6) AS entropy
+        |FROM c ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.tokenEntropy(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text")
+          .orderBy("doc_id"))
   )
 }

@@ -113,4 +113,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == Map(1L -> "z\na", 2L -> "keep2", 3L -> "",
       4L -> "only", 5L -> ""))
   }
+
+  test("chunkByTokens: overlapping windows, partial tail, start/index math") {
+    import spark.implicits._
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "doc_id", "text",
+        chunkTokens = 3, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start", "n_chunk_tokens", "chunk_text")
+      .as[(Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (0, 0, 3, "t1 t2 t3"),
+      (1, 2, 3, "t3 t4 t5"),
+      (2, 4, 3, "t5 t6 t7"),
+      (3, 6, 1, "t7")))
+  }
+
+  test("chunkByTokens: stride past length gives one window; empty doc is total") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "doc_id", "text",
+        chunkTokens = 5, stride = 10)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    // empty text follows the tokenizer convention: one empty token
+    assert(got == Set((1L, 0, 2, "a b"), (2L, 0, 1, "")))
+  }
+
+  test("tokenEntropy: uniform, degenerate, and case-folded distributions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),       // one token type → 0 bits
+      (2L, "a b c d"),       // uniform over 4 → 2 bits
+      (3L, "a a b b"),       // uniform over 2 → 1 bit
+      (4L, "A a"),           // case-folds to one type → 0 bits
+      (5L, "")               // single empty token → 0 bits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "entropy")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4, 1, 0.0)))
+    assert(got(2L) == ((4, 4, 2.0)))
+    assert(got(3L) == ((4, 2, 1.0)))
+    assert(got(4L) == ((2, 1, 0.0)))
+    assert(got(5L) == ((1, 1, 0.0)))
+  }
+
+  test("tokenEntropy: skewed distribution matches the closed form") {
+    import spark.implicits._
+    // counts 3,1: H = log2(4) - (3*log2(3) + 0)/4
+    val want = 2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0
+    val got = TextAnalysis.tokenEntropy(
+        Seq((1L, "x x x y")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("entropy").as[Double].head()
+    assert(math.abs(got - math.rint(want * 1e6) / 1e6) < 1e-9)
+  }
 }
