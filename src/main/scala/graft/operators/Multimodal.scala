@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   *   - `audio` via `javax.sound.sampled` (pure-JVM WAV/AIFF/AU PCM
   *     codecs): true frame count, channels, duration, and a per-segment
   *     RMS loudness envelope over the mono mix.
-  *   - `video` via a pure-JVM ISO BMFF (MP4) box parser: true
-  *     width/height (tkhd) and duration (mvhd). Pixel/frame DATA stays
-  *     out of reach without a real codec, so the video feature vector
-  *     is the deterministic byte fingerprint — declared, not hidden.
+  *   - `video`: REAL pixels for MJPEG-in-AVI (RIFF walk + per-frame
+  *     `javax.imageio` JPEG decode → mean-luminance envelope); for MP4,
+  *     a pure-JVM ISO BMFF box parser gives true width/height (tkhd)
+  *     and duration (mvhd) while the feature vector stays the byte
+  *     fingerprint — MP4 pixel data needs a codec no bare JVM ships,
+  *     a boundary declared, not hidden.
   * Undecodable payloads of any kind fall back to `decodeStub`, keeping
   * the operator total on a 100 TB corpus of occasionally-corrupt data.
   */
@@ -246,17 +248,115 @@ object Multimodal {
     if (sawMoov) Some(Mp4Meta(w, h, timescale, duration)) else None
   }
 
-  /** Video decode: REAL container metadata (dimensions + duration from
-    * the MP4 box tree); the feature vector is the deterministic byte
-    * fingerprint — decoding pixels needs a codec no bare JVM ships, and
+  /** REAL video pixel decode for MJPEG-in-AVI: the RIFF/AVI container
+    * is walked per the public layout (chunks little-endian, `LIST`
+    * boxes carry a 4-byte type, frame chunks are `##dc`/`##db`), and
+    * each Motion-JPEG frame is an ordinary JPEG the JVM's own
+    * `javax.imageio` codec decodes — so frame pixels, not just headers,
+    * back the feature vector. Features: a `dim`-segment mean-luminance
+    * envelope over the frame sequence (the video twin of the audio RMS
+    * envelope — black-frame runs, fades, and hard cuts show up
+    * directly), luminance normalized to [0, 1]. Width/height come from
+    * the first decodable frame; duration from `avih`'s
+    * dwMicroSecPerFrame × the container frame count.
+    *
+    * At most `maxFrames` frames are decoded, sampled evenly across the
+    * stream — a bounded per-row cost on a 100 TB corpus of long clips
+    * (the envelope is a sampled estimate beyond the cap, exact below
+    * it). Non-MJPEG payloads (frames ImageIO can't read) return None.
+    */
+  private[operators] def decodeAviMjpeg(payload: Array[Byte], dim: Int,
+      maxFrames: Int = 256): Option[Decoded] = {
+    if (payload == null || payload.length < 12) return None
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String = new String(payload, o, 4, "ISO-8859-1")
+    try {
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var usPerFrame = 0L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off)
+          val size = u32(off + 4)
+          val body = off + 8
+          if (size < 0 || body + size > end) return // malformed: stop
+          val bodyEnd = (body + size).toInt
+          if (id == "LIST" && size >= 4) walk(body + 4, bodyEnd)
+          else if (id == "avih" && size >= 4) usPerFrame = u32(body)
+          else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0)
+            frames += ((body, size.toInt))
+          off = bodyEnd + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      walk(12, payload.length)
+      if (frames.isEmpty) return None
+      val n = frames.length
+      val picked =
+        if (n <= maxFrames) frames.toSeq
+        else (0 until maxFrames).map(i => frames((i.toLong * n / maxFrames).toInt))
+      var w = 0
+      var h = 0
+      val lums = picked.flatMap { case (off, len) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, off, len))
+        if (img == null) None
+        else {
+          if (w == 0) { w = img.getWidth; h = img.getHeight }
+          var sum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some(sum / (img.getWidth.toLong * img.getHeight) / 255.0)
+        }
+      }
+      if (lums.isEmpty || w == 0) return None
+      val feats = new Array[Float](dim)
+      var b = 0
+      while (b < dim) {
+        val from = (b.toLong * lums.length / dim).toInt
+        val to = ((b + 1).toLong * lums.length / dim).toInt
+        if (to > from) {
+          var s = 0.0
+          var j = from
+          while (j < to) { s += lums(j); j += 1 }
+          feats(b) = (s / (to - from)).toFloat
+        } else {
+          // clip shorter than the envelope: carry the nearest frame's
+          // luminance instead of a fake black segment
+          feats(b) = lums(math.min(from, lums.length - 1)).toFloat
+        }
+        b += 1
+      }
+      Some(Decoded(w, h, (usPerFrame * n / 1e6).toFloat, feats))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Video decode: REAL pixels for MJPEG-in-AVI (see
+    * [[decodeAviMjpeg]]); for MP4, REAL container metadata (dimensions
+    * + duration from the box tree) with the byte-fingerprint feature
+    * vector — decoding MP4 pixels needs a codec no bare JVM ships, and
     * that boundary is declared rather than faked.
     */
   private[operators] def decodeVideo(payload: Array[Byte],
       dim: Int): Option[Decoded] =
-    parseMp4Meta(payload).collect {
-      case m if m.width > 0 && m.height > 0 =>
-        Decoded(m.width, m.height, m.durationS, decodeStub(payload, dim).features)
-    }
+    decodeAviMjpeg(payload, dim).orElse(
+      parseMp4Meta(payload).collect {
+        case m if m.width > 0 && m.height > 0 =>
+          Decoded(m.width, m.height, m.durationS,
+            decodeStub(payload, dim).features)
+      })
 
   /** STUB decoder — the total fallback for undecodable payloads and
     * `binary`-kind rows: deterministic pseudo-dimensions and a

@@ -60,6 +60,40 @@ class MultimodalSpec extends SparkSpec {
       box("moov", mvhd ++ box("trak", tkhd))
   }
 
+  /** Minimal RIFF/AVI wrapping real JPEG frames (MJPEG): hdrl(avih
+    * with dwMicroSecPerFrame) + movi(00dc chunks), even-padded.
+    */
+  private def miniAviMjpeg(frames: Seq[java.awt.image.BufferedImage],
+      usPerFrame: Long): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      id.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+    val avih = chunk("avih", le32(usPerFrame) ++ new Array[Byte](52))
+    val dcs = frames.toArray.flatMap { img =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      chunk("00dc", bos.toByteArray)
+    }
+    val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++
+      list("movi", dcs)
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
+  }
+
+  private def grayFrame(w: Int, h: Int, gray: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
   private lazy val media = {
     implicit val s = spark
     import s.implicits._
@@ -159,6 +193,44 @@ class MultimodalSpec extends SparkSpec {
     val idxs = frameSamplePlanTimed(feats, fps = 10, stride = 10)
       .select("frame_idx").as[Int].collect().sorted
     assert(idxs.toSeq == Seq(0, 10, 20))
+  }
+
+  test("real MJPEG-AVI frames decode to pixels: dims, duration, luminance envelope") {
+    // 4 frames: black, black, white, white — 250 ms each → 1 s total
+    val frames = Seq(0, 0, 255, 255).map(grayFrame(24, 18, _))
+    val avi = miniAviMjpeg(frames, usPerFrame = 250000L)
+    val d = Multimodal.decodeAviMjpeg(avi, dim = 2).get
+    assert(d.width == 24 && d.height == 18)
+    assert(math.abs(d.durationS - 1.0f) < 1e-3)
+    // envelope halves: dark run then bright run (JPEG is lossy; wide bands)
+    assert(d.features(0) < 0.1f, d.features(0))
+    assert(d.features(1) > 0.9f, d.features(1))
+    // non-AVI bytes must not parse
+    assert(Multimodal.decodeAviMjpeg("not an avi at all".getBytes, 2).isEmpty)
+  }
+
+  test("AVI video rows route through the pixel decoder in extractFeatures") {
+    implicit val s = spark
+    import s.implicits._
+    val avi = miniAviMjpeg(Seq(128, 128).map(grayFrame(20, 10, _)), 100000L)
+    val ds = asMedia(Seq((7L, "video", avi, Map.empty[String, String]))
+      .toDF("media_id", "kind", "payload", "meta"))
+    val f = extractFeatures(ds, dim = 4).head()
+    assert(f.width == 20 && f.height == 10)
+    assert(math.abs(f.duration_s - 0.2f) < 1e-3)
+    // mid-gray frames → envelope near 0.5 everywhere (JPEG-lossy band)
+    f.features.foreach(v => assert(math.abs(v - 0.5f) < 0.1f, v))
+  }
+
+  test("frame sampling cap bounds per-row decode cost, evenly spread") {
+    val frames = (0 until 12).map(i => grayFrame(8, 8, i * 20))
+    val avi = miniAviMjpeg(frames, usPerFrame = 50000L)
+    val capped = Multimodal.decodeAviMjpeg(avi, dim = 3, maxFrames = 4).get
+    // duration still reflects ALL container frames, not just decoded ones
+    assert(math.abs(capped.durationS - 0.6f) < 1e-3)
+    // envelope must still be monotone increasing (frames brighten)
+    assert(capped.features(0) < capped.features(1))
+    assert(capped.features(1) < capped.features(2))
   }
 
   test("undecodable image bytes fall back to the deterministic stub") {
