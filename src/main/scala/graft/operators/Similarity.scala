@@ -408,4 +408,71 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-group embedding centroids, collected as bounded driver
+    * metadata (k × dims doubles — a codebook, not data). Components
+    * are rounded to 6 decimals so the codebook is bit-identical across
+    * engines regardless of partial-sum order.
+    */
+  def groupCentroids(corpus: DataFrame, embCol: String,
+      groupCol: String): Seq[(String, Seq[Double])] =
+    corpus.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(graft.functions.VecAggs.vecAvg(
+        toDouble(col(embCol))).as("c"))
+      .select(col("g"), transform(col("c"), x => round(x, 6)).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+
+  /** Assign every vector to its nearest codebook centroid by rounded
+    * cosine (ties → smallest centroid id). One codegen-friendly
+    * expression over broadcast literals — no shuffle, no join: the
+    * argmax is an `array_min` over (−sim, id) structs, so the scan
+    * stays a single whole-stage-codegen pass at any corpus size.
+    */
+  def assignToCentroids(corpus: DataFrame, embCol: String,
+      centroids: Seq[(String, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "empty codebook")
+    val v = toDouble(col(embCol))
+    val cells = centroids.map { case (id, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val cu = if (cn == 0) c else c.map(_ / cn)
+      // 1 − sim, not −sim: cosine distance stays ≥ 0, so the struct
+      // comparison never sees a −0.0/0.0 ordering ambiguity
+      struct((lit(1.0) - round(dot(v, typedlit(cu)) / norm(v), 6)).as("dist"),
+        lit(id).as("cid"))
+    }
+    corpus.withColumn("cluster",
+      array_min(array(cells: _*)).getField("cid"))
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with a
+    * bounded centroid codebook (here the per-`groupCol` means — at
+    * production scale a trained k-means, same shape), then prune
+    * near-duplicates ONLY within a cluster. Clustering turns the
+    * corpus-quadratic cosine comparison into per-cluster blocks — the
+    * published SemDeDup observation that semantic duplicates share a
+    * cluster — and [[blockedNearDupPairs]] caps hot clusters so one
+    * degenerate centroid can't go quadratic at 100 TB.
+    *
+    * Keep rule: a vector survives unless a SMALLER id in its cluster
+    * scores ≥ `threshold` against it (greedy min-id representative —
+    * deterministic, order-free, one anti-join).
+    *
+    * Returns (id, cluster, keep) for every corpus row.
+    */
+  def semanticDedup(corpus: DataFrame, embCol: String, idCol: String,
+      groupCol: String, threshold: Double,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val codebook = groupCentroids(corpus, embCol, groupCol)
+    val assigned = assignToCentroids(corpus, embCol, codebook)
+      .select(col(idCol).as("id"), col(embCol), col("cluster"))
+    val dropped = blockedNearDupPairs(assigned, embCol, "id", "cluster",
+        threshold, maxClusterSize)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__hit", lit(true))
+    assigned.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("__hit").isNull.as("keep"))
+  }
 }

@@ -217,6 +217,62 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("score"), col("rk"))
   }
 
+  /** Top-`k` BM25 (Okapi) terms per document — the ranking function
+    * retrieval stacks actually ship (Lucene/Elasticsearch default),
+    * extending [[tfidfTopK]] with term-frequency saturation (`k1`) and
+    * document-length normalization (`b`). IDF is the non-negative
+    * Lucene form ln(1 + (N − df + 0.5)/(df + 0.5)); scores are ranked
+    * ROUNDED (ln differs in the last ulp across engines) with the term
+    * as tie-break.
+    *
+    * Scale shape: identical to TF-IDF — one (doc, term) shuffle with
+    * map-side combine, one term-keyed df shuffle, doc length rides the
+    * same token frame, corpus stats (N, Σdl) broadcast as two scalars.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = Dedup.spread(df)
+      .select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(dl, idCol).join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      // operation order mirrors the oracle SQL exactly for 6-decimal
+      // float parity: idf * (tf·(k1+1)) / (tf + k1·(1−b + b·(dl/avgdl)))
+      .withColumn("__avgdl", col("__tot").cast("double") / col("__n"))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(
+        col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl") / col("__avgdl")))), 6))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rk"))
+  }
+
+  /** Corpus-wide top-`k` word n-grams — the collocation / boilerplate
+    * census over the whole corpus (which phrases dominate, what to
+    * blocklist). Exact counts: one n-gram-keyed shuffle with map-side
+    * combine, then TakeOrderedAndProject for the cut — a bounded
+    * per-partition heap, no global sort, the only safe top-k at
+    * 100 TB. Ties break on the gram itself so the cut is stable.
+    */
+  def corpusTopNgrams(df: DataFrame, textCol: String, n: Int = 2,
+      k: Int = 20): DataFrame =
+    Dedup.spread(df)
+      .select(wsTokens(lower(col(textCol))).as("__w"))
+      .select(explode_outer(ngramsFromTokens(col("__w"), n)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+
   /** Per-document mean unigram surprisal (-ln P(token) under the
     * corpus's own unigram model) — the model-free perplexity proxy:
     * word-salad and off-distribution documents score high, repetitive

@@ -675,6 +675,99 @@ object ExtendedQueries {
           .filter(col("c").isNotNull)
           .select(col("label"), (col("__d") + 1).as("dim"), col("c"),
             col("n"))
-          .orderBy("label", "dim"))
+          .orderBy("label", "dim")),
+
+    // GROUPING SETS — arbitrary subtotal combinations in one pass,
+    // completing the family with q45's ROLLUP and q74's CUBE: here
+    // (flag, status), (flag), (status) — a set ROLLUP/CUBE can't
+    // express ((status) without its (all, all) total). Grouping-null
+    // keys normalize to sentinels as in q45.
+    Query("q80_grouping_sets", Some(
+      """SELECT COALESCE(l_returnflag, '<all>') AS rf,
+        |  COALESCE(l_linestatus, '<all>') AS ls,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), dsumq(col("l_quantity")).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+            coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+            col("cnt"), col("sum_qty"))
+          .orderBy("rf", "ls")),
+
+    // Unpivot/melt — wide→long reshape (the inverse of q65's pivot):
+    // per-part metrics become (metric, value) rows. Spark's native
+    // unpivot is a narrow zero-shuffle Expand, exactly the UNION ALL
+    // the oracle spells out.
+    Query("q81_melt", Some(
+      """SELECT p_partkey, 'p_retailprice' AS metric,
+        |  CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS metric,
+        |  CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            col("p_retailprice").cast("double").as("p_retailprice"),
+            col("p_size").cast("double").as("p_size"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("p_retailprice"), col("p_size")),
+            "metric", "value")
+          .orderBy("p_partkey", "metric")),
+
+    // SemDeDup-style semantic deduplication: assign every vector to
+    // its nearest label-centroid codebook entry (rounded cosine,
+    // tie → smallest label), prune near-dups ONLY within a cluster
+    // (keep = no smaller id ≥ threshold in the same cluster). The
+    // oracle replays the whole thing — per-dim centroid means rounded
+    // to 6 (q78's convention, so the codebook is bit-identical),
+    // assignment via ROW_NUMBER over (sim DESC, label), the same
+    // distinct-vector block cap as q39, and the greedy min-id keep.
+    Query("q84_semantic_dedup", Some(
+      """WITH m AS (
+        |  SELECT label, g.i AS dim,
+        |    ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS c
+        |  FROM embeddings, generate_series(1, 64) AS g(i)
+        |  GROUP BY label, g.i),
+        |cb AS (SELECT label, list(c ORDER BY dim) AS cv FROM m GROUP BY label),
+        |a AS (
+        |  SELECT e.vec_id, cb.label,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      cb.cv), 6) AS sim
+        |  FROM embeddings e CROSS JOIN cb),
+        |asg AS (
+        |  SELECT vec_id, label AS cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, label) AS rn FROM a)
+        |  WHERE rn = 1),
+        |bs AS (
+        |  SELECT a.cluster, COUNT(DISTINCT e.embedding) AS nreps
+        |  FROM asg a JOIN embeddings e USING (vec_id) GROUP BY a.cluster),
+        |p AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+        |    AND a.vec_id < b.vec_id
+        |  JOIN bs ON bs.cluster = a.cluster AND bs.nreps <= 10000
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |    CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35)
+        |SELECT asg.vec_id, asg.cluster,
+        |  asg.vec_id NOT IN (SELECT id_b FROM p) AS keep
+        |FROM asg ORDER BY vec_id""".stripMargin))(
+      (s, dir) =>
+        Similarity.semanticDedup(t(s, dir, "embeddings"), "embedding",
+            "vec_id", "label", threshold = 0.35)
+          .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+          .orderBy("vec_id"))
   )
 }

@@ -534,6 +534,50 @@ object TrainingQueries {
         TextAnalysis.tokenEntropy(
             t(s, dir, "documents").select("doc_id", "text"),
             "doc_id", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Top-3 BM25 (Okapi) terms per document — retrieval-grade keyword
+    // ranking with TF saturation (k1=1.2) and length normalization
+    // (b=0.75) over the corpus's own stats; IDF is the non-negative
+    // Lucene form. Both engines compute the identical operation order
+    // and rank on the ROUNDED score (ln differs in the last ulp),
+    // term as tie-break.
+    Query("q82_bm25", Some(
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    ROUND(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75
+        |          * (dl.dl / (CAST(st.tot AS DOUBLE) / st.n)))), 6) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |  CROSS JOIN st),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rk FROM scored)
+        |SELECT doc_id, term, score, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.bm25TopK(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rk")),
+
+    // Corpus-wide top-20 bigrams — the collocation/boilerplate census
+    // (exact counts, TakeOrderedAndProject cut, gram tie-break).
+    Query("q83_ngram_topk", Some(
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t)
+        |SELECT gram, COUNT(*) AS cnt FROM b GROUP BY 1
+        |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.corpusTopNgrams(
+          t(s, dir, "documents").select("text"), "text", n = 2, k = 20))
   )
 }

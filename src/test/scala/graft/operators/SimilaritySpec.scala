@@ -194,4 +194,78 @@ class SimilaritySpec extends SparkSpec {
       plan.toLowerCase.contains("objecthashaggregate"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("semanticDedup: planted near-dups drop, cross-cluster twins both survive") {
+    // two tight clusters on orthogonal axes; v1≈v0 (same cluster,
+    // cosine ≈ 1) must drop, the y-axis pair is orthogonal to them and
+    // survives pairing in its own cluster only
+    val rows = Seq(
+      (0L, "a", Seq(1f, 0f, 0f, 0f)),
+      (1L, "a", Seq(0.999f, 0.001f, 0f, 0f)),   // near-dup of 0 → dropped
+      (2L, "b", Seq(0f, 1f, 0f, 0f)),
+      (3L, "b", Seq(0f, 0.999f, 0.001f, 0f)),   // near-dup of 2 → dropped
+      (4L, "a", Seq(0.6f, 0.8f, 0f, 0f))        // between, similar to NOTHING ≥ .99
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.semanticDedup(rows, "embedding", "vec_id",
+        "label", threshold = 0.99)
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    val keep = got.map(t => t._1 -> t._3).toMap
+    assert(keep(0L) && !keep(1L), "min-id rep survives, its near-dup drops")
+    assert(keep(2L) && !keep(3L))
+    assert(keep(4L), "isolated vector survives")
+    assert(got.length == 5, "every corpus row is reported")
+  }
+
+  test("semanticDedup: clustering BLOCKS comparison — a near-dup pair straddling a cluster boundary both survive") {
+    // v10/v11 are near-identical (cosine ≈ 0.9998 ≥ threshold) but
+    // each is pulled to a different centroid by its tilt — semantic
+    // blocking never compares them, so BOTH survive: the documented
+    // SemDeDup approximation, pinned
+    val rows = Seq(
+      (0L, "a", Seq(1f, 0f, 0f, 0f)),
+      (1L, "a", Seq(1f, 0f, 0f, 0f)),
+      (2L, "b", Seq(0f, 1f, 0f, 0f)),
+      (3L, "b", Seq(0f, 0.999f, 0.001f, 0f)),
+      (10L, "a", Seq(0.714f, 0.7f, 0f, 0f)),  // tilts to cluster a
+      (11L, "b", Seq(0.7f, 0.714f, 0f, 0f))   // tilts to cluster b
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.semanticDedup(rows, "embedding", "vec_id",
+        "label", threshold = 0.999)
+      .as[(Long, String, Boolean)].collect()
+    val byId = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(10L)._1 != byId(11L)._1, "the pair straddles two clusters")
+    assert(byId(10L)._2 && byId(11L)._2,
+      "cross-cluster near-dups are never compared — both survive")
+    assert(!byId(1L)._2, "identical in-cluster pair still dedups (0 keeps)")
+  }
+
+  test("semanticDedup: hot-cluster cap excludes oversize clusters from pairing") {
+    // 30 distinct near-identical vectors in one label; cap at 10 →
+    // the whole cluster is excluded from pairing, everything keeps
+    val hot = (0 until 30).map(i =>
+      (i.toLong, "hot", Seq(1f, i * 1e-4f, 0f, 0f)))
+    val cool = Seq((100L, "cool", Seq(0f, 1f, 0f, 0f)),
+      (101L, "cool", Seq(0f, 0.9999f, 0.0001f, 0f)))
+    val rows = (hot ++ cool).toDF("vec_id", "label", "embedding")
+    val got = Similarity.semanticDedup(rows, "embedding", "vec_id",
+        "label", threshold = 0.99, maxClusterSize = 10)
+      .as[(Long, String, Boolean)].collect()
+    val keep = got.map(t => t._1 -> t._3).toMap
+    assert((0 until 30).forall(i => keep(i.toLong)),
+      "capped cluster: no pairing, all survive")
+    assert(keep(100L) && !keep(101L), "small cluster still dedups")
+  }
+
+  test("assignToCentroids: nearest centroid wins, rounded-cosine tie breaks to smallest id") {
+    val rows = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0f, 1f)),
+      (2L, Seq(1f, 1f))  // equidistant from both → tie → "a"
+    ).toDF("vec_id", "embedding")
+    val codebook = Seq("a" -> Seq(1.0, 0.0), "b" -> Seq(0.0, 1.0))
+    val got = Similarity.assignToCentroids(rows, "embedding", codebook)
+      .select("vec_id", "cluster").as[(Long, String)].collect().toMap
+    assert(got(0L) == "a" && got(1L) == "b")
+    assert(got(2L) == "a", "exact tie resolves to the smaller centroid id")
+  }
 }

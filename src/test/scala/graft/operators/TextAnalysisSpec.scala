@@ -88,6 +88,45 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(("cherry", 0.863046), ("date", 0.693147)))
   }
 
+  test("bm25TopK: hand-computed Okapi scores with saturation and length norm") {
+    import spark.implicits._
+    // N=2, Σdl=5, avgdl=2.5; df: apple 1, banana 2, cherry 1
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(docs, "doc_id", "text", k = 2)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getLong(3)))
+    val byDoc = r.groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // idf(df=1)=ln 2, idf(df=2)=ln 1.2; dl/avgdl: doc1 1.2, doc2 0.8
+    assert(byDoc(1L).map(t => (t._2, t._3)).toSeq ==
+      Seq(("apple", 0.902322), ("banana", 0.168533)))
+    assert(byDoc(2L).map(t => (t._2, t._3)).toSeq ==
+      Seq(("cherry", 0.754913), ("banana", 0.198568)))
+  }
+
+  test("bm25TopK: TF saturation — doubling tf far less than doubles the score") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x x x x x x x pad pad pad pad"),
+      (2L, "x pad pad pad pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(docs, "doc_id", "text", k = 2)
+      .collect().map(x => ((x.getLong(0), x.getString(1)), x.getDouble(2)))
+      .toMap
+    val (s8, s1) = (r((1L, "x")), r((2L, "x")))
+    // equal dl ⇒ pure saturation: tf 8 vs 1 must gain < 2×, not 8×
+    assert(s8 > s1 && s8 < 2 * s1, s"saturation violated: $s8 vs $s1")
+  }
+
+  test("corpusTopNgrams: exact counts, count-then-gram ordering, short docs total") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.corpusTopNgrams(docs, "text", n = 2, k = 2)
+      .as[(String, Long)].collect().toSeq
+    // bigrams: "a b"×3, "b a"×1, "b c"×1; tie at 1 breaks on the gram
+    assert(got == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
   test("unigramSurprisal: exact -ln P means from the corpus model") {
     import spark.implicits._
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")

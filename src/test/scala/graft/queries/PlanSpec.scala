@@ -125,6 +125,30 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("grouping sets expand once and aggregate partially (q80)") {
+    val p = plan("q80_grouping_sets")
+    assert(p.contains("Expand"), p.take(800))
+    assert(p.contains("partial_count"), p.take(800))
+    // one Expand feeds the aggregate — not one scan per grouping set
+    assert("Expand".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("unpivot is a narrow Expand — no shuffle before the output sort (q81)") {
+    val p = plan("q81_melt")
+    assert(p.contains("Expand"), p.take(800))
+    // the only exchange is the final orderBy's range partitioning
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+  }
+
+  test("semantic dedup assigns centroids scan-side — no join for assignment (q84)") {
+    val p = plan("q84_semantic_dedup")
+    // assignment is an expression over broadcast literals: the plan's
+    // joins are the pairing self-join + keep anti-flag only
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p.take(1200))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
