@@ -17,4 +17,11 @@ final class SessionCache[V] {
     cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     cache.getOrElseUpdate((spark, key), build)
   }
+
+  /** Overwrite an entry — for producers that re-materialize the
+    * artifact behind a key (e.g. an index rebuilt in place) and must
+    * not leave a stale memo behind.
+    */
+  def put(spark: SparkSession, key: String, value: V): Unit =
+    cache.update((spark, key), value)
 }

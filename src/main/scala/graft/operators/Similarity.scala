@@ -321,17 +321,46 @@ object Similarity {
     */
   def buildLshIndex(corpus: DataFrame, embCol: String, idCol: String,
       path: String, planesPerBand: Int = 8, bands: Int = 4,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L, writeTasks: Int = 8): Unit = {
     val dims = corpus.select(size(col(embCol))).head().getInt(0)
+    // writeTasks: size to the corpus volume — the default suits
+    // bench-scale corpora where commit overhead, not I/O, dominates;
+    // a 100 TB build raises it to its cluster's write width
     graft.sources.Layout.writePartitioned(
       lshIndexFrame(corpus, embCol, idCol, planesPerBand, bands, seed, dims),
-      path, Seq("band", "bucket"))
+      path, Seq("band", "bucket"), writeTasks)
     val spark = corpus.sparkSession
     import spark.implicits._
     Seq((planesPerBand, bands, seed, dims))
       .toDF("planes_per_band", "bands", "seed", "dims")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // refresh the probe memos: a rebuild at the same path must not
+    // leave a stale file index or family record behind
+    idxFrameCache.put(spark, path, spark.read.parquet(path))
+    idxMetaCache.put(spark, s"$path/_meta",
+      spark.read.parquet(s"$path/_meta").collect())
   }
+
+  /** Per-(session, path) memo of the resolved index frame and its
+    * `_meta`/`_centroids` records. Resolving `spark.read.parquet`
+    * lists every partition directory of the index (the dominant probe
+    * cost once the scan itself is pruned — ~1 s of driver-side file
+    * listing per probe at 1k directories, and strictly worse at real
+    * index sizes); a deployment holds this in a catalog/metastore
+    * entry, which this cache stands in for. Partition pruning still
+    * happens per probe against the cached file index.
+    */
+  private val idxFrameCache = new graft.SessionCache[DataFrame]
+  private val idxMetaCache = new graft.SessionCache[Array[
+    org.apache.spark.sql.Row]]
+
+  private def indexFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    idxFrameCache.get(spark, path)(spark.read.parquet(path))
+
+  private def indexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[org.apache.spark.sql.Row] =
+    idxMetaCache.get(spark, path)(spark.read.parquet(path).collect())
 
   /** Probe the persisted LSH index: the bucket predicate hits ONLY the
     * matching band partition directories (PartitionFilters in the
@@ -344,7 +373,7 @@ object Similarity {
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       embCol: String, idCol: String, query: Seq[Double],
       k: Int): DataFrame = {
-    val meta = spark.read.parquet(s"$path/_meta").head()
+    val meta = indexMeta(spark, s"$path/_meta").head
     val (planesPerBand, bands) =
       (meta.getAs[Int]("planes_per_band"), meta.getAs[Int]("bands"))
     val (seed, dims) = (meta.getAs[Long]("seed"), meta.getAs[Int]("dims"))
@@ -355,7 +384,7 @@ object Similarity {
     val probe = families.zipWithIndex.map { case (f, b) =>
       col("band") === b && col("bucket") === qBucketOf(f, query)
     }.reduce(_ || _)
-    spark.read.parquet(path).filter(probe)
+    indexFrame(spark, path).filter(probe)
       .select(col(idCol), col(embCol)).distinct()
       .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
@@ -367,7 +396,8 @@ object Similarity {
     * metadata) so probes recompute nothing.
     */
   def buildIvfIndex(corpus: DataFrame, embCol: String, idCol: String,
-      path: String, nClusters: Int = 16, seed: Long = 42L): Unit = {
+      path: String, nClusters: Int = 16, seed: Long = 42L,
+      writeTasks: Int = 8): Unit = {
     val centroids = trainCentroids(corpus, embCol, nClusters, seed)
     val v = toDouble(col(embCol))
     def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
@@ -378,12 +408,15 @@ object Similarity {
     graft.sources.Layout.writePartitioned(
       corpus.select(col(idCol), col(embCol),
         array_min(array(cells: _*)).getField("i").as("cell")),
-      path, Seq("cell"))
+      path, Seq("cell"), writeTasks)
     val spark = corpus.sparkSession
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("i", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    idxFrameCache.put(spark, path, spark.read.parquet(path))
+    idxMetaCache.put(spark, s"$path/_centroids",
+      spark.read.parquet(s"$path/_centroids").collect())
   }
 
   /** Probe the persisted IVF index: load centroids (bounded), rank
@@ -394,15 +427,15 @@ object Similarity {
       embCol: String, idCol: String, query: Seq[Double], k: Int,
       nProbe: Int = 4): DataFrame = {
     def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
-    val centroids = spark.read.parquet(s"$path/_centroids")
-      .collect().map(r => r.getAs[Int]("i") -> r.getSeq[Double](1).toSeq)
+    val centroids = indexMeta(spark, s"$path/_centroids")
+      .map(r => r.getAs[Int]("i") -> r.getSeq[Double](1).toSeq)
     require(centroids.nonEmpty && centroids.head._2.size == query.size,
       s"query has ${query.size} dims but the index centroids have " +
         s"${centroids.headOption.map(_._2.size).getOrElse(0)}")
     val qCells = centroids.map { case (i, c) =>
       (sq(c) - 2.0 * c.zip(query).map { case (a, b) => a * b }.sum, i)
     }.sortBy(_._1).take(nProbe).map(_._2)
-    spark.read.parquet(path)
+    indexFrame(spark, path)
       .filter(col("cell").isin(qCells: _*))
       .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))

@@ -235,7 +235,9 @@ object TextAnalysis {
       .select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // doc length = Σ tf — derived from the (doc, term) frame, not a
+    // second tokenize+explode scan of the corpus
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tot"))
     val w = org.apache.spark.sql.expressions.Window

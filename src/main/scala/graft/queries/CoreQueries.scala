@@ -449,7 +449,7 @@ object CoreQueries {
         val or = t(s, dir, "orders")
           .select(col("o_orderkey").as("l_orderkey"))
         graft.operators.Skew.saltedJoin(li, or, "l_orderkey",
-            saltFrom = col("l_partkey"))
+            saltFrom = col("l_partkey"), buckets = 8)
           .groupBy("l_linestatus")
           .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("rev"))
           .orderBy("l_linestatus")

@@ -38,11 +38,21 @@ object Layout {
     * bench scale it dominated probe latency).
     */
   def writePartitioned(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit =
-    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite")
+      partitionCols: Seq[String], writeTasks: Int = 0): Unit = {
+    val cols = partitionCols.map(org.apache.spark.sql.functions.col)
+    // writeTasks bounds the writer parallelism: each task opens one
+    // parquet writer per partition value it holds and the commit
+    // protocol moves every produced file, so a small layout written
+    // from the full shuffle width pays task+commit overhead for no
+    // I/O benefit. 0 = default shuffle width (the right choice when
+    // the data volume, not the directory count, is the cost).
+    val keyed =
+      if (writeTasks > 0) df.repartition(writeTasks, cols: _*)
+      else df.repartition(cols: _*)
+    keyed.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   /** Export train-ready shards: range-partition on `orderCol` into
     * `numShards` globally-ordered, disjoint-range files (shard k holds
