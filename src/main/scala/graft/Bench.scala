@@ -24,13 +24,20 @@ object Bench {
     // broken query, and the rest of the inventory still reports.
     val tIdx = System.nanoTime()
     val idxSec = try {
-      graft.queries.ExtendedQueries.prebuildIndexes(spark, sfDir)
-      // one-time bucketed-layout builds (q66), same amortized-artifact
-      // treatment as the ANN indexes
-      graft.sources.Layout.bucketedTable(spark, sfDir, "lineitem",
-        Seq("l_orderkey"), numBuckets = 8)
-      graft.sources.Layout.bucketedTable(spark, sfDir, "orders",
-        Seq("o_orderkey"), numBuckets = 8)
+      // the four artifacts are independent one-time builds; Spark
+      // schedules concurrent jobs fine, so overlap them — the metric
+      // is wall-clock, the way a deployment would run them
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(graft.queries.ExtendedQueries.prebuildIndexes(spark, sfDir)),
+        // one-time bucketed-layout builds (q66), same amortized-artifact
+        // treatment as the ANN indexes
+        Future(graft.sources.Layout.bucketedTable(spark, sfDir, "lineitem",
+          Seq("l_orderkey"), numBuckets = 8)),
+        Future(graft.sources.Layout.bucketedTable(spark, sfDir, "orders",
+          Seq("o_orderkey"), numBuckets = 8)))), Duration.Inf)
       (System.nanoTime() - tIdx) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] index prebuild FAILED: ${e.getMessage}")

@@ -345,6 +345,66 @@ object Dedup {
     } finally sym.unpersist(blocking = false)
   }
 
+  /** Fixed-iteration PageRank over an undirected edge list — the
+    * centrality signal for picking CANONICAL representatives out of
+    * near-dup clusters (the best-connected member, not just min-id)
+    * and for weighting crawl sources. Nodes are the vertices incident
+    * to `edges` (an undirected graph has no dangling nodes, so no
+    * teleport-mass bookkeeping).
+    *
+    * Determinism across engines: per-edge contributions rank/degree
+    * are summed under the exact decimal convention and each round's
+    * rank is ROUNDED to 12 decimals — partial-aggregation order can't
+    * drift the result, so a fixed iteration count yields bit-identical
+    * ranks everywhere (see q86's oracle, which replays the same
+    * unrolled iterations in SQL).
+    *
+    * Scale shape per round: one join of ranks against the co-located
+    * (pre-partitioned, persisted) edge frame + one partial-agg
+    * shuffle; lineage is truncated per round exactly like
+    * [[connectedComponents]].
+    */
+  def pageRank(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col(aCol).as("dst"), col(bCol).as("src"))
+      .unionAll(edges.select(col(bCol).as("dst"), col(aCol).as("src")))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = sym.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val n = deg.count()
+      if (n == 0) return deg.select(col("id"), lit(0.0).as("rank"))
+      val base = (1.0 - damping) / n
+      // initial rank through the same SQL round the oracle uses —
+      // a driver-side math.rint would round half-even where SQL
+      // rounds half-up
+      var ranks = deg.select(col("id"), col("deg"),
+          round(lit(1.0) / lit(n.toDouble), 12).as("rank"))
+        .localCheckpoint(false)
+      var i = 0
+      while (i < iterations) {
+        val contrib = sym
+          .join(ranks.select(col("id").as("dst"), col("rank"),
+            col("deg")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(sum((col("rank") / col("deg"))
+            .cast("decimal(28,20)")).as("__in"))
+        val next = ranks.select(col("id"), col("deg"))
+          .join(contrib, Seq("id"))
+          .select(col("id"), col("deg"),
+            round(lit(base) +
+              lit(damping) * col("__in").cast("double"), 12).as("rank"))
+          .localCheckpoint(false)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(ranks)
+        ranks = next
+        i += 1
+      }
+      ranks.select(col("id"), col("rank"))
+    } finally sym.unpersist(blocking = false)
+  }
+
   /** Exact n-gram Jaccard over two MATERIALIZED shingle-array columns —
     * the verification step applied to LSH candidates (never all pairs).
     * Callers join candidate pairs against a per-doc shingle frame

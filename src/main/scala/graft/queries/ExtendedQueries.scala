@@ -91,8 +91,13 @@ object ExtendedQueries {
     * misstate both.
     */
   def prebuildIndexes(s: SparkSession, dir: String): Unit = {
-    lshIndexPath(s, dir)
-    ivfIndexPath(s, dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // independent builds, independent Spark jobs — overlap them
+    Await.result(Future.sequence(Seq(
+      Future(lshIndexPath(s, dir)), Future(ivfIndexPath(s, dir)))),
+      Duration.Inf)
   }
 
   /** DuckDB twin of one SRP band's bucket id: the seeded hyperplanes
@@ -768,6 +773,80 @@ object ExtendedQueries {
         Similarity.semanticDedup(t(s, dir, "embeddings"), "embedding",
             "vec_id", "label", threshold = 0.35)
           .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+          .orderBy("vec_id")),
+
+    // Z-order (Morton) curve value — the multi-dimensional clustering
+    // key behind Layout.writeZOrdered: sorting by z clusters BOTH
+    // quantized dimensions at once, so 2-D range predicates prune
+    // files/row groups by min/max stats. The oracle replays the exact
+    // shift/mask/or bit arithmetic (generated from the same loop).
+    Query("q85_zorder", Some {
+      val terms = (for {
+        (c, d) <- Seq("x", "y").zipWithIndex
+        i <- 0 until 8
+      } yield s"((($c >> $i) & 1) << ${i * 2 + d})").mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, x, y, $terms AS z
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        l_partkey % 256 AS x, l_suppkey % 256 AS y
+         |      FROM lineitem)
+         |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+    })(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            pmod(col("l_partkey"), lit(256)).cast("long").as("x"),
+            pmod(col("l_suppkey"), lit(256)).cast("long").as("y"))
+          .withColumn("z",
+            graft.sources.Layout.zValue(8, Seq(col("x"), col("y"))))
+          .orderBy("z", "l_orderkey", "l_linenumber")),
+
+    // Fixed-iteration PageRank over the shared near-dup pair graph —
+    // the centrality signal for canonical-representative selection
+    // (q67 labels the clusters; this ranks INSIDE them). 5 rounds,
+    // d=0.85, ranks rounded to 12 per round under the exact
+    // decimal-sum convention, so the oracle can replay the identical
+    // unrolled iterations in SQL: one CTE per round over the same
+    // edge set the q39/q67 oracles derive.
+    Query("q86_pagerank", Some {
+      val edgesCte =
+        """WITH bs AS (
+          |  SELECT label, COUNT(DISTINCT embedding) AS nreps
+          |  FROM embeddings GROUP BY label),
+          |ok AS (
+          |  SELECT e.vec_id, e.embedding, e.label FROM embeddings e
+          |  JOIN bs USING (label) WHERE bs.nreps <= 10000),
+          |pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |        CAST(b.embedding AS DOUBLE[])), 6) AS score
+          |    FROM ok a JOIN ok b
+          |      ON a.label = b.label AND a.vec_id < b.vec_id)
+          |  WHERE score >= 0.35),
+          |edges AS (SELECT id_a AS dst, id_b AS src FROM pairs
+          |          UNION ALL SELECT id_b, id_a FROM pairs),
+          |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+          |nn AS (SELECT COUNT(*) AS n FROM deg),
+          |r0 AS (SELECT id, deg, ROUND(1.0 / nn.n, 12) AS rank
+          |       FROM deg CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to 5).map { k =>
+        s""",
+           |r$k AS (
+           |  SELECT d.id, d.deg,
+           |    ROUND((1.0 - 0.85) / nn.n + 0.85 * CAST(s.acc AS DOUBLE), 12)
+           |      AS rank
+           |  FROM (SELECT e.src AS id,
+           |          SUM(CAST(r.rank / r.deg AS DECIMAL(28,20))) AS acc
+           |        FROM edges e JOIN r${k - 1} r ON r.id = e.dst
+           |        GROUP BY e.src) s
+           |  JOIN deg d ON d.id = s.id CROSS JOIN nn)""".stripMargin
+      }.mkString
+      edgesCte + rounds +
+        "\nSELECT id AS vec_id, rank FROM r5 ORDER BY vec_id"
+    })(
+      (s, dir) =>
+        Dedup.pageRank(nearDupPairs(s, dir).select("id_a", "id_b"))
+          .select(col("id").as("vec_id"), col("rank"))
           .orderBy("vec_id"))
   )
 }

@@ -54,6 +54,46 @@ object Layout {
       .parquet(path)
   }
 
+  /** Z-order (Morton) curve value over `dims` non-negative integer
+    * columns, `bits` bits each: bit i of dimension d lands at position
+    * i·dims + d, so close (x, y, …) points get close z values and ONE
+    * range sort clusters ALL dimensions at once. The whole thing is
+    * plain shift/mask/or built-ins — one codegen'd expression, no UDF
+    * — and the identical arithmetic is expressible in portable SQL
+    * (see q85's oracle). Callers quantize real columns into the
+    * [0, 2^bits) grid first (e.g. `pmod`, bucketized timestamps).
+    */
+  def zValue(bits: Int, dims: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(dims.nonEmpty && bits * dims.size <= 62,
+      s"z-value of ${dims.size} dims x $bits bits overflows a long")
+    val n = dims.size
+    val terms = for {
+      (c, d) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-ordered on the given pre-quantized dimension
+    * columns: range-partition + sort on the Morton value, so every
+    * output file covers a small hyper-rectangle of the dimension
+    * space and a multi-dimensional range predicate prunes files/row
+    * groups by parquet min/max stats — the multi-column analogue of
+    * [[writeShards]]'s single-key clustering (a plain sort clusters
+    * one dimension and scatters the rest). This is the scan-volume
+    * lever for "WHERE x BETWEEN … AND y BETWEEN …" workloads at
+    * 100 TB.
+    */
+  def writeZOrdered(df: DataFrame, path: String, bits: Int,
+      dimCols: Seq[String], numShards: Int): Unit =
+    writeShards(
+      df.withColumn("__z",
+        zValue(bits, dimCols.map(org.apache.spark.sql.functions.col))),
+      path, "__z", numShards)
+
   /** Export train-ready shards: range-partition on `orderCol` into
     * `numShards` globally-ordered, disjoint-range files (shard k holds
     * keys strictly below shard k+1's), each capped at

@@ -134,6 +134,73 @@ object EventStream {
       }
   }
 
+  final case class Doc(doc_id: Long, text: String)
+
+  final case class DupCandidate(id_a: Long, id_b: Long, hamming: Int,
+      chunk_idx: Int)
+
+  /** STREAMING near-duplicate candidate detection — the online twin of
+    * the batch SimHash pipeline (Dedup.simhashNearDupPairs): each
+    * arriving document is fingerprinted with the same `simhash64`
+    * expression, routed to `maxHamming + 1` pigeonhole chunk buckets,
+    * and compared ONLY against the fingerprints already seen in those
+    * buckets (per-group state) — any pair within the hamming budget
+    * agrees exactly on ≥ 1 chunk, so recall matches the batch
+    * operator while each doc touches `chunks` state cells, never the
+    * corpus. Emits one candidate row per matching (pair, chunk);
+    * consumers `distinct()` on (id_a, id_b) — id_a is always the
+    * EARLIER document (within a batch, the smaller doc_id).
+    *
+    * State per bucket is the (fingerprint, id) list, capped at
+    * `maxBucket` members: a degenerate chunk value (the streaming form
+    * of the batch operator's hot-bucket guard) stops absorbing members
+    * instead of growing without bound. Deployments bound bucket COUNT
+    * with an event-time TTL on the state (the sessionize pattern);
+    * the operator itself is time-agnostic.
+    */
+  def streamingNearDupCandidates(docs: Dataset[Doc], maxHamming: Int = 3,
+      maxBucket: Int = 1000)(
+      implicit s: SparkSession): Dataset[DupCandidate] = {
+    import s.implicits._
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 64, got ${maxHamming + 1}")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val keyed = docs
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.simhash64(
+          graft.operators.TextAnalysis.wsTokens(lower(col("text"))))
+          .as("fp"))
+      .select(col("doc_id"), col("fp"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("fp"), c * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+      .as[(Long, Long, Int, Long)]
+    keyed
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[(Long, Long)], DupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((ci, _), it, state) =>
+          // smaller ids first so id_a < id_b holds within a batch too
+          val incoming = it.toList.sortBy(_._1)
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[DupCandidate]
+          incoming.foreach { case (id, fp, _, _) =>
+            if (seen.sizeIs < maxBucket) {
+              seen.foreach { case (fpOld, idOld) =>
+                val h = java.lang.Long.bitCount(fpOld ^ fp)
+                if (h <= maxHamming && idOld != id)
+                  out += DupCandidate(idOld, id, h, ci)
+              }
+              seen = (fp, id) :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** Split time-ordered events into closed sessions (gap exceeded
     * before a successor) and the still-open tail.
     */

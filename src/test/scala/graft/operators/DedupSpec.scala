@@ -197,4 +197,42 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(nodes, "id", edges, maxIter = 2)
     }
   }
+
+  test("pageRank: star center dominates, rank mass conserved, leaves tie") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.pageRank(edges).as[(Long, Double)].collect().toMap
+    assert(r.size == 4)
+    assert(r(0L) > r(1L), "hub outranks leaves")
+    assert(r(1L) == r(2L) && r(2L) == r(3L), "symmetric leaves tie exactly")
+    // undirected graph, no dangling mass: ranks sum to ~1 (per-round
+    // rounding drifts at most iterations x nodes x 5e-13)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, r.values.sum)
+  }
+
+  test("pageRank matches a driver-side reference on a path graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.pageRank(edges, iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    // brute-force replay: same rounding per round
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 1.0)
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L),
+      3L -> Seq(2L, 4L), 4L -> Seq(3L))
+    var rank = deg.map { case (k, _) => k -> r12(1.0 / 4) }
+    (1 to 5).foreach { _ =>
+      rank = rank.map { case (k, _) =>
+        k -> r12((1.0 - 0.85) / 4 +
+          0.85 * nbrs(k).map(j => rank(j) / deg(j)).sum)
+      }
+    }
+    rank.foreach { case (k, want) =>
+      assert(math.abs(got(k) - want) < 1e-11, s"node $k: ${got(k)} vs $want")
+    }
+  }
+
+  test("pageRank on an empty edge set is empty") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.pageRank(edges).count() == 0L)
+  }
 }

@@ -64,6 +64,50 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("zValue: interleaved bits, locality, and bounds") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (255L, 255L),
+        (3L, 5L))
+      .toDF("x", "y")
+      .select(Layout.zValue(8, Seq(col("x"), col("y"))).as("z"))
+      .as[Long].collect().toSeq
+    // hand-interleave: x bits at even positions, y at odd
+    assert(got == Seq(0L, 1L, 2L, 3L, 65535L,
+      // x=3 (011), y=5 (101): z = 1·1 + 2·1 + 4·1 + 8·0 + 16·0 + 32·1
+      1 + 2 + 4 + 32))
+  }
+
+  test("writeZOrdered clusters BOTH dimensions; a plain sort clusters only one") {
+    def extents(dir: String): (Double, Double) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val es = files.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        ((r.getLong(1) - r.getLong(0)).toDouble,
+          (r.getLong(3) - r.getLong(2)).toDouble)
+      }
+      (es.map(_._1).sum / es.length, es.map(_._2).sum / es.length)
+    }
+    // l_partkey vs l_orderkey: genuinely independent dimensions
+    // (l_suppkey is DERIVED from l_partkey in TPC-H — sorting by one
+    // clusters the other for free, which would make this test vacuous)
+    val pts = graft.Tables(spark, sf, "lineitem")
+      .select(pmod(col("l_partkey"), lit(256)).cast("long").as("x"),
+        pmod(col("l_orderkey"), lit(256)).cast("long").as("y"))
+    val zDir = Files.createTempDirectory("graft_z").toString + "/pts"
+    Layout.writeZOrdered(pts, zDir, bits = 8, Seq("x", "y"), numShards = 16)
+    val xDir = Files.createTempDirectory("graft_x").toString + "/pts"
+    Layout.writeShards(pts, xDir, "x", numShards = 16)
+    val (zx, zy) = extents(zDir)
+    val (sx, sy) = extents(xDir)
+    // z-order: every file covers a small rectangle in BOTH dims;
+    // single-key sort: x clusters tightly but y spans ~the full range
+    assert(zx < 128 && zy < 128, s"z extents not clustered: $zx x $zy")
+    assert(sy > 2 * zy, s"x-sort should scatter y: sort-y=$sy z-y=$zy")
+    assert(spark.read.parquet(zDir).count() == pts.count())
+  }
+
   test("partitioned write enables partition pruning in the scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
     val ev = graft.Tables(spark, sf, "events")

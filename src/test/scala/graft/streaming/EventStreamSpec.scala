@@ -205,4 +205,64 @@ class EventStreamSpec extends SparkSpec {
       assert(got == Set((200L, 100L), (200L, 101L)))
     } finally q.stop()
   }
+
+  test("streamingNearDupCandidates: clones caught across micro-batches, distinct texts stay") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about spark structured streaming state"
+    val mem = MemoryStream[Doc]
+    val q = streamingNearDupCandidates(mem.toDS())
+      .writeStream.format("memory").queryName("sdup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1, textA), Doc(2, textB))
+      q.processAllAvailable()
+      // nothing similar yet
+      assert(spark.table("sdup_out").count() == 0)
+      // a later batch delivers an exact clone of doc 1 and a fresh doc
+      mem.addData(Doc(100, textA),
+        Doc(3, "yet another unrelated document body with novel words"))
+      q.processAllAvailable()
+      val rows = spark.table("sdup_out")
+        .as[DupCandidate].collect().toSeq
+      // identical text → identical fingerprint → all 4 chunks match
+      assert(rows.map(r => (r.id_a, r.id_b)).distinct == Seq((1L, 100L)))
+      assert(rows.length == 4 && rows.forall(_.hamming == 0))
+      assert(rows.map(_.chunk_idx).sorted == Seq(0, 1, 2, 3))
+    } finally q.stop()
+  }
+
+  test("streamingNearDupCandidates matches the batch pigeonhole contract on a planted perturbation") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val perturbed = base.replace("token7", "token7x") // few-bit flip
+    val mem = MemoryStream[Doc]
+    val q = streamingNearDupCandidates(mem.toDS())
+      .writeStream.format("memory").queryName("sdup2_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1, base))
+      q.processAllAvailable()
+      mem.addData(Doc(2, perturbed))
+      q.processAllAvailable()
+      val pairs = spark.table("sdup2_out").as[DupCandidate].collect()
+      val h = java.lang.Long.bitCount(
+        Seq(base).toDF("text")
+          .select(graft.functions.VectorExprs.simhash64(
+            graft.operators.TextAnalysis.wsTokens(lower(col("text")))))
+          .head().getLong(0) ^
+        Seq(perturbed).toDF("text")
+          .select(graft.functions.VectorExprs.simhash64(
+            graft.operators.TextAnalysis.wsTokens(lower(col("text")))))
+          .head().getLong(0))
+      if (h <= 3)
+        assert(pairs.map(r => (r.id_a, r.id_b)).distinct.toSeq ==
+          Seq((1L, 2L)), s"hamming=$h must be caught")
+      else assert(pairs.isEmpty, s"hamming=$h beyond budget must not pair")
+    } finally q.stop()
+  }
 }
