@@ -24,36 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Heavy persisted intermediates (featurized corpora), one live set
-    * per session: starting a new near-dup computation releases the
-    * previous call's caches, so a long-lived session that processes
-    * corpus after corpus holds at most ONE featurized copy — not one
-    * per call forever (the unbounded-cache leak), and the frames stay
-    * LAZY, so downstream filters/projections still push through the
-    * operator's plan (eagerly materializing here was measured to
-    * defeat pushdown 5-25× on filtered consumers). A caller that
-    * interleaves actions over two concurrently-built near-dup frames
-    * will silently recompute the earlier one's features — correct,
-    * just uncached; persist externally for that pattern.
+  /** Heavy persisted intermediates — the shared session registry
+    * (graft.HeavyPersist): one live set per session, "latest pipeline
+    * wins", frames stay lazy. See HeavyPersist's doc for the
+    * lifecycle contract.
     */
-  private val heavyCaches = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.SparkSession, List[DataFrame]]
   private def persistHeavy(df: DataFrame,
-      freshScope: Boolean = true): DataFrame = heavyCaches.synchronized {
-    // synchronized: the read-evict-update sequence must be atomic or
-    // two concurrent calls race on the registry and the loser's frame
-    // stays persisted with no owner — the exact leak this prevents
-    heavyCaches.filterInPlace((k, _) => !k.sparkContext.isStopped)
-    val prev =
-      if (freshScope) {
-        heavyCaches.getOrElse(df.sparkSession, Nil)
-          .foreach(_.unpersist(blocking = false))
-        Nil
-      } else heavyCaches.getOrElse(df.sparkSession, Nil)
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    heavyCaches.update(df.sparkSession, p :: prev)
-    p
-  }
+      freshScope: Boolean = true): DataFrame =
+    graft.HeavyPersist(df, freshScope)
 
   /** Exact-dedup grouping for the dedup-first near-dup pipelines:
     * one persisted (id, gid, text) frame where gid = min member id per

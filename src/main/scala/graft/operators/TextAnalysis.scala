@@ -202,8 +202,11 @@ object TextAnalysis {
       k: Int = 3): DataFrame = {
     val terms = Dedup.spread(df)
       .select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // the (doc, term) frame feeds several branches (score join, df,
+    // corpus stats); persisted via the shared registry or every branch
+    // re-tokenizes the corpus (measured ~2x on the whole operator)
+    val tf = graft.HeavyPersist(terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count_distinct(col(idCol)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -233,8 +236,11 @@ object TextAnalysis {
       k: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = Dedup.spread(df)
       .select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // persisted via the shared registry: four branches (score join,
+    // dl, df, corpus stats) read this frame — unpersisted, each one
+    // re-tokenizes the corpus (measured ~2x on the whole operator)
+    val tf = graft.HeavyPersist(terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf")))
     // doc length = Σ tf — derived from the (doc, term) frame, not a
     // second tokenize+explode scan of the corpus
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
