@@ -281,6 +281,38 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
 
+  /** Count-min-sketch frequency audit: build the mergeable CMS over
+    * the corpus's tokens (`stat.countMinSketch` — a distributed
+    * aggregate, constant ~eps⁻¹·depth counters into the merge, never
+    * the vocabulary), then check the sketch's two-sided contract
+    * against the exact counts of the `k` most frequent tokens:
+    * estimate ≥ exact (structural — counters only over-count) and
+    * estimate ≤ exact + eps·N (the CMS error bound, overwhelming
+    * probability at the chosen confidence). The exact side rides the
+    * same (term) shuffle any census pays; at 100 TB the sketch is what
+    * survives — constant memory, mergeable across partitions/days —
+    * and this operator is the audit that says the cheap estimate can
+    * be trusted.
+    *
+    * The estimate lookup is a closure-shipped probe over the bounded
+    * top-k frame (the bloom-filter pattern, Decontaminate.scala) —
+    * k rows, not a corpus-side UDF.
+    */
+  def cmsFrequencyCheck(df: DataFrame, textCol: String, k: Int = 20,
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val terms = Dedup.spread(df)
+      .select(explode(wsTokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val sketch = terms.stat.countMinSketch("term", eps, confidence,
+      seed = 42)
+    val bound = math.ceil(eps * sketch.totalCount).toLong
+    val est = udf((t: String) => sketch.estimateCount(t))
+    tf.orderBy(col("cnt").desc, col("term")).limit(k)
+      .select(col("term"), col("cnt"),
+        (est(col("term")) >= col("cnt") &&
+          est(col("term")) <= col("cnt") + bound).as("cms_ok"))
+  }
+
   /** Per-document mean unigram surprisal (-ln P(token) under the
     * corpus's own unigram model) — the model-free perplexity proxy:
     * word-salad and off-distribution documents score high, repetitive

@@ -578,6 +578,21 @@ object TrainingQueries {
         |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin))(
       (s, dir) =>
         TextAnalysis.corpusTopNgrams(
-          t(s, dir, "documents").select("text"), "text", n = 2, k = 20))
+          t(s, dir, "documents").select("text"), "text", n = 2, k = 20)),
+
+    // Count-min sketch frequency audit (q42/q75 contract pattern):
+    // the exact top-20 token counts ride along — DuckDB recomputes
+    // them — and `cms_ok` asserts the sketch's two-sided bound
+    // (est ≥ exact, est ≤ exact + eps·N) held for every checked term.
+    Query("q87_cms", Some(
+      """WITH toks AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1)
+        |SELECT term, cnt, TRUE AS cms_ok FROM tf
+        |ORDER BY cnt DESC, term LIMIT 20""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.cmsFrequencyCheck(
+          t(s, dir, "documents").select("text"), "text", k = 20))
   )
 }

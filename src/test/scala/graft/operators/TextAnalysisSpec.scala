@@ -127,6 +127,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("cmsFrequencyCheck: exact counts ride along, contract holds, order stable") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.cmsFrequencyCheck(docs, "text", k = 3)
+      .as[(String, Long, Boolean)].collect().toSeq
+    // exact census: a 4, b 3, c 1, d 1 → top-3 cuts at c (tie with d,
+    // term tie-break)
+    assert(got == Seq(("a", 4L, true), ("b", 3L, true), ("c", 1L, true)))
+  }
+
   test("unigramSurprisal: exact -ln P means from the corpus model") {
     import spark.implicits._
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
