@@ -30,15 +30,25 @@ object Bench {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(Seq(
-        Future(graft.queries.ExtendedQueries.prebuildIndexes(spark, sfDir)),
+      // every future is awaited even when one fails (recover, then
+      // sequence): fail-fast would start the timed query loop while
+      // un-cancelled sibling builds still run — skewing early timings
+      // and racing q66's bucketedTable against an in-flight build of
+      // the same table
+      val builds = Seq[() => Any](
+        () => graft.queries.ExtendedQueries.prebuildIndexes(spark, sfDir),
         // one-time bucketed-layout builds (q66), same amortized-artifact
         // treatment as the ANN indexes
-        Future(graft.sources.Layout.bucketedTable(spark, sfDir, "lineitem",
-          Seq("l_orderkey"), numBuckets = 8)),
-        Future(graft.sources.Layout.bucketedTable(spark, sfDir, "orders",
-          Seq("o_orderkey"), numBuckets = 8)))), Duration.Inf)
-      (System.nanoTime() - tIdx) / 1e9
+        () => graft.sources.Layout.bucketedTable(spark, sfDir, "lineitem",
+          Seq("l_orderkey"), numBuckets = 8),
+        () => graft.sources.Layout.bucketedTable(spark, sfDir, "orders",
+          Seq("o_orderkey"), numBuckets = 8))
+        .map(b => Future(b()).map(_ => true).recover { case e =>
+          System.err.println(s"[bench] prebuild FAILED: ${e.getMessage}")
+          false
+        })
+      val ok = Await.result(Future.sequence(builds), Duration.Inf)
+      if (ok.forall(identity)) (System.nanoTime() - tIdx) / 1e9 else -1.0
     } catch { case e: Throwable =>
       System.err.println(s"[bench] index prebuild FAILED: ${e.getMessage}")
       -1.0

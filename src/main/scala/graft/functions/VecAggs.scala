@@ -28,12 +28,16 @@ object VecAggs {
     */
   final class VecAvg extends Aggregator[Seq[Double], VecSumBuf, Seq[Double]] {
     override def zero: VecSumBuf = VecSumBuf(Array.empty, 0L)
+    // the Aggregator contract permits mutating and returning the
+    // buffer — in the per-row hot path (reduce) a clone per input
+    // would double allocation pressure for wide embeddings; only the
+    // case-class shell is re-allocated (its array is reused in place)
     private def add(b: VecSumBuf, v: Seq[Double]): VecSumBuf = {
       if (b.n == 0L) VecSumBuf(v.toArray, 1L)
       else {
         require(v.size == b.sums.length,
           s"ragged vector dims: ${v.size} vs ${b.sums.length}")
-        val s = b.sums.clone()
+        val s = b.sums
         var i = 0
         while (i < s.length) { s(i) += v(i); i += 1 }
         VecSumBuf(s, b.n + 1)
@@ -47,7 +51,7 @@ object VecAggs {
       else {
         require(x.sums.length == y.sums.length,
           s"ragged vector dims: ${x.sums.length} vs ${y.sums.length}")
-        val s = x.sums.clone()
+        val s = x.sums
         var i = 0
         while (i < s.length) { s(i) += y.sums(i); i += 1 }
         VecSumBuf(s, x.n + y.n)

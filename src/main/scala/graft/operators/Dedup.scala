@@ -354,13 +354,25 @@ object Dedup {
         .agg(count(lit(1)).as("deg"))
       val n = deg.count()
       if (n == 0) return deg.select(col("id"), lit(0.0).as("rank"))
-      val base = (1.0 - damping) / n
+      // (1 − d) computed through exact decimal, THEN to double: the
+      // oracle's DECIMAL `1.0 - 0.85` is exactly 0.15 before its cast
+      // to double, while Scala's `1.0 - 0.85` is 0.15000000000000002 —
+      // a 2-ulp asymmetry that a 12-decimal half-way rank would lock in
+      val baseNum = (BigDecimal(1) - BigDecimal(damping)).toDouble
+      // each round MUST materialize before the previous round's
+      // checkpoint is released (the connectedComponents contract —
+      // `sig` there, the rank-mass sum here): an unmaterialized lazy
+      // checkpoint chain whose ancestors were already released
+      // recomputes round k−1 once per reference, O(2^rounds) total,
+      // and the mass sum doubles as a free sanity signal.
+      def materialize(df: DataFrame): Unit = df.agg(sum("rank")).head()
       // initial rank through the same SQL round the oracle uses —
       // a driver-side math.rint would round half-even where SQL
       // rounds half-up
       var ranks = deg.select(col("id"), col("deg"),
           round(lit(1.0) / lit(n.toDouble), 12).as("rank"))
         .localCheckpoint(false)
+      materialize(ranks)
       var i = 0
       while (i < iterations) {
         val contrib = sym
@@ -372,13 +384,16 @@ object Dedup {
         val next = ranks.select(col("id"), col("deg"))
           .join(contrib, Seq("id"))
           .select(col("id"), col("deg"),
-            round(lit(base) +
+            round((lit(baseNum) / lit(n.toDouble)) +
               lit(damping) * col("__in").cast("double"), 12).as("rank"))
           .localCheckpoint(false)
+        materialize(next)
         org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(ranks)
         ranks = next
         i += 1
       }
+      // ranks is materialized — the caller's action reads checkpoint
+      // storage, so releasing the edge frame below is safe
       ranks.select(col("id"), col("rank"))
     } finally sym.unpersist(blocking = false)
   }

@@ -449,7 +449,11 @@ object Similarity {
     */
   def groupCentroids(corpus: DataFrame, embCol: String,
       groupCol: String): Seq[(String, Seq[Double])] =
-    corpus.groupBy(col(groupCol).cast("string").as("g"))
+    // null groups normalize to a sentinel (the q45/q80 grouping
+    // convention) — a null key must form its own cluster, not NPE the
+    // codebook sort on the driver
+    corpus.groupBy(coalesce(col(groupCol).cast("string"), lit("<null>"))
+        .as("g"))
       .agg(graft.functions.VecAggs.vecAvg(
         toDouble(col(embCol))).as("c"))
       .select(col("g"), transform(col("c"), x => round(x, 6)).as("c"))

@@ -300,8 +300,11 @@ object TextAnalysis {
     */
   def cmsFrequencyCheck(df: DataFrame, textCol: String, k: Int = 20,
       eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
-    val terms = Dedup.spread(df)
-      .select(explode(wsTokens(lower(col(textCol)))).as("term"))
+    // the sketch build is an eager action and the census re-reads the
+    // same tokens — persist the shared scan (the tfidf/bm25 lesson) or
+    // the corpus tokenizes twice
+    val terms = graft.HeavyPersist(Dedup.spread(df)
+      .select(explode(wsTokens(lower(col(textCol)))).as("term")))
     val tf = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
     val sketch = terms.stat.countMinSketch("term", eps, confidence,
       seed = 42)
@@ -362,7 +365,12 @@ object TextAnalysis {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(stride > 0, s"stride must be positive, got $stride")
     Dedup.spread(df)
-      .select(col(idCol), wsTokens(col(textCol)).as("__w"))
+      // null text follows the empty-string path (one empty chunk) —
+      // without the coalesce the null token array nulls the start
+      // sequence and the isNotNull filter silently DROPS the document,
+      // breaking the totality contract below
+      .select(col(idCol), wsTokens(coalesce(col(textCol), lit("")))
+        .as("__w"))
       // starts materialized as a bound column before the explode so the
       // generator's inferred size() filter (InferFiltersFromGenerate)
       // cannot re-derive the sequence — the house explode pattern

@@ -827,14 +827,15 @@ object ExtendedQueries {
           |          UNION ALL SELECT id_b, id_a FROM pairs),
           |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
           |nn AS (SELECT COUNT(*) AS n FROM deg),
-          |r0 AS (SELECT id, deg, ROUND(1.0 / nn.n, 12) AS rank
+          |r0 AS (SELECT id, deg,
+          |       ROUND(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank
           |       FROM deg CROSS JOIN nn)""".stripMargin
       val rounds = (1 to 5).map { k =>
         s""",
            |r$k AS (
            |  SELECT d.id, d.deg,
-           |    ROUND((1.0 - 0.85) / nn.n + 0.85 * CAST(s.acc AS DOUBLE), 12)
-           |      AS rank
+           |    ROUND(CAST(1.0 - 0.85 AS DOUBLE) / nn.n
+           |      + 0.85 * CAST(s.acc AS DOUBLE), 12) AS rank
            |  FROM (SELECT e.src AS id,
            |          SUM(CAST(r.rank / r.deg AS DECIMAL(28,20))) AS acc
            |        FROM edges e JOIN r${k - 1} r ON r.id = e.dst

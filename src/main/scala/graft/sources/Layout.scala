@@ -89,10 +89,18 @@ object Layout {
     */
   def writeZOrdered(df: DataFrame, path: String, bits: Int,
       dimCols: Seq[String], numShards: Int): Unit =
-    writeShards(
-      df.withColumn("__z",
-        zValue(bits, dimCols.map(org.apache.spark.sql.functions.col))),
-      path, "__z", numShards)
+    // the Morton key is derivable layout metadata, not data: range-
+    // partition and sort on it, then project it away before the write
+    // (persisting it would cost 8 bytes/row at 100 TB and go stale on
+    // any rewrite with different bits/dims). The projection after the
+    // sort is narrow — per-partition order survives into the files.
+    df.withColumn("__z",
+        zValue(bits, dimCols.map(org.apache.spark.sql.functions.col)))
+      .repartitionByRange(numShards, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .parquet(path)
 
   /** Export train-ready shards: range-partition on `orderCol` into
     * `numShards` globally-ordered, disjoint-range files (shard k holds

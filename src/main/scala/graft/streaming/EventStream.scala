@@ -166,7 +166,10 @@ object EventStream {
       s"maxHamming + 1 must divide 64, got ${maxHamming + 1}")
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val mask = (1L << width) - 1
+    // Java shifts are mod 64: 1L << 64 wraps to 1, making the mask 0
+    // (the batch twin's guard) — maxHamming = 0 means one full-width
+    // chunk, whose mask is all ones
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val keyed = docs
       .select(col("doc_id"),
         graft.functions.VectorExprs.simhash64(

@@ -256,6 +256,17 @@ class SimilaritySpec extends SparkSpec {
     assert(keep(100L) && !keep(101L), "small cluster still dedups")
   }
 
+  test("groupCentroids: null group normalizes to the sentinel, no NPE") {
+    val rows = Seq(
+      (0L, Some("a"), Seq(1f, 0f)),
+      (1L, None, Seq(0f, 1f)),
+      (2L, None, Seq(0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val cb = Similarity.groupCentroids(rows, "embedding", "label").toMap
+    assert(cb.keySet == Set("a", "<null>"))
+    assert(cb("<null>") == Seq(0.0, 1.0))
+  }
+
   test("assignToCentroids: nearest centroid wins, rounded-cosine tie breaks to smallest id") {
     val rows = Seq(
       (0L, Seq(1f, 0f)),

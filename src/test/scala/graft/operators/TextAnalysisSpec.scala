@@ -178,6 +178,16 @@ class TextAnalysisSpec extends SparkSpec {
       (3, 6, 1, "t7")))
   }
 
+  test("chunkByTokens: null text follows the empty-string path — doc not dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 2, 2)
+      .collect().map(_.getLong(0))
+    assert(got.count(_ == 1L) == 1, "null-text doc emits exactly one chunk")
+    assert(got.count(_ == 2L) == 2)
+  }
+
   test("chunkByTokens: stride past length gives one window; empty doc is total") {
     import spark.implicits._
     val df = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")

@@ -106,6 +106,8 @@ class LayoutSpec extends SparkSpec {
     assert(zx < 128 && zy < 128, s"z extents not clustered: $zx x $zy")
     assert(sy > 2 * zy, s"x-sort should scatter y: sort-y=$sy z-y=$zy")
     assert(spark.read.parquet(zDir).count() == pts.count())
+    // the Morton key is layout metadata — it must NOT persist as data
+    assert(spark.read.parquet(zDir).columns.toSet == Set("x", "y"))
   }
 
   test("partitioned write enables partition pruning in the scan") {
