@@ -593,6 +593,29 @@ object TrainingQueries {
         |ORDER BY cnt DESC, term LIMIT 20""".stripMargin))(
       (s, dir) =>
         TextAnalysis.cmsFrequencyCheck(
-          t(s, dir, "documents").select("text"), "text", k = 20))
+          t(s, dir, "documents").select("text"), "text", k = 20)),
+
+    // Group-wise top-k through the bounded-heap aggregator (the
+    // knnJoin machinery as a standalone declared op): longest 3 docs
+    // per source via map-side partial heaps — k rows per (partition,
+    // group) into the shuffle, never the group's full membership. The
+    // window-function form (q17/q63) shuffles EVERY row to rank it;
+    // this shape is what survives when groups are huge and k is small.
+    Query("q88_group_topk", Some(
+      """SELECT source, rk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(graft.functions.TopKAgg.topK(3)(
+            col("doc_id"), col("n_chars").cast("double")).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("source"), (col("pos") + 1).cast("bigint").as("rk"),
+            col("t.id").as("doc_id"),
+            col("t.score").cast("bigint").as("n_chars"))
+          .orderBy("source", "rk"))
   )
 }

@@ -149,6 +149,14 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p.take(1200))
   }
 
+  test("group top-k aggregates with map-side partial heaps (q88)") {
+    val p = plan("q88_group_topk")
+    assert(p.contains("partial_topk") ||
+      p.toLowerCase.contains("objecthashaggregate"), p.take(1200))
+    // NOT the window form: no per-row rank shuffle
+    assert(!p.contains("row_number"), p.take(1200))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
