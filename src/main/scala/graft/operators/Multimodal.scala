@@ -306,57 +306,134 @@ object Multimodal {
         if (img == null) None
         else {
           if (w == 0) { w = img.getWidth; h = img.getHeight }
-          var sum = 0.0
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += 0.299 * ((rgb >> 16) & 0xff) +
-                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          Some(sum / (img.getWidth.toLong * img.getHeight) / 255.0)
+          Some(meanLum(img))
         }
-      }
+      }.toIndexedSeq
       if (lums.isEmpty || w == 0) return None
-      val feats = new Array[Float](dim)
-      var b = 0
-      while (b < dim) {
-        val from = (b.toLong * lums.length / dim).toInt
-        val to = ((b + 1).toLong * lums.length / dim).toInt
-        if (to > from) {
-          var s = 0.0
-          var j = from
-          while (j < to) { s += lums(j); j += 1 }
-          feats(b) = (s / (to - from)).toFloat
-        } else {
-          // clip shorter than the envelope: carry the nearest frame's
-          // luminance instead of a fake black segment
-          feats(b) = lums(math.min(from, lums.length - 1)).toFloat
-        }
-        b += 1
-      }
-      Some(Decoded(w, h, (usPerFrame * n / 1e6).toFloat, feats))
+      Some(Decoded(w, h, (usPerFrame * n / 1e6).toFloat,
+        lumEnvelope(lums, dim)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Video decode: REAL pixels for MJPEG-in-AVI (see
-    * [[decodeAviMjpeg]]); for MP4, REAL container metadata (dimensions
-    * + duration from the box tree) with the byte-fingerprint feature
-    * vector — decoding MP4 pixels needs a codec no bare JVM ships, and
-    * that boundary is declared rather than faked.
+  /** Rec. 601 mean luminance of one frame, normalized to [0, 1]. */
+  private def meanLum(img: java.awt.image.BufferedImage): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum / (img.getWidth.toLong * img.getHeight) / 255.0
+  }
+
+  /** Bin a frame-luminance sequence into a `dim`-segment envelope;
+    * clips shorter than the envelope carry the nearest frame's value
+    * instead of fake black segments.
+    */
+  private def lumEnvelope(lums: IndexedSeq[Double], dim: Int): Array[Float] = {
+    val feats = new Array[Float](dim)
+    var b = 0
+    while (b < dim) {
+      val from = (b.toLong * lums.length / dim).toInt
+      val to = ((b + 1).toLong * lums.length / dim).toInt
+      if (to > from) {
+        var s = 0.0
+        var j = from
+        while (j < to) { s += lums(j); j += 1 }
+        feats(b) = (s / (to - from)).toFloat
+      } else {
+        feats(b) = lums(math.min(from, lums.length - 1)).toFloat
+      }
+      b += 1
+    }
+    feats
+  }
+
+  /** REAL animated-GIF decode via the JVM's own GIF `ImageReader`:
+    * every frame's pixels back the luminance envelope (the AVI path's
+    * twin), width/height come from the first frame, and duration sums
+    * the per-frame GraphicsControlExtension delays (centiseconds) from
+    * the image metadata. At most `maxFrames` frames are decoded,
+    * sampled evenly (delays are metadata-only and always summed over
+    * ALL frames). Frames are read as stored rectangles — no disposal
+    * compositing, a declared boundary: the envelope tracks stored
+    * frame content, which for the dominant full-frame GIFs is the
+    * composited video. Single-frame GIFs return None — the image path
+    * owns stills.
+    */
+  private[operators] def decodeGifAnimation(payload: Array[Byte], dim: Int,
+      maxFrames: Int = 256): Option[Decoded] = {
+    if (payload == null || payload.length < 6) return None
+    val magic = new String(payload, 0, 6, "ISO-8859-1")
+    if (magic != "GIF89a" && magic != "GIF87a") return None
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      if (n <= 1) return None
+      val picked =
+        if (n <= maxFrames) 0 until n
+        else (0 until maxFrames).map(i => (i.toLong * n / maxFrames).toInt)
+      var w = 0
+      var h = 0
+      val lums = picked.map { i =>
+        val img = reader.read(i)
+        if (w == 0) { w = img.getWidth; h = img.getHeight }
+        meanLum(img)
+      }.toIndexedSeq
+      var delayCs = 0L
+      (0 until n).foreach { i =>
+        delayCs += gifFrameDelayCs(reader.getImageMetadata(i))
+      }
+      Some(Decoded(w, h, (delayCs / 100.0).toFloat, lumEnvelope(lums, dim)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally {
+      reader.dispose()
+      try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** delayTime (centiseconds) from one frame's
+    * GraphicsControlExtension node, 0 when absent.
+    */
+  private def gifFrameDelayCs(
+      meta: javax.imageio.metadata.IIOMetadata): Long =
+    try {
+      val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = root.getElementsByTagName("GraphicsControlExtension")
+      if (nodes.getLength == 0) 0L
+      else nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("delayTime").toLong
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  /** Video decode: REAL pixels for MJPEG-in-AVI ([[decodeAviMjpeg]])
+    * and animated GIF ([[decodeGifAnimation]]); for MP4, REAL
+    * container metadata (dimensions + duration from the box tree) with
+    * the byte-fingerprint feature vector — decoding MP4 pixels needs a
+    * codec no bare JVM ships, and that boundary is declared rather
+    * than faked.
     */
   private[operators] def decodeVideo(payload: Array[Byte],
       dim: Int): Option[Decoded] =
-    decodeAviMjpeg(payload, dim).orElse(
-      parseMp4Meta(payload).collect {
-        case m if m.width > 0 && m.height > 0 =>
-          Decoded(m.width, m.height, m.durationS,
-            decodeStub(payload, dim).features)
-      })
+    decodeAviMjpeg(payload, dim)
+      .orElse(decodeGifAnimation(payload, dim))
+      .orElse(
+        parseMp4Meta(payload).collect {
+          case m if m.width > 0 && m.height > 0 =>
+            Decoded(m.width, m.height, m.durationS,
+              decodeStub(payload, dim).features)
+        })
 
   /** STUB decoder — the total fallback for undecodable payloads and
     * `binary`-kind rows: deterministic pseudo-dimensions and a

@@ -222,6 +222,39 @@ class MultimodalSpec extends SparkSpec {
     f.features.foreach(v => assert(math.abs(v - 0.5f) < 0.1f, v))
   }
 
+  test("animated GIF decodes every frame; stills stay on the image path") {
+    def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null),
+          null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+    val gif = animatedGif(Seq(0, 0, 255, 255).map(grayFrame(16, 12, _)))
+    val d = Multimodal.decodeGifAnimation(gif, dim = 2).get
+    assert(d.width == 16 && d.height == 12)
+    // GIF palette quantization is loose; the dark/bright split must hold
+    assert(d.features(0) < 0.2f, d.features(0))
+    assert(d.features(1) > 0.8f, d.features(1))
+    // a single-frame GIF is a still — the image path owns it
+    val still = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(grayFrame(8, 8, 128), "gif", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeGifAnimation(still, 2).isEmpty)
+    assert(Multimodal.decodeImage(still, 4).isDefined)
+  }
+
   test("frame sampling cap bounds per-row decode cost, evenly spread") {
     val frames = (0 until 12).map(i => grayFrame(8, 8, i * 20))
     val avi = miniAviMjpeg(frames, usPerFrame = 50000L)
