@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Tight single-pass expressions for the vector/fingerprint hot paths.
   * The built-in `zip_with`/`aggregate` forms are interpreted with
@@ -169,6 +170,81 @@ object VectorExprs {
       copy(child = c)
     override def prettyName: String = "token_entropy"
   }
+
+  /** Symmetric int8 scalar quantization of one embedding in a single
+    * pass: struct(scale, q, err) where scale = max|x_i| (double), q_i =
+    * round(x_i * 127 / scale) clamped by construction to [-127, 127],
+    * and err = max|x_i - q_i * scale / 127| — the 4× memory-compression
+    * step an ANN index wants at 100 TB scale (int8 codes + one double
+    * per vector instead of float32 payloads). Rounding is half-away-
+    * from-zero (C `round`, DuckDB `round`), NOT `Math.round` (half-up)
+    * or `rint` (half-even), so the DuckDB oracle replays the identical
+    * arithmetic. Null elements quantize to 0 and are skipped in scale /
+    * err, matching the SQL twin's COALESCE; an empty or all-zero vector
+    * yields scale 0, all-zero codes, err 0. The two interpreted-HOF
+    * alternatives both fail at scale: referencing a `scale` alias
+    * inside `transform` re-evaluates the max-aggregate per ELEMENT
+    * (O(dim²) per row — CollapseProject inlines the projection), and a
+    * two-projection form still pays ~6 node evals per element.
+    */
+  final case class QuantizeInt8Expr(child: Expression)
+      extends UnaryExpression {
+    private lazy val isFloat = elemIsFloat(child.dataType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("err", DoubleType, nullable = false)))
+    private def roundHalfAway(s: Double): Double =
+      if (s >= 0) { val f = math.floor(s); if (s - f >= 0.5) f + 1 else f }
+      else { val c = math.ceil(s); if (c - s >= 0.5) c - 1 else c }
+    def compute(v: ArrayData): InternalRow = {
+      val n = v.numElements()
+      var scale = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          val a = math.abs(x)
+          if (a > scale) scale = a
+        }
+        i += 1
+      }
+      val q = new Array[Int](n)
+      var err = 0.0
+      if (scale != 0.0) {
+        i = 0
+        while (i < n) {
+          if (!v.isNullAt(i)) {
+            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            val r = roundHalfAway(x * 127.0 / scale)
+            q(i) = r.toInt
+            val e = math.abs(x - r * scale / 127.0)
+            if (e > err) err = e
+          }
+          i += 1
+        }
+      }
+      new GenericInternalRow(
+        Array[Any](scale, new GenericArrayData(q), err))
+    }
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("quantizeInt8Expr", this,
+        classOf[QuantizeInt8Expr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "quantize_int8"
+  }
+
+  def quantizeInt8(v: Column): Column =
+    Bridge.column(QuantizeInt8Expr(Bridge.expression(v)))
 
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))

@@ -75,6 +75,21 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Group-atomic train/val/test split: [[deterministicSplit]] keyed on
+    * a GROUP id (e.g. the near-dup component label from
+    * `Dedup.connectedComponents`) instead of row content, so every
+    * member of a cluster lands in the SAME split. Content-keyed
+    * splitting only protects against EXACT duplicates straddling
+    * train/test; near-duplicates hash differently and leak — this is
+    * the leakage-safe composition (cluster first, then split by
+    * cluster). Narrow: the group id is already on the row, so the split
+    * itself adds no shuffle.
+    */
+  def groupSplit(df: DataFrame, groupCol: Column,
+      trainPct: Int = 80, valPct: Int = 10,
+      outCol: String = "split"): DataFrame =
+    deterministicSplit(df, groupCol.cast("string"), trainPct, valPct, outCol)
+
   /** Per-group quota sampling: keep the top `n` rows of each group
     * ranked by `orderCols` (make the last order column a unique key so
     * the cut is deterministic) — the domain-cap curation primitive

@@ -512,4 +512,21 @@ object Similarity {
       .join(dropped, Seq("id"), "left")
       .select(col("id"), col("cluster"), col("__hit").isNull.as("keep"))
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column: adds
+    * `scale` (double, max|x_i|), `q` (array<int> codes in [-127, 127])
+    * and `err` (double, max absolute reconstruction error) via the
+    * single-pass codegen'd [[graft.functions.VectorExprs.QuantizeInt8Expr]].
+    * This is the storage-compression step for a 100 TB ANN corpus: int8
+    * codes + one double per vector are 4× smaller than float32
+    * payloads, cut shuffle and scan bytes by the same factor, and
+    * dot-products against them stay exact in int32. Narrow — no
+    * shuffle, stays inside whole-stage codegen.
+    */
+  def quantizeInt8(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("__qz", graft.functions.VectorExprs.quantizeInt8(col(embCol)))
+      .withColumn("scale", col("__qz.scale"))
+      .withColumn("q", col("__qz.q"))
+      .withColumn("err", col("__qz.err"))
+      .drop("__qz")
 }

@@ -433,4 +433,41 @@ object TextAnalysis {
     df.select(col(idCol)).join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(outCol), lit("")).as(outCol))
   }
+
+  /** Top-`size` whitespace-token vocabulary of a corpus, with dense ids
+    * 1..size assigned by (frequency desc, term asc) — the deterministic
+    * tie-break makes the id table reproducible on any engine. One
+    * shuffle for the term counts (map-side combine), then
+    * `orderBy(...).limit(size)` plans as TakeOrderedAndProject (bounded
+    * per-partition heaps, no global sort); the single-partition
+    * row_number window only ever sees `size` rows, so it is bounded
+    * metadata work, never a corpus-wide sort.
+    */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    require(size > 0, s"vocab size must be positive, got $size")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term"))
+    df.select(explode(wsTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(size)
+      .withColumn("id", row_number().over(w).cast("long"))
+  }
+
+  /** Encode each document's whitespace tokens as vocabulary ids (OOV →
+    * 0), preserving token order — the tokenize-to-ids step between
+    * "clean corpus" and training batches. The vocab (bounded rows)
+    * broadcasts to the exploded token stream, so the only shuffle is
+    * the per-document re-assembly on `idCol`; order is restored by
+    * sorting (pos, id) structs, not by trusting collect_list.
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, outCol: String = "ids"): DataFrame =
+    df.select(col(idCol),
+        posexplode(wsTokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(vocab.select("term", "id")), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(
+          struct(col("pos"), coalesce(col("id"), lit(0L)).as("tid")))),
+        s => s.getField("tid")).as(outCol))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Extended LLM-training-data-pipeline operators (BASELINE.json north
   * star; SURVEY.md §2.10): dedup, similarity search, text analysis.
@@ -45,6 +45,34 @@ object ExtendedQueries {
       Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "embedding",
           "vec_id", "label", threshold = 0.35)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The recursive connected-components closure over the q39 pair
+    * graph, shared by the q67 and q91 oracles: `reach(id, r)` holds
+    * every (vertex, reachable vertex) pair, so MIN(r) per id is the
+    * component label.
+    */
+  private val componentsCte =
+    """WITH RECURSIVE
+      |bs AS (
+      |  SELECT label, COUNT(DISTINCT embedding) AS nreps
+      |  FROM embeddings GROUP BY label),
+      |ok AS (
+      |  SELECT e.vec_id, e.embedding, e.label FROM embeddings e
+      |  JOIN bs USING (label) WHERE bs.nreps <= 10000),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])), 6) AS score
+      |    FROM ok a JOIN ok b
+      |      ON a.label = b.label AND a.vec_id < b.vec_id)
+      |  WHERE score >= 0.35),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.r)""".stripMargin
 
   /** Persisted ANN indexes, built once per (session, sfDir) into a
     * temp dir — the index build is the amortized cost (one write job);
@@ -616,28 +644,8 @@ object ExtendedQueries {
     // rounds, one join + one partial-agg shuffle each); the oracle
     // recomputes the same edge set (the q39 SQL) and closes it with a
     // recursive CTE — exact at any scale, affordable at verify scale.
-    Query("q67_components", Some(
-      """WITH RECURSIVE
-        |bs AS (
-        |  SELECT label, COUNT(DISTINCT embedding) AS nreps
-        |  FROM embeddings GROUP BY label),
-        |ok AS (
-        |  SELECT e.vec_id, e.embedding, e.label FROM embeddings e
-        |  JOIN bs USING (label) WHERE bs.nreps <= 10000),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |        CAST(b.embedding AS DOUBLE[])), 6) AS score
-        |    FROM ok a JOIN ok b
-        |      ON a.label = b.label AND a.vec_id < b.vec_id)
-        |  WHERE score >= 0.35),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.r)
+    Query("q67_components", Some(componentsCte +
+      """
         |SELECT id AS vec_id, MIN(r) AS comp, (id = MIN(r)) AS keep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin))(
       (s, dir) =>
@@ -848,6 +856,65 @@ object ExtendedQueries {
       (s, dir) =>
         Dedup.pageRank(nearDupPairs(s, dir).select("id_a", "id_b"))
           .select(col("id").as("vec_id"), col("rank"))
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    // Symmetric int8 scalar quantization — the 4× storage/shuffle
+    // compression step for a 100 TB embedding corpus (int8 codes + one
+    // double scale per vector instead of float32 payloads). Single-pass
+    // codegen'd expression; the oracle replays the identical
+    // half-away-from-zero arithmetic with DuckDB list functions, so
+    // codes hash-match exactly and scale/err match at 6 decimals.
+    Query("q89_quantize", Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        COALESCE(list_max(list_transform(v, x -> abs(x))), 0)
+        |          AS scale
+        |      FROM e)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x ->
+        |              CAST(round(x * 127.0 / scale) AS INTEGER)) END AS q,
+        |  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE ROUND(list_max(list_transform(v, x ->
+        |              abs(x - round(x * 127.0 / scale) * scale / 127.0))),
+        |            6)
+        |  END AS err
+        |FROM s ORDER BY vec_id""".stripMargin))(
+      (s, dir) =>
+        Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            col("q"), round(col("err"), 6).as("err"))
+          .orderBy("vec_id")),
+
+    // Leakage-safe split: cluster near-duplicates first (q67's
+    // components), then assign train/val/test by md5 of the COMPONENT
+    // label, so a near-dup pair can never straddle train and test —
+    // content-keyed splitting (q51) only protects exact duplicates.
+    // The oracle closes the same graph recursively and replays the
+    // same md5-bucket thresholds (integer 256ths).
+    Query("q91_leakage_split", Some(componentsCte +
+      """
+        |SELECT vec_id, comp,
+        |  CASE WHEN hv < 205 THEN 'train' WHEN hv < 231 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT vec_id, comp,
+        |  (ascii(substr(md5(CAST(comp AS VARCHAR)), 1, 1)) -
+        |     CASE WHEN ascii(substr(md5(CAST(comp AS VARCHAR)), 1, 1)) >= 97
+        |          THEN 87 ELSE 48 END) * 16
+        |  + (ascii(substr(md5(CAST(comp AS VARCHAR)), 2, 1)) -
+        |     CASE WHEN ascii(substr(md5(CAST(comp AS VARCHAR)), 2, 1)) >= 97
+        |          THEN 87 ELSE 48 END) AS hv
+        |  FROM (SELECT id AS vec_id, MIN(r) AS comp
+        |        FROM reach GROUP BY id))
+        |ORDER BY vec_id""".stripMargin))(
+      (s, dir) => {
+        val comps = Dedup.connectedComponents(
+            t(s, dir, "embeddings").select("vec_id"), "vec_id",
+            nearDupPairs(s, dir).select("id_a", "id_b"))
+          .select(col("id").as("vec_id"), col("comp"))
+        Sampling.groupSplit(comps, col("comp"))
+          .orderBy("vec_id")
+      })
   )
 }

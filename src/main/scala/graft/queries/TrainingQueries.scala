@@ -616,6 +616,38 @@ object TrainingQueries {
           .select(col("source"), (col("pos") + 1).cast("bigint").as("rk"),
             col("t.id").as("doc_id"),
             col("t.score").cast("bigint").as("n_chars"))
-          .orderBy("source", "rk"))
+          .orderBy("source", "rk")),
+
+    // Vocabulary build + tokenize-to-ids: top-256 corpus terms by
+    // (frequency desc, term asc) get dense ids 1..256, then every
+    // document's whitespace tokens encode to those ids in order
+    // (OOV → 0) — the step between "clean corpus" and training
+    // batches. Vocab via TakeOrderedAndProject (bounded heaps, no
+    // global sort) + a 256-row window; encode broadcasts the vocab to
+    // the exploded token stream and re-assembles per doc by (pos, id)
+    // struct sort. The oracle rebuilds the identical vocab and lists
+    // with an ordered aggregate.
+    Query("q90_vocab_encode", Some(
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest([{'pos': i, 'term': toks[i]}
+        |                 FOR i IN generate_series(1, len(toks))]) AS s
+        |        FROM tk),
+        |tok2 AS (SELECT doc_id, s.pos AS pos, s.term AS term FROM tok),
+        |vc AS (SELECT term, COUNT(*) AS c FROM tok2 GROUP BY 1),
+        |vocab AS (SELECT term,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT)
+        |      AS id
+        |  FROM vc ORDER BY c DESC, term LIMIT 256)
+        |SELECT t.doc_id, list(COALESCE(v.id, 0) ORDER BY t.pos) AS ids
+        |FROM tok2 t LEFT JOIN vocab v USING (term)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        TextAnalysis.encodeIds(docs, "doc_id", "text",
+            TextAnalysis.buildVocab(docs, "text", 256))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -90,4 +90,18 @@ class SamplingSpec extends SparkSpec {
     assert(r(1).getAs[Long]("n_grams") == 3L)
     assert(r(1).getAs[Double]("dup_gram_frac") == 0.0)
   }
+
+  test("groupSplit is group-atomic and matches the stringified-key split") {
+    val df = (0 until 300).map(i => (i.toLong, (i % 37).toLong))
+      .toDF("id", "grp")
+    val s = Sampling.groupSplit(df, col("grp"))
+    val mixed = s.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1)
+    assert(mixed.count() == 0, "a group straddles splits")
+    // identical to content-split on the group id string — groupSplit is
+    // a composition, not a new hash scheme
+    val twin = Sampling.deterministicSplit(df, col("grp").cast("string"))
+    assert(s.except(twin).count() == 0 && twin.except(s).count() == 0)
+  }
 }

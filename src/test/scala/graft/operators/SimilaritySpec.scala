@@ -279,4 +279,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L) == "a" && got(1L) == "b")
     assert(got(2L) == "a", "exact tie resolves to the smaller centroid id")
   }
+
+  test("quantizeInt8: half-away codes, max-abs scale, half-step error bound") {
+    val rows = Seq(
+      (0L, Seq(0.5f, -1.0f, 0.25f, -0.5f)),
+      (1L, Seq(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(rows, "embedding")
+      .orderBy("vec_id").collect()
+    val r0 = got(0)
+    assert(r0.getAs[Double]("scale") == 1.0)
+    // 63.5 → 64 and -63.5 → -64: ties round AWAY from zero (C round,
+    // DuckDB round), not Math.round's half-up (-63.5 → -63)
+    assert(r0.getSeq[Int](r0.fieldIndex("q")).toSeq == Seq(64, -127, 32, -64))
+    assert(r0.getAs[Double]("err") <= 0.5 / 127 + 1e-12,
+      "reconstruction error exceeds half a quantization step")
+    val r1 = got(1)
+    assert(r1.getAs[Double]("scale") == 0.0)
+    assert(r1.getSeq[Int](r1.fieldIndex("q")).toSeq == Seq(0, 0, 0, 0))
+    assert(r1.getAs[Double]("err") == 0.0)
+  }
 }

@@ -228,4 +228,16 @@ class TextAnalysisSpec extends SparkSpec {
       .select("entropy").as[Double].head()
     assert(math.abs(got - math.rint(want * 1e6) / 1e6) < 1e-9)
   }
+
+  test("buildVocab ranks freq desc / term asc; encodeIds keeps order, OOV 0") {
+    // counts: a=3, b=3, c=1, d=1 → vocab(3): a→1, b→2, c→3; d is OOV
+    val docs = Seq((1L, "b a b c a b"), (2L, "a d")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", 3)
+    assert(vocab.select("term", "id").as[(String, Long)].collect().toMap
+      == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    val ids = TextAnalysis.encodeIds(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").select("ids").as[Seq[Long]].collect()
+    assert(ids(0) == Seq(2L, 1L, 2L, 3L, 1L, 2L))
+    assert(ids(1) == Seq(1L, 0L), "out-of-vocab token must encode as 0")
+  }
 }
