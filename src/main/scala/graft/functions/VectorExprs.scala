@@ -20,6 +20,32 @@ object VectorExprs {
     case _ => false
   }
 
+  /** Per-element ArrayData accessor expression (Java source) for the
+    * numeric element types the dot product accepts. Int/long elements
+    * make the int8-code dot exact (|dot| ≤ dim · 127² ≪ 2⁵³).
+    */
+  private def elemReader(t: DataType, arr: String, i: String): String =
+    t match {
+      case ArrayType(FloatType, _) => s"$arr.getFloat($i)"
+      case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+      case ArrayType(IntegerType, _) => s"$arr.getInt($i)"
+      case ArrayType(LongType, _) => s"$arr.getLong($i)"
+      case other =>
+        throw new IllegalArgumentException(
+          s"vec_dot: unsupported element type in $other")
+    }
+
+  private def readElem(t: DataType, arr: ArrayData, i: Int): Double =
+    t match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case ArrayType(IntegerType, _) => arr.getInt(i).toDouble
+      case ArrayType(LongType, _) => arr.getLong(i).toDouble
+      case other =>
+        throw new IllegalArgumentException(
+          s"vec_dot: unsupported element type in $other")
+    }
+
   /** Dot product of two numeric arrays (float or double elements),
     * computed in double, sequential order — same accumulation order as
     * the lambda form and the DuckDB oracle, so 6-decimal parity holds.
@@ -29,8 +55,6 @@ object VectorExprs {
   final case class DotProductExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    private lazy val lf = elemIsFloat(left.dataType)
-    private lazy val rf = elemIsFloat(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
@@ -39,9 +63,7 @@ object VectorExprs {
       var i = 0
       while (i < n) {
         if (!a.isNullAt(i) && !b.isNullAt(i)) {
-          val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
-          val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
-          s += x * y
+          s += readElem(left.dataType, a, i) * readElem(right.dataType, b, i)
         }
         i += 1
       }
@@ -55,8 +77,8 @@ object VectorExprs {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
-        val ax = if (lf) s"$a.getFloat($i)" else s"$a.getDouble($i)"
-        val bx = if (rf) s"$b.getFloat($i)" else s"$b.getDouble($i)"
+        val ax = elemReader(left.dataType, a, i)
+        val bx = elemReader(right.dataType, b, i)
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;

@@ -529,4 +529,25 @@ object Similarity {
       .withColumn("q", col("__qz.q"))
       .withColumn("err", col("__qz.err"))
       .drop("__qz")
+
+  /** Inner-product top-k over the QUANTIZED corpus: score =
+    * dot(codes, query codes) · (scale · qScale / 127²). The scan reads
+    * int8 codes (4× fewer bytes than float32) and the dot is exact
+    * integer arithmetic (|dot| ≤ dim·127² ≪ 2⁵³ — no float summation
+    * order to disagree on), so rank order is deterministic and
+    * engine-portable, unlike float-dot ranking which needs the rounded-
+    * score convention. `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — bounded per-partition heaps, no global
+    * sort. Ties break by id.
+    */
+  def quantizedTopK(quantized: DataFrame, idCol: String,
+      qCode: Seq[Int], qScale: Double, k: Int,
+      codeCol: String = "q", scaleCol: String = "scale"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val score = graft.functions.VectorExprs.vecDot(
+        col(codeCol), lit(qCode.toArray)) *
+      (col(scaleCol) * lit(qScale) / lit(16129.0))
+    quantized.select(col(idCol), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
 }

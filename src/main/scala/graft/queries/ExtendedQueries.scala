@@ -915,6 +915,41 @@ object ExtendedQueries {
           .select(col("id").as("vec_id"), col("comp"))
         Sampling.groupSplit(comps, col("comp"))
           .orderBy("vec_id")
+      }),
+
+    // Top-k over the int8-QUANTIZED corpus (q89's codes put to work):
+    // the scan reads 4×-compressed codes and scores by exact integer
+    // dot rescaled by the two scales — deterministic rank order with
+    // no float-summation ambiguity, so the oracle replays the entire
+    // quantize → dot → rescale → rank pipeline and hash-matches.
+    Query("q92_quantized_topk", Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        COALESCE(list_max(list_transform(v, x -> abs(x))), 0)
+        |          AS scale
+        |      FROM e),
+        |z AS (SELECT vec_id, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v, x ->
+        |                    CAST(round(x * 127.0 / scale) AS INTEGER))
+        |        END AS q
+        |      FROM s),
+        |qv AS (SELECT scale AS qs, q AS qq FROM z WHERE vec_id = 0)
+        |SELECT z.vec_id,
+        |  ROUND(CAST(list_sum([CAST(z.q[i] AS BIGINT) * qq[i]
+        |          FOR i IN generate_series(1, len(z.q))]) AS DOUBLE)
+        |    * (z.scale * qs / 16129.0), 6) AS score
+        |FROM z, qv
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))(
+      (s, dir) => {
+        val qz = Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+          .select("vec_id", "scale", "q")
+        val qrow = qz.filter(col("vec_id") === 0).head()
+        Similarity.quantizedTopK(qz, "vec_id",
+            qrow.getSeq[Int](qrow.fieldIndex("q")),
+            qrow.getDouble(qrow.fieldIndex("scale")), k = 10)
+          .orderBy(col("score").desc, col("vec_id"))
       })
   )
 }

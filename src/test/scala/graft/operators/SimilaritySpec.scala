@@ -299,4 +299,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.getSeq[Int](r1.fieldIndex("q")).toSeq == Seq(0, 0, 0, 0))
     assert(r1.getAs[Double]("err") == 0.0)
   }
+
+  test("quantizedTopK: self-match ranks first; int-dot rescale is exact") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(rows, "embedding")
+      .select("vec_id", "scale", "q")
+    val q0 = qz.filter(col("vec_id") === 0).head()
+    val got = Similarity.quantizedTopK(qz, "vec_id",
+        q0.getSeq[Int](q0.fieldIndex("q")),
+        q0.getDouble(q0.fieldIndex("scale")), k = 3)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // self dot: codes (127,0,0)·(127,0,0) = 16129, rescale 1·1/127² → 1.0
+    assert(got(0).getAs[Double]("score") == 1.0)
+  }
 }
