@@ -157,6 +157,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), p.take(1200))
   }
 
+  test("vocab build is a bounded top-k; encode broadcasts the vocab (q90)") {
+    val p = plan("q90_vocab_encode")
+    // top-256 vocabulary via per-partition heaps, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // 256-row id table broadcasts to the exploded token stream
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("quantized top-k keeps bounded heaps over the code scan (q92)") {
+    assert(plan("q92_quantized_topk").contains("TakeOrderedAndProject"))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
