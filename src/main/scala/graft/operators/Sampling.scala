@@ -75,6 +75,21 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Deterministic uniform n-sample: order by md5(key) — a content-
+    * keyed uniform permutation — break ties on `tie` (a unique key, so
+    * identical content still cuts deterministically), keep the first
+    * `n`. Reproducible across engines, runs, and partitionings, and it
+    * plans as TakeOrderedAndProject (bounded per-partition heaps +
+    * driver merge of n rows), so "pull a 10 k-doc sample" never sorts
+    * the corpus. `rand()`-based sampling has none of these properties;
+    * `TABLESAMPLE` is not content-stable under re-ingestion.
+    */
+  def uniformSample(df: DataFrame, key: Column, n: Int,
+      tie: Column): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    df.orderBy(md5(key), tie).limit(n)
+  }
+
   /** Group-atomic train/val/test split: [[deterministicSplit]] keyed on
     * a GROUP id (e.g. the near-dup component label from
     * `Dedup.connectedComponents`) instead of row content, so every

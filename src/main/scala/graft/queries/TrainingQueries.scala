@@ -648,6 +648,20 @@ object TrainingQueries {
         TextAnalysis.encodeIds(docs, "doc_id", "text",
             TextAnalysis.buildVocab(docs, "text", 256))
           .orderBy("doc_id")
-      })
+      }),
+
+    // Deterministic uniform 100-doc sample: rank by md5(text) — a
+    // content-keyed uniform permutation, tie-broken on doc_id — and
+    // keep the head. Content-stable (re-ingested duplicates sample
+    // identically), engine-portable, and TakeOrderedAndProject-shaped:
+    // bounded heaps, never a corpus sort. The oracle replays the same
+    // md5 ordering.
+    Query("q93_uniform_sample", Some(
+      """SELECT doc_id, source FROM documents
+        |ORDER BY md5(text), doc_id LIMIT 100""".stripMargin))(
+      (s, dir) =>
+        Sampling.uniformSample(t(s, dir, "documents"), col("text"),
+            n = 100, tie = col("doc_id"))
+          .select("doc_id", "source"))
   )
 }

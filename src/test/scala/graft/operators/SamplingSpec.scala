@@ -91,6 +91,24 @@ class SamplingSpec extends SparkSpec {
     assert(r(1).getAs[Double]("dup_gram_frac") == 0.0)
   }
 
+  test("uniformSample is content-stable and partitioning-invariant") {
+    val df = (0 until 500).map(i => (i.toLong, s"doc body $i"))
+      .toDF("id", "text")
+    val a = Sampling.uniformSample(df, col("text"), 50, col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(a.size == 50)
+    val b = Sampling.uniformSample(df.repartition(13), col("text"), 50,
+        col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "sample membership changed under repartitioning")
+    // identical content ties break on the unique key, not arbitrarily
+    val dup = Seq((1L, "same"), (2L, "same"), (3L, "same"))
+      .toDF("id", "text")
+    val got = Sampling.uniformSample(dup, col("text"), 2, col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("groupSplit is group-atomic and matches the stringified-key split") {
     val df = (0 until 300).map(i => (i.toLong, (i % 37).toLong))
       .toDF("id", "grp")
