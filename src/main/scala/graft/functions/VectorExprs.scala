@@ -15,14 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 object VectorExprs {
 
-  private def elemIsFloat(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
   /** Per-element ArrayData accessor expression (Java source) for the
-    * numeric element types the dot product accepts. Int/long elements
-    * make the int8-code dot exact (|dot| ≤ dim · 127² ≪ 2⁵³).
+    * numeric element types the vector expressions accept. Int/long
+    * elements make the int8-code dot exact (|dot| ≤ dim · 127² ≪ 2⁵³).
     */
   private def elemReader(t: DataType, arr: String, i: String): String =
     t match {
@@ -32,18 +27,23 @@ object VectorExprs {
       case ArrayType(LongType, _) => s"$arr.getLong($i)"
       case other =>
         throw new IllegalArgumentException(
-          s"vec_dot: unsupported element type in $other")
+          s"unsupported vector element type in $other")
     }
 
-  private def readElem(t: DataType, arr: ArrayData, i: Int): Double =
+  /** Interpreted-path twin of [[elemReader]]: the DataType match
+    * resolves ONCE (cache the result in a lazy val), not per element —
+    * per-element pattern matching is exactly the interpreted overhead
+    * this file exists to avoid.
+    */
+  private def readerFn(t: DataType): (ArrayData, Int) => Double =
     t match {
-      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
-      case ArrayType(DoubleType, _) => arr.getDouble(i)
-      case ArrayType(IntegerType, _) => arr.getInt(i).toDouble
-      case ArrayType(LongType, _) => arr.getLong(i).toDouble
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+      case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
       case other =>
         throw new IllegalArgumentException(
-          s"vec_dot: unsupported element type in $other")
+          s"unsupported vector element type in $other")
     }
 
   /** Dot product of two numeric arrays (float or double elements),
@@ -55,6 +55,8 @@ object VectorExprs {
   final case class DotProductExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    private lazy val readL = readerFn(left.dataType)
+    private lazy val readR = readerFn(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
@@ -63,7 +65,7 @@ object VectorExprs {
       var i = 0
       while (i < n) {
         if (!a.isNullAt(i) && !b.isNullAt(i)) {
-          s += readElem(left.dataType, a, i) * readElem(right.dataType, b, i)
+          s += readL(a, i) * readR(b, i)
         }
         i += 1
       }
@@ -211,7 +213,7 @@ object VectorExprs {
     */
   final case class QuantizeInt8Expr(child: Expression)
       extends UnaryExpression {
-    private lazy val isFloat = elemIsFloat(child.dataType)
+    private lazy val read = readerFn(child.dataType)
     override def dataType: DataType = StructType(Seq(
       StructField("scale", DoubleType, nullable = false),
       StructField("q", ArrayType(IntegerType, containsNull = false),
@@ -226,8 +228,7 @@ object VectorExprs {
       var i = 0
       while (i < n) {
         if (!v.isNullAt(i)) {
-          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-          val a = math.abs(x)
+          val a = math.abs(read(v, i))
           if (a > scale) scale = a
         }
         i += 1
@@ -238,7 +239,7 @@ object VectorExprs {
         i = 0
         while (i < n) {
           if (!v.isNullAt(i)) {
-            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            val x = read(v, i)
             val r = roundHalfAway(x * 127.0 / scale)
             q(i) = r.toInt
             val e = math.abs(x - r * scale / 127.0)

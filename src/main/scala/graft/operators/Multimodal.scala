@@ -519,7 +519,11 @@ object Multimodal {
         batch.map { m =>
           val payload = Option(m.payload).getOrElse(Array.empty[Byte])
           val d = (m.kind match {
-            case "image" => decodeImage(payload, dim)
+            // .gif classifies as "image" by extension, but an ANIMATED
+            // gif is a video: probe the frame count first (None for
+            // stills and non-gifs) and fall back to the still decoder
+            case "image" => decodeGifAnimation(payload, dim)
+              .orElse(decodeImage(payload, dim))
             case "audio" => decodeAudio(payload, dim)
             case "video" => decodeVideo(payload, dim)
             case _ => None

@@ -87,7 +87,10 @@ object Sampling {
   def uniformSample(df: DataFrame, key: Column, n: Int,
       tie: Column): DataFrame = {
     require(n > 0, s"sample size must be positive, got $n")
-    df.orderBy(md5(key), tie).limit(n)
+    // NULL keys hash to '' (sorts first in every engine) — bare
+    // md5(key) would sort NULLS FIRST in Spark but NULLS LAST in
+    // engines with that default, silently changing sample membership
+    df.orderBy(coalesce(md5(key), lit("")), tie).limit(n)
   }
 
   /** Group-atomic train/val/test split: [[deterministicSplit]] keyed on

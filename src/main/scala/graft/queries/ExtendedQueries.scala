@@ -874,7 +874,8 @@ object ExtendedQueries {
         |SELECT vec_id, ROUND(scale, 6) AS scale,
         |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
         |       ELSE list_transform(v, x ->
-        |              CAST(round(x * 127.0 / scale) AS INTEGER)) END AS q,
+        |              CAST(round(COALESCE(x, 0) * 127.0 / scale)
+        |                AS INTEGER)) END AS q,
         |  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
         |       ELSE ROUND(list_max(list_transform(v, x ->
         |              abs(x - round(x * 127.0 / scale) * scale / 127.0))),
@@ -932,7 +933,8 @@ object ExtendedQueries {
         |z AS (SELECT vec_id, scale,
         |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
         |             ELSE list_transform(v, x ->
-        |                    CAST(round(x * 127.0 / scale) AS INTEGER))
+        |                    CAST(round(COALESCE(x, 0) * 127.0 / scale)
+        |                      AS INTEGER))
         |        END AS q
         |      FROM s),
         |qv AS (SELECT scale AS qs, q AS qq FROM z WHERE vec_id = 0)

@@ -605,10 +605,12 @@ object TrainingQueries {
       """SELECT source, rk, doc_id, n_chars FROM (
         |  SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
-        |  FROM documents)
+        |  FROM documents WHERE n_chars IS NOT NULL)
         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin))(
       (s, dir) =>
         t(s, dir, "documents")
+          // TopKAgg requires finite scores (same guard as knnJoin)
+          .filter(col("n_chars").isNotNull)
           .groupBy("source")
           .agg(graft.functions.TopKAgg.topK(3)(
             col("doc_id"), col("n_chars").cast("double")).as("top"))
@@ -658,7 +660,7 @@ object TrainingQueries {
     // md5 ordering.
     Query("q93_uniform_sample", Some(
       """SELECT doc_id, source FROM documents
-        |ORDER BY md5(text), doc_id LIMIT 100""".stripMargin))(
+        |ORDER BY COALESCE(md5(text), ''), doc_id LIMIT 100""".stripMargin))(
       (s, dir) =>
         Sampling.uniformSample(t(s, dir, "documents"), col("text"),
             n = 100, tie = col("doc_id"))

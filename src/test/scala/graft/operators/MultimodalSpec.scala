@@ -253,6 +253,21 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(Multimodal.decodeGifAnimation(still, 2).isEmpty)
     assert(Multimodal.decodeImage(still, 4).isDefined)
+
+    // the PIPELINE path: .gif ingests as kind "image" (readMediaDir
+    // extension map) — extractFeatures must still give an animated gif
+    // the multi-frame envelope, not the first-frame still decode
+    implicit val s = spark
+    import s.implicits._
+    val ds = asMedia(Seq(
+        (9L, "image", gif, Map.empty[String, String]),
+        (10L, "image", still, Map.empty[String, String]))
+      .toDF("media_id", "kind", "payload", "meta"))
+    val fs = extractFeatures(ds, dim = 2).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(fs(9L).features(0) < 0.2f && fs(9L).features(1) > 0.8f,
+      "animated gif lost its frame envelope on the image path")
+    assert(fs(10L).width == 8 && fs(10L).height == 8)
   }
 
   test("frame sampling cap bounds per-row decode cost, evenly spread") {
