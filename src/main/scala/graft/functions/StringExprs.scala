@@ -71,4 +71,53 @@ object StringExprs {
 
   def pandasTitle(c: Column): Column =
     Bridge.column(PandasTitleExpr(Bridge.expression(c)))
+
+  /** Unicode NFC normalization (canonical composition) — the first
+    * cleanup step of any multilingual training-data pipeline: crawled
+    * text mixes precomposed (`é`) and decomposed (`e` + U+0301)
+    * encodings of the SAME string, so exact dedup, vocabulary builds,
+    * and content-keyed sampling all silently fracture until the corpus
+    * is normalized to one canonical form. Spark has no built-in
+    * normalizer; this wraps `java.text.Normalizer` (ICU-equivalent NFC
+    * per Unicode TR15 — bit-identical to DuckDB's utf8proc
+    * `nfc_normalize`, which the oracle replays) as a single-pass
+    * expression with `doGenCode`, so normalizing projections stay
+    * inside whole-stage codegen.
+    *
+    * The `Normalizer.isNormalized` pre-check makes the common case
+    * (already-NFC ASCII/UTF-8 crawl text) a zero-allocation scan —
+    * at 100 TB that is the difference between a free pass and
+    * re-materializing every string.
+    */
+  final case class NfcNormalizeExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    def compute(in: UTF8String): UTF8String = {
+      val s = in.toString
+      if (java.text.Normalizer.isNormalized(s,
+          java.text.Normalizer.Form.NFC)) in
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("nfcNormalizeExpr", this,
+        classOf[NfcNormalizeExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "nfc_normalize"
+  }
+
+  def nfcNormalize(c: Column): Column =
+    Bridge.column(NfcNormalizeExpr(Bridge.expression(c)))
 }

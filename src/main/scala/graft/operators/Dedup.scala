@@ -90,6 +90,43 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(tiebreak)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Corpus-level span (paragraph) dedup, C4-style: documents are cut
+    * into non-overlapping `chunkTokens`-token spans
+    * (TextAnalysis.chunkByTokens with stride == chunk), every span that
+    * already occurred earlier in the corpus — order = (doc id, span
+    * position), so the survivor is deterministic and engine-portable —
+    * is dropped, and each document is reassembled from its surviving
+    * spans in position order. Documents whose every span was seen
+    * before disappear entirely (they contain no novel text).
+    *
+    * This is the granularity between whole-document exact dedup (q29,
+    * misses pages that share boilerplate paragraphs) and near-dup
+    * (q32, quadratic-adjacent machinery for what is an exact match at
+    * span level). Two shuffles, both keyed: (1) first-occurrence
+    * election partitions on the span text — the same width exact
+    * dedup pays, and the span bounds the sort-key length at
+    * `chunkTokens` tokens; (2) reassembly partitions on the doc id
+    * with a per-document bounded collect (spans of ONE document, never
+    * a corpus-wide list).
+    */
+  def dedupSpansAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32): DataFrame = {
+    val chunks = graft.operators.TextAnalysis.chunkByTokens(
+      df, idCol, textCol, chunkTokens, stride = chunkTokens)
+    val w = Window.partitionBy("chunk_text")
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"),
+              col("chunk_text")))),
+            s => s.getField("chunk_text")), " ").as("text_dedup"))
+  }
+
   /** Keep-latest dedup: one row per key, latest by `ord` (ties broken
     * by `tiebreak` for determinism) — the row_number window form.
     */

@@ -108,6 +108,36 @@ object Sampling {
       outCol: String = "split"): DataFrame =
     deterministicSplit(df, groupCol.cast("string"), trainPct, valPct, outCol)
 
+  /** Stratified proportional sampling: keep ceil(pctNum/pctDen) of
+    * EACH stratum (group), members chosen by the content-keyed md5
+    * permutation (same determinism contract as [[uniformSample]] —
+    * reproducible across engines, runs, and partitionings; `tie` must
+    * be unique so identical content cuts deterministically). A uniform
+    * corpus sample under-represents small strata (a 1% language can
+    * vanish from a 10k-doc sample); stratifying fixes the per-stratum
+    * rate exactly. The per-stratum quota is integer ceil arithmetic
+    * ((n·pctNum + pctDen − 1) div pctDen) so both engines cut at the
+    * same row — float `ceil(n * 0.1)` is not portable at representable
+    * boundaries. One shuffle on the stratum key; per-stratum sort is
+    * bounded by stratum size. Appends nothing; returns the kept rows.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], key: Column,
+      tie: Column, pctNum: Int, pctDen: Int): DataFrame = {
+    require(pctNum > 0 && pctDen > 0 && pctNum <= pctDen,
+      s"invalid sampling fraction: $pctNum/$pctDen")
+    val part = Window.partitionBy(strataCols.map(col): _*)
+    val w = part.orderBy(coalesce(md5(key), lit("")), tie)
+    df.withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__rk", row_number().over(w))
+      // floor(double) is exact here (quota < 2^53 by construction);
+      // Spark's `/` on integral types is double division, so the floor
+      // IS the integer `div` both engines agree on
+      .filter(col("__rk") <=
+        floor((col("__n") * pctNum + (pctDen - 1)) / lit(pctDen))
+          .cast("bigint"))
+      .drop("__n", "__rk")
+  }
+
   /** Per-group quota sampling: keep the top `n` rows of each group
     * ranked by `orderCols` (make the last order column a unique key so
     * the cut is deterministic) — the domain-cap curation primitive

@@ -146,6 +146,39 @@ object TextAnalysis {
   def extractDomain(text: Column): Column =
     lower(regexp_extract(text, HostPattern, 1))
 
+  /** URL canonicalization — the key-normalization step of URL-level
+    * dedup (every large crawl stores the same page under
+    * `HTTPS://Host:443/x/?utm_source=…#frag` variants). Produces one
+    * canonical form per page identity:
+    *   - scheme + host lowercased (path case is significant and kept),
+    *   - default ports `:80`/`:443` stripped,
+    *   - the `#fragment` dropped (client-side only),
+    *   - `utm_*` tracking parameters removed (with separator repair so
+    *     the first surviving parameter regains its `?`),
+    *   - trailing `?`/`&` and trailing path slashes stripped.
+    * Pure regexp_replace/regexp_extract chain in the Java/RE2-shared
+    * subset (no lookaround), so the DuckDB oracle replays it verbatim;
+    * narrow, codegen'd, no shuffle. Non-URL input canonicalizes to ''.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val schemeHost = regexp_replace(
+      lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)),
+      ":(443|80)$", "")
+    val rest = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([/?#].*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
+    // a removed leading `?utm_…` leaves the first kept param behind
+    // `&`; promote the FIRST separator to `?` ([^?&]* so greed can't
+    // skip past intermediate `&`s; ^-anchored, so at most one match)
+    val fixedSep = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    val noTrail = regexp_replace(
+      regexp_replace(fixedSep, "/+\\?", "?"), "[?&/]+$", "")
+    // empty scheme/host means the input was not a URL at all — don't
+    // emit a bare path as a "canonical URL"
+    when(schemeHost === "", lit("")).otherwise(concat(schemeHost, noTrail))
+  }
+
   /** Per-document n-gram repetition statistics — the Gopher-style
     * repetition quality signals (most-common-n-gram fraction,
     * duplicated-n-gram fraction) that gate boilerplate/spam out of

@@ -952,6 +952,31 @@ object ExtendedQueries {
             qrow.getSeq[Int](qrow.fieldIndex("q")),
             qrow.getDouble(qrow.fieldIndex("scale")), k = 10)
           .orderBy(col("score").desc, col("vec_id"))
-      })
+      }),
+
+    // End-to-end corpus dedup — the operator a user actually runs:
+    // near-dup pairs (the shared q39 frame) → connected components →
+    // one surviving representative (min id) per cluster, reported with
+    // its label and how many members it absorbed. Composes the whole
+    // chain the preceding queries verify piecewise; adds one keyed
+    // aggregation on the component label and one equi-join back to the
+    // corpus (both co-located on the representative id). The oracle
+    // closes the same edge set with the shared recursive CTE.
+    Query("q98_dedup_corpus", Some(componentsCte +
+      """,
+        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+        |SELECT c.comp AS rep_id, e.label, COUNT(*) AS csize
+        |FROM comp c JOIN embeddings e ON e.vec_id = c.comp
+        |GROUP BY 1, 2 ORDER BY rep_id""".stripMargin))(
+      (s, dir) =>
+        Dedup.connectedComponents(
+            t(s, dir, "embeddings").select("vec_id"), "vec_id",
+            nearDupPairs(s, dir).select("id_a", "id_b"))
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("csize"))
+          .join(t(s, dir, "embeddings").select("vec_id", "label"),
+            col("comp") === col("vec_id"))
+          .select(col("vec_id").as("rep_id"), col("label"), col("csize"))
+          .orderBy("rep_id"))
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontaminate, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Sampling, TextAnalysis}
 
 /** Training-data curation operators beyond analysis: repetition-quality
   * gating, deterministic split/mixture sampling, and sequence packing —
@@ -664,6 +664,140 @@ object TrainingQueries {
       (s, dir) =>
         Sampling.uniformSample(t(s, dir, "documents"), col("text"),
             n = 100, tie = col("doc_id"))
-          .select("doc_id", "source"))
+          .select("doc_id", "source")),
+
+    // Unicode NFC normalization — crawled text mixes precomposed and
+    // decomposed encodings of the same string, fracturing exact dedup
+    // and vocab builds until the corpus is canonicalized. Spark has no
+    // built-in; NfcNormalizeExpr wraps java.text.Normalizer (TR15 NFC,
+    // bit-identical to DuckDB's utf8proc nfc_normalize) with doGenCode
+    // and an isNormalized fast path. Every row gets a decomposed
+    // suffix ('cafe' + U+0301) so the oracle exercises real
+    // composition, not the ASCII identity.
+    Query("q94_nfc_normalize", Some(
+      """SELECT doc_id,
+        |  len(text || ' cafe' || chr(769)) AS n_raw,
+        |  len(nfc_normalize(text || ' cafe' || chr(769))) AS n_nfc,
+        |  right(nfc_normalize(text || ' cafe' || chr(769)), 4) AS tail_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin))(
+      (s, dir) => {
+        val comp = concat(col("text"), lit(" café"))
+        val norm = graft.functions.StringExprs.nfcNormalize(comp)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            length(comp).cast("bigint").as("n_raw"),
+            length(norm).cast("bigint").as("n_nfc"),
+            right(norm, lit(4)).as("tail_nfc"))
+          .orderBy("doc_id")
+      }),
+
+    // Corpus-level span (paragraph) dedup, C4-style: 32-token
+    // non-overlapping spans, first corpus occurrence (doc_id, position
+    // order) survives, documents reassembled from surviving spans —
+    // the granularity between whole-doc exact dedup (misses shared
+    // boilerplate paragraphs) and minhash near-dup. Two keyed
+    // shuffles: election on span text, reassembly on doc id (bounded
+    // per-doc collect). The oracle replays the q77 chunking and the
+    // same first-occurrence window.
+    Query("q95_span_dedup", Some(
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+        |    AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 32)) AS start
+        |  FROM t),
+        |c AS (SELECT doc_id, start // 32 AS chunk_idx,
+        |    array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+        |      AS chunk_text
+        |  FROM s),
+        |k AS (SELECT doc_id, chunk_idx, chunk_text FROM c
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY chunk_text
+        |    ORDER BY doc_id, chunk_idx) = 1)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        Dedup.dedupSpansAcrossCorpus(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", chunkTokens = 32)
+          .orderBy("doc_id")),
+
+    // Stratified 10% sample: ceil(n/10) of EACH source stratum by the
+    // content-keyed md5 permutation — a uniform corpus sample
+    // under-represents small strata; stratifying fixes every
+    // stratum's rate exactly. Integer-ceil quota so both engines cut
+    // at the same row. One shuffle on the stratum key.
+    Query("q96_stratified_sample", Some(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY COALESCE(md5(text), ''), doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |WHERE rk <= (n * 10 + 99) // 100
+        |ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        Sampling.stratifiedSample(t(s, dir, "documents"), Seq("source"),
+            key = col("text"), tie = col("doc_id"),
+            pctNum = 10, pctDen = 100)
+          .select("doc_id", "source")
+          .orderBy("doc_id")),
+
+    // URL canonicalization + URL-level dedup: every crawl stores the
+    // same page under scheme/host-case, default-port, fragment, and
+    // utm-tracking variants; canonicalizing the key collapses them.
+    // Two synthetic variant spellings per document (one maximally
+    // messy, one already-clean) canonicalize to the SAME url — the
+    // group-by proves the collapse (n_variants = 2 per page). Pure
+    // regex chain in the Java/RE2-shared subset; the oracle replays
+    // it step for step.
+    Query("q97_url_canonical", Some(
+      """WITH u AS (
+        |  SELECT doc_id, 'HTTPS://CDN.' || upper(source)
+        |      || '.Example.ORG:443/Docs/' || doc_id
+        |      || '/?utm_source=feed&utm_id=' || doc_id
+        |      || '&ref=' || source || '#frag' AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'https://cdn.' || lower(source)
+        |      || '.example.org/Docs/' || doc_id || '?ref=' || source AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)),
+        |      ':(443|80)$', '', 'g') AS sh,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([/?#].*)$', 1) AS rest
+        |  FROM u),
+        |n AS (SELECT doc_id, sh,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(rest, '#.*$', '', 'g'),
+        |            '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+        |          '^([^?&]*)&', '\1?', 'g'),
+        |        '/+\?', '?', 'g'),
+        |      '[?&/]+$', '', 'g') AS tail
+        |  FROM c)
+        |SELECT CASE WHEN sh = '' THEN '' ELSE sh || tail END AS url_canon,
+        |  COUNT(*) AS n_variants
+        |FROM n GROUP BY 1 ORDER BY url_canon""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val messy = docs.select(col("doc_id"),
+          concat(lit("HTTPS://CDN."), upper(col("source")),
+            lit(".Example.ORG:443/Docs/"), col("doc_id"),
+            lit("/?utm_source=feed&utm_id="), col("doc_id"),
+            lit("&ref="), col("source"), lit("#frag")).as("url"))
+        val clean = docs.select(col("doc_id"),
+          concat(lit("https://cdn."), lower(col("source")),
+            lit(".example.org/Docs/"), col("doc_id"),
+            lit("?ref="), col("source")).as("url"))
+        messy.unionAll(clean)
+          .select(TextAnalysis.canonicalizeUrl(col("url")).as("url_canon"))
+          .groupBy("url_canon")
+          .agg(count(lit(1)).as("n_variants"))
+          .orderBy("url_canon")
+      })
   )
 }

@@ -46,6 +46,26 @@ class CleanFnsSpec extends SparkSpec {
     assert(one(titleCase($"v"), "o'neill") == "O'neill")
   }
 
+  test("nfcNormalize: composes decomposed sequences, identity on NFC") {
+    val nfc = StringExprs.nfcNormalize($"v")
+    // e + COMBINING ACUTE (U+0301) composes to U+00E9
+    assert(one(nfc, "café") == "café")
+    // already-NFC input is untouched (and takes the isNormalized
+    // fast path — same UTF8String instance semantics, same value)
+    assert(one(nfc, "café") == "café")
+    assert(one(nfc, "plain ascii 123") == "plain ascii 123")
+    assert(one(nfc, "") == "")
+    // A + COMBINING RING (U+030A) → Å (U+00C5); NFC also canonically
+    // reorders multiple combining marks — s + dot-below + dot-above
+    // composes via the ordered form (UAX #15 figure 5)
+    assert(one(nfc, "Å") == "Å")
+    assert(one(nfc, "ṩ") == "ṩ")
+    // null flows through as null (UnaryExpression null-safety)
+    val r = Seq[Option[String]](None).toDF("v")
+      .select(nfc.as("r")).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("mergeConcat: all four branches (main.py:590-603)") {
     val rows = Seq(
       ("a", "a", "a"),      // from == to → keep to

@@ -235,4 +235,35 @@ class DedupSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.pageRank(edges).count() == 0L)
   }
+
+  test("dedupSpansAcrossCorpus drops repeated spans, reassembles in order") {
+    // 4-token spans; doc2 repeats doc1's first span (boilerplate) and
+    // adds a novel one; doc3 is entirely doc1's content → vanishes
+    val d1 = "a b c d e f g h"
+    val d2 = "a b c d x y z w"
+    val d3 = "a b c d"
+    val df = Seq(("d1", d1), ("d2", d2), ("d3", d3)).toDF("id", "text")
+    val got = Dedup.dedupSpansAcrossCorpus(df, "id", "text", chunkTokens = 4)
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("d1", 2L, "a b c d e f g h"),
+      ("d2", 1L, "x y z w")))
+  }
+
+  test("dedupSpansAcrossCorpus: within-doc repetition also collapses") {
+    val df = Seq(("solo", "p q r s p q r s p q r s t u")).toDF("id", "text")
+    val got = Dedup.dedupSpansAcrossCorpus(df, "id", "text", chunkTokens = 4)
+      .as[(String, Long, String)].collect()
+    // spans: [p q r s] ×3 (first kept) + partial tail [t u]
+    assert(got.toSeq == Seq(("solo", 2L, "p q r s t u")))
+  }
+
+  test("dedupSpansAcrossCorpus survivor election is first-occurrence") {
+    // the SECOND doc by id carries the span first positionally — the
+    // election key is (doc id, position), so 'a1' still wins
+    val df = Seq(("z9", "k l m n"), ("a1", "k l m n")).toDF("id", "text")
+    val got = Dedup.dedupSpansAcrossCorpus(df, "id", "text", chunkTokens = 4)
+      .as[(String, Long, String)].collect()
+    assert(got.toSeq == Seq(("a1", 1L, "k l m n")))
+  }
 }

@@ -122,4 +122,28 @@ class SamplingSpec extends SparkSpec {
     val twin = Sampling.deterministicSplit(df, col("grp").cast("string"))
     assert(s.except(twin).count() == 0 && twin.except(s).count() == 0)
   }
+
+  test("stratifiedSample keeps exactly ceil(pct) of every stratum") {
+    // strata of size 10, 7, 1, 23 → 10% quotas 1, 1, 1, 3
+    val rows = Seq.tabulate(10)(i => (s"a$i", "A")) ++
+      Seq.tabulate(7)(i => (s"b$i", "B")) ++
+      Seq(("c0", "C")) ++
+      Seq.tabulate(23)(i => (s"d$i", "D"))
+    val df = rows.toDF("id", "grp")
+    val got = Sampling.stratifiedSample(df, Seq("grp"), col("id"),
+        col("id"), 10, 100)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 3L), s"$got")
+  }
+
+  test("stratifiedSample membership is deterministic under repartitioning") {
+    val df = (0 until 500).map(i => (s"doc $i", s"s${i % 5}"))
+      .toDF("id", "grp")
+    val a = Sampling.stratifiedSample(df, Seq("grp"), col("id"),
+      col("id"), 25, 100).select("id").as[String].collect().toSet
+    val b = Sampling.stratifiedSample(df.repartition(13), Seq("grp"),
+      col("id"), col("id"), 25, 100).select("id").as[String].collect().toSet
+    assert(a == b)
+    assert(a.size == 125) // 5 strata × ceil(100 × 25%)
+  }
 }

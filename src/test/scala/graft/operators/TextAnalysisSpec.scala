@@ -240,4 +240,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids(0) == Seq(2L, 1L, 2L, 3L, 1L, 2L))
     assert(ids(1) == Seq(1L, 0L), "out-of-vocab token must encode as 0")
   }
+
+  test("canonicalizeUrl: case, port, fragment, utm, slash variants collapse") {
+    val cases = Seq(
+      // scheme+host lowercased, :443 stripped, fragment dropped,
+      // utm params removed with separator repair, trailing / stripped
+      "HTTPS://Ex.COM:443/A/b/?utm_source=x&id=7#f" -> "https://ex.com/A/b?id=7",
+      "https://ex.com/A/b?id=7" -> "https://ex.com/A/b?id=7",
+      // utm-only query: separators collapse away entirely
+      "http://ex.com:80/p?utm_a=1&utm_b=2" -> "http://ex.com/p",
+      // utm in the middle: the kept params re-chain
+      "http://ex.com/p?utm_a=1&x=1&utm_b=2&y=2" -> "http://ex.com/p?x=1&y=2",
+      // root and bare-host forms; path case preserved
+      "HTTP://EX.com/" -> "http://ex.com",
+      "http://ex.com" -> "http://ex.com",
+      // non-default port survives; non-URL input canonicalizes to ''
+      "https://ex.com:8443/a" -> "https://ex.com:8443/a",
+      "not a url" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect()
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((want, g), in) => assert(g == want, s"input '$in'")
+    }
+  }
 }
