@@ -275,7 +275,11 @@ object TextAnalysis {
     val tf = graft.HeavyPersist(terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf")))
     // doc length = Σ tf — derived from the (doc, term) frame, not a
-    // second tokenize+explode scan of the corpus
+    // second tokenize+explode scan of the corpus. (A window-sum dl
+    // sharing the rank window's id-exchange was measured ~2× SLOWER
+    // at sf0.1 despite one fewer shuffle: two full-partition Window
+    // operators with different sort orders cost more than the extra
+    // exchange of the pre-aggregated tf frame. Keep the join form.)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tot"))

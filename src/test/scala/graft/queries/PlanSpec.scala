@@ -169,6 +169,37 @@ class PlanSpec extends SparkSpec {
     assert(plan("q92_quantized_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("NFC normalization is a narrow codegen'd projection (q94)") {
+    val p = plan("q94_nfc_normalize")
+    assert(p.contains("nfc_normalize"), p.take(800))
+    // one pruned scan + projection; the only exchange is the output sort
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(1200))
+  }
+
+  test("span dedup is two keyed shuffles with map-side election (q95)") {
+    val p = plan("q95_span_dedup")
+    // election on span text + reassembly on doc id — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p.take(2000))
+    // the first-occurrence window pre-filters to 1 row per span text
+    // BEFORE the shuffle (partial WindowGroupLimit) — the map-side-
+    // combine equivalent for window elections
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      p.take(2000))
+  }
+
+  test("stratified sample shares one stratum shuffle across windows (q96)") {
+    val p = plan("q96_stratified_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("URL canonicalization aggregates partially under one shuffle (q97)") {
+    val p = plan("q97_url_canonical")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
