@@ -453,6 +453,46 @@ object CoreQueries {
           .groupBy("l_linestatus")
           .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("rev"))
           .orderBy("l_linestatus")
+      }),
+
+    // LEFT SEMI join declared first-class (the EXISTS shape): probe
+    // rows pass once regardless of match multiplicity — Spark never
+    // materializes the matches, so the build side ships only its join
+    // key. Completes the join family (inner q14, left q11/q12, anti
+    // q13, full outer q103).
+    Query("q102_semi_join", Some(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")),
+
+    // FULL OUTER join — both unmatched sides survive with nulls: the
+    // reconciliation shape (which nations have customers but no
+    // suppliers, and vice versa). Aggregate-then-join keeps the outer
+    // join on two pre-shrunk sides.
+    Query("q103_full_outer", Some(
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin))(
+      (s, dir) => {
+        val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sp, col("nk") === col("snk"), "full_outer")
+          .select(coalesce(col("nk"), col("snk")).as("nk"),
+            col("n_cust"), col("n_supp"))
+          .orderBy("nk")
       })
   )
 }

@@ -185,6 +185,84 @@ object TemporalQueries {
           .select(coalesce(col("event_type"), lit("<all>")).as("et"),
             coalesce(col("day"), lit("<all>")).as("day"),
             col("cnt"), col("sum_val"))
-          .orderBy("et", "day"))
+          .orderBy("et", "day")),
+
+    // RANGE-frame rolling aggregates — the sliding-window family q73's
+    // ROWS frames can't express: the frame is bounded by the ORDER-BY
+    // VALUE (all events within the trailing hour), not a row count, so
+    // ts-ties are peers in both engines and the result is
+    // order-deterministic. One shuffle on user_id; the frame slides
+    // per partition. Decimal window sum under the house convention.
+    Query("q99_rolling_window", Some(
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_1h
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin))(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("tus"))
+          .rangeBetween(-3600000000L, 0L)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), tsUs.as("tus"),
+            col("value"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(18,2)")).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy("event_id")
+      }),
+
+    // Cohort retention — the product-analytics staple: users grouped
+    // by first-seen day, activity counted per (cohort, age) cell. The
+    // cohort label rides a window min over the SAME user_id shuffle
+    // the per-user grouping needs (no self-join), then one
+    // (cohort, age) aggregation with exact distinct users. Day
+    // arithmetic is integer epoch-day division, portable to the ns
+    // parquet column in both engines (q74 pattern).
+    Query("q100_retention", Some(
+      """WITH d AS (SELECT user_id,
+        |    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id)
+        |    AS cohort FROM d)
+        |SELECT cohort, day - cohort AS age,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort, age""".stripMargin))(
+      (s, dir) => {
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+        t(s, dir, "events")
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"))
+          .withColumn("cohort", min(col("day")).over(wu))
+          .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "age")
+      }),
+
+    // Exact distributed percentiles (median/p90) — the precise
+    // complement of q64's approx sketch: Spark's `percentile`
+    // aggregates per-group value counts (memory bounds by DISTINCT
+    // values per group, not rows) and interpolates exactly the
+    // quantile_cont way; 6-decimal rounding absorbs the last-ulp
+    // interpolation difference between engines.
+    Query("q101_exact_percentile", Some(
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  COUNT(value) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+            count(col("value")).as("n"))
+          .orderBy("event_type"))
   )
 }

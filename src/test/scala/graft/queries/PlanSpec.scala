@@ -200,6 +200,44 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
   }
 
+  test("rolling RANGE frame computes both aggs in one Window pass (q99)") {
+    val p = plan("q99_rolling_window")
+    assert(p.contains("RangeFrame"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
+    // count + sum share one Window operator, not one pass each
+    assert("\\bWindow\\b".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("retention dedups users map-side before the distinct shuffle (q100)") {
+    val p = plan("q100_retention")
+    // the pre-shuffle HashAggregate keyed on (cohort, age, user) is
+    // the map-side dedup of count(DISTINCT user) — without it every
+    // event row rides the second exchange
+    assert(p.contains("partial_count(distinct"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p.take(2000))
+  }
+
+  test("exact percentile aggregates partially map-side (q101)") {
+    val p = plan("q101_exact_percentile")
+    assert(p.contains("partial_percentile"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("semi join broadcasts and ships only the build key (q102)") {
+    val p = plan("q102_semi_join")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p.take(1500))
+  }
+
+  test("full outer joins two pre-aggregated sides (q103)") {
+    val p = plan("q103_full_outer")
+    assert(p.contains("FullOuter"), p.take(1500))
+    // aggregation happens below the join — the join sees group counts,
+    // not raw customer/supplier rows
+    assert(p.indexOf("partial_count") > p.indexOf("FullOuter"), p.take(2000))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
