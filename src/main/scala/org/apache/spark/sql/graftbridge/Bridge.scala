@@ -22,6 +22,15 @@ object Bridge {
     * (its lineage was truncated); only call it on frames no live
     * result depends on.
     */
+  /** Apply the function descriptors injected into `ext` to a function
+    * registry — `SparkSessionExtensions.registerFunctions` is
+    * `private[sql]`, so the spec that proves GraftExtensions registers
+    * the whole table reaches it through this shim.
+    */
+  def applyInjectedFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(reg)
+
   def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
