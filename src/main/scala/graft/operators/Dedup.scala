@@ -225,6 +225,76 @@ object Dedup {
       .distinct()
   }
 
+  private val mhIdxCache = new graft.SessionCache[String]
+
+  /** One-time LSH bucket index of a corpus, written as a catalog table
+    * bucketed AND co-located on (band, bucket) — the layout that makes
+    * DELTA INGESTION cheap: deduping tonight's crawl against a 100 TB
+    * corpus must not rescan (or reshuffle) the corpus, and against
+    * this layout it doesn't — the probe join reads the index
+    * shuffle-free (see [[nearDupCandidatesAgainstIndex]]). Each row
+    * also carries its bucket's size (`bsz`), precomputed at index
+    * time, so probes drop hot boilerplate buckets with a pushed-down
+    * scalar filter instead of re-counting the corpus per query. Built
+    * once per (session, spec) and memoized; the table persists in the
+    * warehouse like the ANN indexes.
+    */
+  def minhashBucketIndex(df: DataFrame, idCol: String, textCol: String,
+      spec: String, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      numBuckets: Int = 16): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$spec/$n/$numHashes/$bands/$numBuckets".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val name = s"graft_mhidx_$hex"
+    mhIdxCache.get(df.sparkSession, name) {
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      val buckets = minhashBuckets(df, idCol, textCol, n, numHashes, bands)
+        .withColumnRenamed(idCol, "id")
+        .withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy("band", "bucket")))
+      graft.sources.Layout.writeBucketed(buckets, name,
+        Seq("band", "bucket"), numBuckets)
+      name
+    }
+  }
+
+  /** Near-dup candidate pairs of a NEW batch against an indexed corpus
+    * (plus within-batch pairs) — the daily-ingest shape. Cost scales
+    * with the DELTA: the batch is featurized and shuffled once on
+    * (band, bucket); the corpus index is read co-located (bucketed on
+    * the join key — zero corpus-side exchange, PlanSpec-pinned) with
+    * its stored `bsz` pruning hot buckets in the scan. Output:
+    * distinct (id_a < id_b), each pair touching at least one batch
+    * row; same-id rows (a re-ingested document) are not pairs.
+    */
+  def nearDupCandidatesAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, indexTable: String, n: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, maxBucketSize: Int = 10000): DataFrame = {
+    val spark = newDf.sparkSession
+    val corpus = spark.table(indexTable).filter(col("bsz") <= maxBucketSize)
+    val delta = minhashBuckets(newDf, idCol, textCol, n, numHashes, bands)
+      .withColumnRenamed(idCol, "id")
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy("band", "bucket")))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val cross = delta.as("a").join(corpus.as("c"),
+        col("a.band") === col("c.band") &&
+        col("a.bucket") === col("c.bucket") &&
+        col("a.id") =!= col("c.id"))
+      .select(least(col("a.id"), col("c.id")).as("id_a"),
+        greatest(col("a.id"), col("c.id")).as("id_b"))
+    val intra = delta.as("a").join(delta.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    cross.unionAll(intra).distinct()
+  }
+
   /** The full verified near-dup pipeline, exact-dedup FIRST (the
     * canonical order): documents are grouped by their token-normalized
     * content, near-dup discovery (minhash → LSH buckets → Jaccard

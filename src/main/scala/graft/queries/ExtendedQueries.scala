@@ -124,9 +124,19 @@ object ExtendedQueries {
     import scala.concurrent.ExecutionContext.Implicits.global
     // independent builds, independent Spark jobs — overlap them
     Await.result(Future.sequence(Seq(
-      Future(lshIndexPath(s, dir)), Future(ivfIndexPath(s, dir)))),
+      Future(lshIndexPath(s, dir)), Future(ivfIndexPath(s, dir)),
+      Future(deltaIndexTable(s, dir)))),
       Duration.Inf)
   }
+
+  /** The corpus minhash-bucket index q104 probes — one-time build per
+    * (session, sfDir), co-located on (band, bucket); the bench builds
+    * it in the amortized prebuild step like the ANN indexes.
+    */
+  def deltaIndexTable(s: SparkSession, dir: String): String =
+    Dedup.minhashBucketIndex(
+      Tables(s, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text", spec = s"$dir/documents/mhidx")
 
   /** DuckDB twin of one SRP band's bucket id: the seeded hyperplanes
     * are deterministic (same `Similarity.hyperplanes` call the Spark
@@ -977,6 +987,70 @@ object ExtendedQueries {
           .join(t(s, dir, "embeddings").select("vec_id", "label"),
             col("comp") === col("vec_id"))
           .select(col("vec_id").as("rep_id"), col("label"), col("csize"))
-          .orderBy("rep_id"))
+          .orderBy("rep_id")),
+
+    // Delta ingestion against the persisted corpus bucket index — the
+    // daily-crawl dedup shape: tonight's batch (every 10th doc,
+    // re-ingested under new ids) is featurized and shuffled ONCE; the
+    // corpus is read co-located from the (band, bucket)-bucketed index
+    // table with its precomputed bucket sizes pruning hot buckets in
+    // the scan — no corpus reshuffle, no corpus re-featurization.
+    // Candidates are then exact-Jaccard verified against texts fetched
+    // by semi-join (only matched documents are re-read). The oracle is
+    // the exact all-pairs Jaccard over corpus ∪ delta restricted to
+    // pairs touching the delta — a hash match proves index-probe
+    // recall AND precision equal the O(n²) definition (q32's bar,
+    // with the same provably-safe size prefilter).
+    Query("q104_delta_dedup", Some(
+      """WITH delta AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |allv AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM delta),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                   FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM allv)),
+        |sized AS (SELECT doc_id, sh, len(sh) AS ln FROM sh)
+        |SELECT id_a, id_b, jacc FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (a.ln + b.ln - len(list_intersect(a.sh, b.sh))), 6) AS jacc
+        |  FROM sized a JOIN sized b
+        |    ON a.doc_id < b.doc_id
+        |   AND b.doc_id >= 2000000
+        |   AND least(a.ln, b.ln) >= 0.8 * greatest(a.ln, b.ln))
+        |WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val idx = deltaIndexTable(s, dir)
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        val cand = Dedup.nearDupCandidatesAgainstIndex(
+          delta, "doc_id", "text", idx)
+        // verify on matched documents only: candidate ids semi-join
+        // the text source, so the exact-Jaccard pass never featurizes
+        // unmatched corpus rows
+        val ids = cand.select(col("id_a").as("doc_id"))
+          .unionAll(cand.select(col("id_b").as("doc_id"))).distinct()
+        val feats = docs.unionAll(delta)
+          .join(ids, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.shinglesFromTokens(
+              graft.operators.TextAnalysis.wsTokens(col("text")), 3).as("sh"))
+        cand
+          .join(feats.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+            "id_a")
+          .join(feats.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+            "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(Dedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 6)
+              .as("jacc"))
+          .filter(col("jacc") >= 0.8)
+          .orderBy("id_a", "id_b")
+      })
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The delta-ingestion path: a persisted (band, bucket)-bucketed
+  * corpus index, probed by a new batch without corpus reshuffle.
+  */
+class DeltaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "an entirely different document about spark physical plans"),
+    (3L, "the quick brown fox jumps over the lazy dog tonight")
+  ).toDF("id", "text")
+
+  private lazy val idx = Dedup.minhashBucketIndex(
+    corpus, "id", "text", spec = "deltaspec-corpus", numBuckets = 4)
+
+  test("batch near-dups against the index: cross and intra pairs found") {
+    val batch = Seq(
+      // near-dup of corpus docs 1/3 (one token changed)
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      // exact dup of corpus doc 2
+      (11L, "an entirely different document about spark physical plans"),
+      // unrelated
+      (12L, "completely unrelated content with no shared shingles at all"),
+      // intra-batch twin of 10
+      (13L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("id", "text")
+    val pairs = Dedup.nearDupCandidatesAgainstIndex(
+        batch, "id", "text", idx)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((3L, 10L)),
+      s"cross near-dup missing: $pairs")
+    assert(pairs.contains((2L, 11L)), s"cross exact dup missing: $pairs")
+    assert(pairs.contains((10L, 13L)), s"intra-batch pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L),
+      s"unrelated doc paired: $pairs")
+    // every pair touches the batch (that is the operator's contract)
+    assert(pairs.forall(p => p._1 >= 10L || p._2 >= 10L), s"$pairs")
+  }
+
+  test("probe reads the corpus index co-located — no corpus-side shuffle") {
+    val batch = Seq((20L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val p = Dedup.nearDupCandidatesAgainstIndex(batch, "id", "text", idx)
+      .queryExecution.executedPlan.toString
+    // the bucketed index scan appears, and no Exchange sits between it
+    // and its join: every hashpartitioning exchange in the plan is on
+    // the batch/probe side
+    assert(p.contains("SelectedBucketsCount"), p.take(2000))
+    val corpusScan = p.linesIterator
+      .filter(_.contains("graft_mhidx")).mkString("\n")
+    assert(corpusScan.nonEmpty, p.take(2000))
+    // walk up from the index scan: the operator directly above it must
+    // not be an Exchange (bucketed co-location removed it)
+    val lines = p.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("graft_mhidx"))
+    val above = lines.take(scanIdx).reverse.take(2).mkString("\n")
+    assert(!above.contains("Exchange hashpartitioning"),
+      s"corpus side shuffled:\n$above")
+  }
+
+  test("stored bucket sizes prune hot buckets at probe time") {
+    // a boilerplate pile: many identical docs → one hot bucket set
+    val pile = (100L until 120L).map(i => (i, "same boilerplate text " +
+      "repeated across the whole pile of documents")).toDF("id", "text")
+    val pileIdx = Dedup.minhashBucketIndex(pile, "id", "text",
+      spec = "deltaspec-pile", numBuckets = 4)
+    val batch = Seq((999L, "same boilerplate text repeated across the " +
+      "whole pile of documents")).toDF("id", "text")
+    // cap below the pile size → no pairs (hot buckets excluded)
+    val capped = Dedup.nearDupCandidatesAgainstIndex(batch, "id", "text",
+      pileIdx, maxBucketSize = 10)
+    assert(capped.count() == 0L)
+    // raised cap → the whole pile pairs with the probe
+    val open = Dedup.nearDupCandidatesAgainstIndex(batch, "id", "text",
+      pileIdx, maxBucketSize = 100)
+    assert(open.count() == 20L)
+  }
+}
