@@ -552,6 +552,45 @@ object Dedup {
     * reconstructed afterwards — intra-group at hamming 0 by
     * construction, cross-group carrying the representative distance.
     */
+  /** Near-dup pairs over an ARBITRARY 64-bit fingerprint column — the
+    * modality-agnostic core of hamming-distance dedup (perceptual
+    * image hashes, audio fingerprints, rolling text hashes): the
+    * pigeonhole split into `maxHamming + 1` chunks guarantees every
+    * pair within the radius shares at least one exact chunk, so
+    * candidates ride ONE shuffle on (chunk_idx, chunk_val) and the
+    * exact hamming check runs per candidate — never corpus × corpus.
+    * Hot chunk buckets (constant regions — e.g. flat-color images all
+    * hashing the degenerate fingerprint) are capped like the LSH
+    * buckets. [[simhashNearDupPairs]] is this shape specialized to
+    * text with exact-dedup grouping in front.
+    */
+  def fingerprintNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    val chunked = df
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("id"), col("fp"),
+        posexplode(array((0 until chunks).map { c =>
+          shiftrightunsigned(col("fp"), c * width).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy("chunk_idx", "chunk_val")))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // width must be ≥ 1 or every chunk_val collapses to one bucket

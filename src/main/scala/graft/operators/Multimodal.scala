@@ -535,6 +535,80 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an image payload:
+    * decode, average-pool luminance onto a 9×8 grid, set bit r·8+c
+    * when cell (r, c+1) is brighter than (r, c). Horizontal-gradient
+    * structure survives resizing, recompression, and global
+    * brightness/contrast shifts — the byte-level hashes (q37) see
+    * re-encoded images as unrelated, dHash sees them as hamming-0..3
+    * neighbors. None for undecodable payloads.
+    */
+  private[operators] def dHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (gw, gh) = (9, 8)
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < gw || h < gh) return None
+      val cell = Array.ofDim[Double](gh, gw)
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+          val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+          var sum = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          cell(gy)(gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L
+      var r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < 8) {
+          if (cell(r)(c + 1) > cell(r)(c)) bits |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched perceptual hashing of an image table: (media_id, dhash),
+    * null dhash for undecodable payloads. Narrow (no shuffle), same
+    * mapPartitions batching as [[extractFeatures]]; feed the result to
+    * `Dedup.fingerprintNearDupPairs(_, "media_id", "dhash")` for
+    * image near-dup pairs — the pigeonhole pipeline is modality-
+    * agnostic once payloads are fingerprinted.
+    */
+  def imageDHashes(ds: Dataset[MediaItem],
+      batchSize: Int = defaultBatchSize): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { m =>
+        (m.media_id, dHash64(Option(m.payload).getOrElse(Array.empty)))
+      })
+    }.toDF("media_id", "dhash")
+      .select(col("media_id"), col("dhash").as("dhash"))
+  }
+
   /** "Resize": emit target dimensions + scale factors as metadata —
     * the real implementation would transform pixels; the plumbing
     * (projection shape, aspect-ratio math) is real.

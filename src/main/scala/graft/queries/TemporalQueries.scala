@@ -263,6 +263,35 @@ object TemporalQueries {
           .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
             round(percentile(col("value"), lit(0.9)), 6).as("p90"),
             count(col("value")).as("n"))
+          .orderBy("event_type")),
+
+    // Statistical-aggregate battery: sample stddev/variance and the
+    // two-column moments (covariance, Pearson correlation) per group —
+    // definitional parity with the oracle (both engines use the
+    // sample (n−1) forms; skewness/kurtosis are EXCLUDED, the engines
+    // disagree on bias correction). value vs event-hour is a real
+    // signal pair (is activity value time-of-day dependent?). One
+    // partial+final shuffle; 6-decimal rounding absorbs
+    // summation-order ulps.
+    Query("q105_moments", Some(
+      """SELECT event_type,
+        |  ROUND(stddev_samp(value), 6) AS sd,
+        |  ROUND(var_samp(value), 6) AS var,
+        |  ROUND(covar_samp(value, hod), 6) AS cov_vh,
+        |  ROUND(corr(value, hod), 6) AS corr_vh
+        |FROM (SELECT event_type, value,
+        |        CAST(epoch_ns(ts) // 3600000000000 % 24 AS DOUBLE) AS hod
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (expr("ts div 3600000000000") % 24).cast("double").as("hod"))
+          .groupBy("event_type")
+          .agg(round(stddev_samp(col("value")), 6).as("sd"),
+            round(var_samp(col("value")), 6).as("var"),
+            round(covar_samp(col("value"), col("hod")), 6).as("cov_vh"),
+            round(corr(col("value"), col("hod")), 6).as("corr_vh"))
           .orderBy("event_type"))
   )
 }

@@ -258,6 +258,31 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(("solo", 2L, "p q r s t u")))
   }
 
+  test("fingerprintNearDupPairs: pigeonhole radius, exact hamming, cap") {
+    // fingerprints: 1↔2 differ in 2 bits, 1↔3 in 20 bits, 4 isolated
+    val base = 0x0123456789abcdefL
+    val near = base ^ 0x3L                 // 2 low bits
+    val far = base ^ 0xfffffL             // 20 bits
+    val fps = Seq((1L, base), (2L, near), (3L, far),
+      (4L, 0x7777000011112222L)).toDF("id", "fp")
+    val pairs = Dedup.fingerprintNearDupPairs(fps, "id", "fp",
+        maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2)), s"$pairs")
+    // radius 63 pairs everything that shares a chunk — hamming exact
+    val wide = Dedup.fingerprintNearDupPairs(fps, "id", "fp",
+        maxHamming = 25)
+      .as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(wide.contains((1L, 3L)) == (java.lang.Long.bitCount(base ^ far)
+      <= 25))
+    // degenerate corpus: identical fingerprints over the cap → dropped
+    val pile = (0L until 50L).map(i => (i, 0L)).toDF("id", "fp")
+    assert(Dedup.fingerprintNearDupPairs(pile, "id", "fp",
+      maxBucketSize = 10).count() == 0L)
+  }
+
   test("dedupSpansAcrossCorpus survivor election is first-occurrence") {
     // the SECOND doc by id carries the span first positionally — the
     // election key is (doc id, position), so 'a1' still wins

@@ -350,4 +350,51 @@ class MultimodalSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("dHash: gradient structure survives brightness shift; patterns differ") {
+    implicit val s = spark
+    import spark.implicits._
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gradient(w: Int, h: Int, base: Int, flip: Boolean)
+        : java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val t = if (flip) w - 1 - x else x
+        val g = math.min(255, base + t * 200 / w)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", png(gradient(64, 32, 10, false)),
+        Map.empty),
+      // same structure, globally brighter → same gradient signs
+      Multimodal.MediaItem(2L, "image", png(gradient(64, 32, 40, false)),
+        Map.empty),
+      // mirrored gradient → opposite signs, far in hamming
+      Multimodal.MediaItem(3L, "image", png(gradient(64, 32, 10, true)),
+        Map.empty),
+      // undecodable → null hash
+      Multimodal.MediaItem(4L, "image", Array[Byte](1, 2, 3), Map.empty)
+    ).toDS()
+    val hashes = Multimodal.imageDHashes(items)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashes(4L).isEmpty, "undecodable payload must hash to null")
+    val Seq(h1, h2, h3) = Seq(1L, 2L, 3L).map(hashes(_).get)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2) <= 3, s"brightness shift moved dHash ${ham(h1, h2)}")
+    assert(ham(h1, h3) > 16, s"mirrored image too close: ${ham(h1, h3)}")
+
+    // end-to-end: fingerprint pairing finds the perceptual pair only
+    val pairs = Dedup.fingerprintNearDupPairs(
+        Multimodal.imageDHashes(items), "media_id", "dhash", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"$pairs")
+  }
 }
