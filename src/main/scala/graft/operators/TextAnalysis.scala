@@ -179,6 +179,25 @@ object TextAnalysis {
     when(schemeHost === "", lit("")).otherwise(concat(schemeHost, noTrail))
   }
 
+  /** Web-text cleaning — the canonical first pass over crawled HTML
+    * before any quality/dedup stage: strip tags, unescape the five
+    * core entities (amp LAST, so `&amp;lt;` correctly yields the
+    * literal `&lt;`), collapse whitespace runs, and NFC-normalize
+    * (see StringExprs.nfcNormalize) so downstream content keys are
+    * canonical. Narrow, codegen'd, a single projection; every step is
+    * replayed verbatim by the q106 oracle.
+    */
+  def cleanWebText(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    graft.functions.StringExprs.nfcNormalize(
+      trim(regexp_replace(unescaped, "\\s+", " ")))
+  }
+
   /** Per-document n-gram repetition statistics — the Gopher-style
     * repetition quality signals (most-common-n-gram fraction,
     * duplicated-n-gram fraction) that gate boilerplate/spam out of

@@ -798,6 +798,33 @@ object TrainingQueries {
           .groupBy("url_canon")
           .agg(count(lit(1)).as("n_variants"))
           .orderBy("url_canon")
-      })
+      }),
+
+    // Web-text cleaning — strip tags, unescape entities (amp LAST so
+    // double-escaped sequences resolve one level, the HTML spec
+    // behavior), collapse whitespace, NFC-normalize. Every document is
+    // wrapped in synthetic markup carrying all five entities plus a
+    // decomposed suffix, so the oracle exercises each step for real.
+    Query("q106_clean_html", Some(
+      """SELECT doc_id,
+        |  nfc_normalize(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        '<div class="post"><p>' || text ||
+        |          '</p><br/>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; cafe'
+        |          || chr(769) || '</div>',
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    '\s+', ' ', 'g'))) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.cleanWebText(
+              concat(lit("<div class=\"post\"><p>"), col("text"),
+                lit("</p><br/>&amp;lt; &lt;b&gt; &quot;q&quot; " +
+                  "&#39;s&#39; café</div>"))).as("clean"))
+          .orderBy("doc_id"))
   )
 }

@@ -241,6 +241,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids(1) == Seq(1L, 0L), "out-of-vocab token must encode as 0")
   }
 
+  test("cleanWebText: tags, entities (amp last), whitespace, NFC") {
+    val cases = Seq(
+      "<p>hello   world</p>" -> "hello world",
+      // double-escaped &amp;lt; resolves ONE level (to the literal
+      // &lt;), single-escaped entities resolve fully
+      "&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;" ->
+        "&lt; <b> \"q\" 's'",
+      "<div class=\"x\">a</div><br/>b" -> "a b",
+      // NFC: e + combining acute composes
+      "café" -> "café",
+      "  \t\n  " -> "")
+    val got = cases.map(_._1).toDF("v")
+      .select(TextAnalysis.cleanWebText(col("v")).as("c"))
+      .as[String].collect()
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((want, g), in) => assert(g == want, s"input '$in'")
+    }
+  }
+
   test("canonicalizeUrl: case, port, fragment, utm, slash variants collapse") {
     val cases = Seq(
       // scheme+host lowercased, :443 stripped, fragment dropped,
