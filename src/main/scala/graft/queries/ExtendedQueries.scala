@@ -1029,18 +1029,23 @@ object ExtendedQueries {
         val idx = deltaIndexTable(s, dir)
         val delta = docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-        val cand = Dedup.nearDupCandidatesAgainstIndex(
-          delta, "doc_id", "text", idx)
+        // the candidate frame feeds THREE consumers (the id semi-join
+        // plus both verify joins) and the shingle frame two — without a
+        // persist each consumer re-runs the delta featurization + index
+        // probe, tripling the query's real cost (measured 2× at sf0.1)
+        val cand = graft.HeavyPersist(Dedup.nearDupCandidatesAgainstIndex(
+          delta, "doc_id", "text", idx))
         // verify on matched documents only: candidate ids semi-join
         // the text source, so the exact-Jaccard pass never featurizes
         // unmatched corpus rows
         val ids = cand.select(col("id_a").as("doc_id"))
           .unionAll(cand.select(col("id_b").as("doc_id"))).distinct()
-        val feats = docs.unionAll(delta)
+        val feats = graft.HeavyPersist(docs.unionAll(delta)
           .join(ids, Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
             graft.operators.TextAnalysis.shinglesFromTokens(
-              graft.operators.TextAnalysis.wsTokens(col("text")), 3).as("sh"))
+              graft.operators.TextAnalysis.wsTokens(col("text")), 3).as("sh")),
+          freshScope = false)
         cand
           .join(feats.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
             "id_a")
