@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtendedQueries, Query, TemporalQueries, TrainingQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtendedQueries, Query,
+  TemporalQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +13,7 @@ object SparkEntry {
     */
   def allQueries: Seq[Query] =
     CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all ++
-      TemporalQueries.all
+      TemporalQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

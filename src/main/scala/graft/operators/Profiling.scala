@@ -36,4 +36,66 @@ object Profiling {
       .select(col("p.col"), col("p.n_nulls"), col("p.n_distinct"),
         col("p.min_v"), col("p.max_v"))
   }
+
+  /** Fixed-width histogram of `v` over [lo, hi): `nBins` equal bins,
+    * out-of-range values clamped into the edge bins (so every non-null
+    * value is counted exactly once and the bin totals reconcile with
+    * the row count — dropped tails silently skew distribution reads).
+    * Empty bins are present with cnt 0: the output is the full spine
+    * 0..nBins−1 with exact edges, ready for a chart or a drift diff.
+    *
+    * One partial-aggregated shuffle on the (at most nBins-ary) bin key;
+    * the spine is a driver-side `nBins`-row range, broadcast into the
+    * join. Bin arithmetic is plain IEEE floor((v−lo)/w) — portable
+    * bit-for-bit across engines.
+    */
+  def histogram(df: DataFrame, v: Column, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"empty range: [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(floor((v - lo) / w), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val counts = df.filter(v.isNotNull).groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(nBins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * w).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * w).as("hi_edge"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Tukey-fence outlier summary per group: exact quartiles
+    * (`percentile`, the quantile_cont interpolation), fences at
+    * q1 − k·IQR / q3 + k·IQR, and the count of rows outside each
+    * fence. Fences are rounded to 6 decimals BEFORE comparing — the
+    * two engines' interpolations agree to well under 1e-6 but not to
+    * the last ulp, and an unrounded fence would let a knife-edge value
+    * flip sides between them.
+    *
+    * Two passes sharing one scan shape: the quartile aggregation
+    * shuffles on the group key (exact percentile state is bounded by
+    * distinct values per group), then the tiny fence frame broadcasts
+    * back onto the rows — a 100 TB fact side never shuffles for the
+    * flagging pass.
+    */
+  def iqrOutliers(df: DataFrame, groupCols: Seq[String], v: Column,
+      k: Double = 1.5): DataFrame = {
+    val fences = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(0.25)).as("__q1"),
+        percentile(v, lit(0.75)).as("__q3"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__q1") - lit(k) * (col("__q3") - col("__q1")), 6)
+          .as("lo_fence"),
+        round(col("__q3") + lit(k) * (col("__q3") - col("__q1")), 6)
+          .as("hi_fence")): _*)
+    df.join(broadcast(fences), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"),
+        count(v).as("n"),
+        count(when(v < col("lo_fence"), 1)).as("n_low"),
+        count(when(v > col("hi_fence"), 1)).as("n_high"))
+  }
 }

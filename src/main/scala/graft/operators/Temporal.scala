@@ -134,4 +134,133 @@ object Temporal {
       .withColumn(outCol, sum(col("__start")).over(running))
       .drop("__prev", "__start")
   }
+
+  /** Resample to a fixed-width time grid with forward fill — the
+    * gap-filling reshape every time-series consumer (charting, feature
+    * windows, state reconstruction) needs: per key, one row per
+    * `width`-sized bucket from the key's first to its last observation,
+    * observed aggregates where data exists, and the listed aggregate
+    * columns carried forward (`<c>_ff`) across empty buckets.
+    *
+    * Scale shape: the aggregate frame (one row per OBSERVED (key,
+    * bucket)) is built first — a partial-aggregated shuffle — and the
+    * spine is generated FROM it (min/max bucket per key + `sequence`
+    * explode), so the raw input is scanned exactly once and the spine
+    * never joins against raw rows. The explode is bounded per key by
+    * the key's own time span in buckets; the fill is a running window
+    * on the same key partitioning the spine join just produced.
+    * `tCol` must be a long (any monotone encoding — see object doc).
+    */
+  def resampleFill(df: DataFrame, keyCol: String, tCol: String, width: Long,
+      aggs: Seq[Column], fillCols: Seq[String]): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    require(aggs.nonEmpty, "resampleFill needs at least one aggregate")
+    val bucketed = df.withColumn("__bkt", expr(s"`$tCol` div ${width}L"))
+    val observed = bucketed.groupBy(col(keyCol), col("__bkt"))
+      .agg(aggs.head, aggs.tail: _*)
+    val spine = observed.groupBy(col(keyCol))
+      .agg(min(col("__bkt")).as("__b0"), max(col("__bkt")).as("__b1"))
+      .select(col(keyCol),
+        explode(sequence(col("__b0"), col("__b1"))).as("__bkt"))
+    val joined = spine.join(observed, Seq(keyCol, "__bkt"), "left")
+    val w = Window.partitionBy(keyCol).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(joined)((acc, c) =>
+        acc.withColumn(s"${c}_ff", last(col(c), ignoreNulls = true).over(w)))
+      .withColumnRenamed("__bkt", "bucket")
+  }
+
+  /** Ordered-funnel step times: for each key, the earliest time it
+    * completed each step of `steps` IN ORDER — step i counts only
+    * strictly after the key's step-(i−1) time (the standard
+    * conversion-funnel semantics: a purchase before the click doesn't
+    * count). Returns one row per key with one nullable `t_<name>`
+    * column per step; a null means the funnel stopped there.
+    *
+    * One shuffle on the key: the per-step earliest times are stacked
+    * conditional window minima over the SAME partitioning (each
+    * referencing the previous step's column), and the final
+    * per-key reduction reuses that partitioning — aggregating the
+    * already-constant columns instead of re-sorting.
+    */
+  def funnel(df: DataFrame, keyCol: String, tCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val wu = Window.partitionBy(keyCol)
+    val stepped = steps.zipWithIndex.foldLeft(df) {
+      case (acc, ((name, pred), i)) =>
+        val gate =
+          if (i == 0) pred
+          else pred && col(tCol) > col(s"t_${steps(i - 1)._1}")
+        acc.withColumn(s"t_$name",
+          min(when(gate, col(tCol))).over(wu))
+    }
+    stepped.groupBy(col(keyCol))
+      .agg(min(col(s"t_${steps.head._1}")).as(s"t_${steps.head._1}"),
+        steps.tail.map(s => min(col(s"t_${s._1}")).as(s"t_${s._1}")): _*)
+  }
+
+  /** CDC merge: apply a changelog of upserts/deletes to a base
+    * snapshot, latest change wins. `changes` carries `opCol` (rows
+    * equal to `deleteOp` delete the key) and is ordered per key by
+    * `ordCols` (make the last one unique for a deterministic winner);
+    * every non-key column of `base` must exist in `changes`. A key's
+    * base row participates as the oldest version, so untouched keys
+    * survive and a delete-then-nothing key disappears.
+    *
+    * One shuffle: base and changes union into a single per-key
+    * row_number window (changes outrank base via a priority column,
+    * newest first), keep rank 1, drop winners that are deletes. This
+    * is the merge/upsert primitive of every snapshot-maintenance
+    * pipeline, shaped so a 100 TB base is never joined — just
+    * co-shuffled once with the (usually much smaller) delta.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCol: String,
+      ordCols: Seq[String], opCol: String, deleteOp: String): DataFrame = {
+    val vals = base.columns.filterNot(_ == keyCol).toSeq
+    val missing = (vals ++ Seq(opCol) ++ ordCols)
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing columns: ${missing.mkString(", ")}")
+    val ordSchema = changes.select(ordCols.map(col): _*).schema
+    val c = changes.select(
+      (keyCol +: vals).map(col) ++
+        Seq(col(opCol).cast("string").as("__op"), lit(1).as("__pri")) ++
+        ordCols.map(col): _*)
+    val b = base.select(
+      (keyCol +: vals).map(col) ++
+        Seq(lit("__base").as("__op"), lit(0).as("__pri")) ++
+        ordSchema.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__pri").desc +: ordCols.map(col(_).desc): _*)
+    c.unionAll(b)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= deleteOp)
+      .select((keyCol +: vals).map(col): _*)
+  }
+
+  /** SCD2 history build: collapse a per-key change stream into
+    * validity intervals [valid_from, valid_to) over the tracked
+    * `attrCols` — consecutive records with unchanged attributes merge
+    * into one interval; the current version has valid_to null. `tieCol`
+    * disambiguates equal times (among same-instant records the greatest
+    * tie wins the instant — its predecessor gets a zero-width
+    * interval, preserving the full audit trail).
+    *
+    * Two stacked windows on one key partitioning: a lag comparison
+    * (struct-compared, null-safe) keeps only change points, then lead
+    * over the SURVIVORS closes each interval at the next change.
+    */
+  def scd2(df: DataFrame, keyCol: String, tCol: String, tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    val order = Window.partitionBy(keyCol).orderBy(col(tCol), col(tieCol))
+    val attrs = struct(attrCols.map(col): _*)
+    df.withColumn("__prev", lag(attrs, 1).over(order))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
+      .withColumn("valid_from", col(tCol))
+      .withColumn("valid_to", lead(col(tCol), 1).over(order))
+      .select(col(keyCol) +: attrCols.map(col) :+
+        col("valid_from") :+ col("valid_to"): _*)
+  }
 }

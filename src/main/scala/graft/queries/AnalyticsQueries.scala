@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Profiling, Temporal}
+
+/** Time-series / warehouse-maintenance analytics over the event log
+  * (extended surface, SURVEY.md §2.10 continuation): grid resampling
+  * with forward fill, ordered funnels, distribution summaries
+  * (histogram, Tukey fences), CDC snapshot merge, and SCD2 history.
+  * All six have FULL DuckDB oracles — the window/spine/merge
+  * arithmetic is portable SQL, so the scale-shaped Spark plans are
+  * hash-checked end to end.
+  *
+  * Time convention: µs precision via `ts div 1000` / `epoch_us(ts)`
+  * (the TemporalQueries contract — DuckDB truncates the parquet ns
+  * column to µs).
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val HourUs = 3600000000L
+
+  /** Event time as µs-epoch (see TemporalQueries.tsUs). */
+  private val tsUs = expr("ts div 1000")
+
+  val all: Seq[Query] = Seq(
+
+    // Resample to an hourly grid with forward fill: per user, one row
+    // per hour from first to last activity — observed event count and
+    // exact-decimal value sum where data exists, the sum carried
+    // forward across silent hours. The spine derives from the
+    // aggregate frame (one scan of events), the fill is a running
+    // window on the same user partitioning. Gap-filling is what makes
+    // a time series JOINABLE on the grid downstream.
+    Query("q107_resample_fill", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bkt,
+        |            value FROM events),
+        |o AS (SELECT user_id, bkt, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, UNNEST(generate_series(MIN(bkt), MAX(bkt)))
+        |    AS bkt FROM o GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.bkt, o.n, o.sv
+        |  FROM s LEFT JOIN o ON o.user_id = s.user_id AND o.bkt = s.bkt)
+        |SELECT user_id, bkt AS bucket, COALESCE(n, 0) AS n_obs,
+        |  sv AS sum_val,
+        |  last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sum_val_ff
+        |FROM j ORDER BY user_id, bucket""".stripMargin))(
+      (s, dir) =>
+        Temporal.resampleFill(
+            t(s, dir, "events").select(col("user_id"), tsUs.as("tus"),
+              col("value")),
+            "user_id", "tus", HourUs,
+            aggs = Seq(count(lit(1)).as("__n"),
+              Query.dsum(col("value")).as("sum_val")),
+            fillCols = Seq("sum_val"))
+          .select(col("user_id"), col("bucket"),
+            coalesce(col("__n"), lit(0L)).as("n_obs"),
+            col("sum_val"), col("sum_val_ff"))
+          .orderBy("user_id", "bucket")),
+
+    // Ordered conversion funnel signup → click → purchase: a step
+    // counts only strictly after the user's previous step time, so a
+    // purchase that precedes the first click does not convert. One
+    // shuffle on user_id (stacked conditional window minima), then a
+    // three-counter reduction presented as one row per step.
+    Query("q108_funnel", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN tus END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tus > t1
+        |    THEN tus END) OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus > t2
+        |    THEN tus END) OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |  FROM w3 GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'signup' AS step, COUNT(t1) AS n_users
+        |  FROM u
+        |  UNION ALL SELECT 2, 'click', COUNT(t2) FROM u
+        |  UNION ALL SELECT 3, 'purchase', COUNT(t3) FROM u)
+        |ORDER BY step_idx""".stripMargin))(
+      (s, dir) => {
+        val f = Temporal.funnel(
+          t(s, dir, "events").select(col("user_id"), tsUs.as("tus"),
+            col("event_type")),
+          "user_id", "tus", Seq(
+            "signup" -> (col("event_type") === "signup"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")))
+        f.agg(count(col("t_signup")).as("c1"), count(col("t_click")).as("c2"),
+            count(col("t_purchase")).as("c3"))
+          .select(explode(array(
+            struct(lit(1).as("step_idx"), lit("signup").as("step"),
+              col("c1").as("n_users")),
+            struct(lit(2).as("step_idx"), lit("click").as("step"),
+              col("c2").as("n_users")),
+            struct(lit(3).as("step_idx"), lit("purchase").as("step"),
+              col("c3").as("n_users")))).as("s"))
+          .select(col("s.step_idx").as("step_idx"), col("s.step").as("step"),
+            col("s.n_users").as("n_users"))
+          .orderBy("step_idx")
+      }),
+
+    // Fixed-width histogram of event value over [0, 500) in 20 bins,
+    // edge-clamped (every non-null value lands in exactly one bin so
+    // the totals reconcile), empty bins present via the broadcast
+    // spine. One aggregation on a ≤20-ary key.
+    Query("q109_histogram", Some(
+      """WITH c AS (SELECT CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19)
+        |    AS BIGINT) AS bin, COUNT(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT s.bin, s.bin * 25.0 AS lo_edge, (s.bin + 1) * 25.0 AS hi_edge,
+        |  COALESCE(c.cnt, 0) AS cnt
+        |FROM (SELECT UNNEST(generate_series(0, 19)) AS bin) s
+        |LEFT JOIN c ON c.bin = s.bin ORDER BY s.bin""".stripMargin))(
+      (s, dir) =>
+        Profiling.histogram(t(s, dir, "events"), col("value"),
+            lo = 0.0, hi = 500.0, nBins = 20)
+          .orderBy("bin")),
+
+    // Tukey-fence outlier summary per event type: exact quartiles,
+    // 1.5×IQR fences (6-decimal rounded BEFORE comparison — see
+    // Profiling.iqrOutliers), per-fence outlier counts. The fence
+    // frame broadcasts; the fact side never shuffles for flagging.
+    Query("q110_iqr_outliers", Some(
+      """WITH f AS (SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.25)
+        |      - 1.5 * (quantile_cont(value, 0.75)
+        |               - quantile_cont(value, 0.25)), 6) AS lo_fence,
+        |    ROUND(quantile_cont(value, 0.75)
+        |      + 1.5 * (quantile_cont(value, 0.75)
+        |               - quantile_cont(value, 0.25)), 6) AS hi_fence
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, f.lo_fence, f.hi_fence,
+        |  COUNT(e.value) AS n,
+        |  COUNT(CASE WHEN e.value < f.lo_fence THEN 1 END) AS n_low,
+        |  COUNT(CASE WHEN e.value > f.hi_fence THEN 1 END) AS n_high
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin))(
+      (s, dir) =>
+        Profiling.iqrOutliers(
+            t(s, dir, "events").select(col("event_type"), col("value")),
+            Seq("event_type"), col("value"))
+          .orderBy("event_type")),
+
+    // CDC snapshot merge: the customer balance snapshot (keys < 200)
+    // patched by the event changelog — latest change per user wins,
+    // 'error' means delete, users with no changes keep their base row.
+    // One co-shuffle of base ∪ delta on the key; the base is never
+    // joined (the 100 TB-snapshot shape).
+    Query("q111_cdc_merge", Some(
+      """WITH base AS (SELECT c_custkey AS user_id, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey < 200),
+        |ch AS (SELECT user_id, value AS bal,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    epoch_us(ts) AS tus, event_id FROM events),
+        |u AS (
+        |  SELECT user_id, bal, op, 1 AS pri, tus, event_id FROM ch
+        |  UNION ALL
+        |  SELECT user_id, bal, '__base', 0, NULL, NULL FROM base),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY pri DESC, tus DESC, event_id DESC) AS rn FROM u)
+        |SELECT user_id, bal FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin))(
+      (s, dir) => {
+        val base = t(s, dir, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_custkey").as("user_id"), col("c_acctbal").as("bal"))
+        val changes = t(s, dir, "events").select(col("user_id"),
+          col("value").as("bal"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          tsUs.as("tus"), col("event_id"))
+        Temporal.applyChangelog(base, changes, "user_id",
+            Seq("tus", "event_id"), "op", deleteOp = "D")
+          .orderBy("user_id")
+      }),
+
+    // SCD2 history of each user's purchase-value tier (floor(val/100)):
+    // consecutive same-tier purchases collapse into one validity
+    // interval [valid_from, valid_to); the open current version has
+    // valid_to null. Two stacked windows on one user_id partitioning.
+    // (user_id, valid_from) is a verified total order — no µs ties
+    // among purchases at any test sf.
+    Query("q112_scd2", Some(
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(FLOOR(value / 100.0) AS BIGINT) AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT *, lag(tier) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM p),
+        |k AS (SELECT * FROM c WHERE prev IS NULL OR prev <> tier)
+        |SELECT user_id, tier, tus AS valid_from,
+        |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |    AS valid_to
+        |FROM k ORDER BY user_id, valid_from""".stripMargin))(
+      (s, dir) =>
+        Temporal.scd2(
+            t(s, dir, "events").filter(col("event_type") === "purchase")
+              .select(col("user_id"), tsUs.as("tus"), col("event_id"),
+                floor(col("value") / 100.0).cast("long").as("tier")),
+            "user_id", "tus", "event_id", Seq("tier"))
+          .select("user_id", "tier", "valid_from", "valid_to")
+          .orderBy("user_id", "valid_from"))
+  )
+}

@@ -24,4 +24,36 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted
     assert(r.toSeq == Seq("t.a", "t.b"))
   }
+
+  test("histogram: clamps out-of-range values into edge bins, keeps " +
+      "empty bins, drops nulls") {
+    // range [0, 10), 5 bins of width 2; -3 clamps to bin 0, 42 to bin 4;
+    // bin 3 is empty; the null is not counted anywhere
+    val df = Seq(Some(-3.0), Some(0.0), Some(1.9), Some(2.0), Some(5.0),
+      Some(42.0), None).toDF("v")
+    val out = Profiling.histogram(df, col("v"), 0.0, 10.0, 5)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0.0, 2.0, 3L), (1L, 2.0, 4.0, 1L), (2L, 4.0, 6.0, 1L),
+      (3L, 6.0, 8.0, 0L), (4L, 8.0, 10.0, 1L)))
+    assert(out.map(_._4).sum == 6L) // totals reconcile: nulls excluded
+  }
+
+  test("iqrOutliers: Tukey fences flag the planted extremes per group") {
+    // group a: 1..11 plus outliers -100 and +100. quantile_cont over
+    // the 13 sorted values interpolates at index 0.25·12 = 3 → q1 = 3
+    // and 0.75·12 = 9 → q3 = 9, so IQR 6 → fences [-6, 18] →
+    // one low, one high. group b: constant — IQR 0, no outliers.
+    val a = ((1 to 11).map(_.toDouble) ++ Seq(-100.0, 100.0)).map(("a", _))
+    val b = Seq.fill(5)(("b", 7.0))
+    val df = (a ++ b).toDF("g", "v")
+    val out = Profiling.iqrOutliers(df, Seq("g"), col("v"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", -6.0, 18.0, 13L, 1L, 1L), ("b", 7.0, 7.0, 5L, 0L, 0L)))
+  }
 }

@@ -102,4 +102,129 @@ class TemporalSpec extends SparkSpec {
       .select("eid", "session_idx").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
+
+  // ---- resampleFill -------------------------------------------------
+
+  test("resampleFill: grid covers min..max per key, gaps filled forward") {
+    // key 1 observes buckets 0 and 3 (width 10); 1 and 2 are gaps.
+    // key 2 observes only bucket 5 — a one-row grid, no bleed from key 1.
+    val df = Seq((1L, 5L, 10.0), (1L, 35L, 40.0), (2L, 55L, 7.0))
+      .toDF("k", "t", "v")
+    val out = Temporal.resampleFill(df, "k", "t", width = 10L,
+        aggs = Seq(count(lit(1)).as("n"), max(col("v")).as("mv")),
+        fillCols = Seq("mv"))
+      .orderBy("k", "bucket")
+      .select("k", "bucket", "n", "mv", "mv_ff")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).orNull, Option(r.get(3)).orNull, r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, 10.0, 10.0),
+      (1L, 1L, null, null, 10.0),
+      (1L, 2L, null, null, 10.0),
+      (1L, 3L, 1L, 40.0, 40.0),
+      (2L, 5L, 1L, 7.0, 7.0)))
+  }
+
+  // ---- funnel -------------------------------------------------------
+
+  test("funnel: steps must complete strictly in order") {
+    // u1 completes a→b→c; u2 has c BEFORE b (no conversion past a);
+    // u3 has b at the SAME instant as a (strict >, not ≥ — no advance);
+    // u4 never does a.
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 10L, "a"), (2L, 30L, "c"), (2L, 40L, "b"),
+      (3L, 10L, "a"), (3L, 10L, "b"),
+      (4L, 10L, "b"))
+      .toDF("u", "t", "e")
+    val out = Temporal.funnel(df, "u", "t", Seq(
+        "a" -> (col("e") === "a"), "b" -> (col("e") === "b"),
+        "c" -> (col("e") === "c")))
+      .orderBy("u")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).orNull,
+        Option(r.get(2)).orNull, Option(r.get(3)).orNull))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 20L, 30L),
+      (2L, 10L, 40L, null),   // c at t=30 precedes b — not a conversion
+      (3L, 10L, null, null),  // same-instant b does not advance
+      (4L, null, null, null)))
+  }
+
+  test("funnel: earliest qualifying time wins per step") {
+    val df = Seq((1L, 10L, "a"), (1L, 5L, "b"), (1L, 20L, "b"),
+      (1L, 50L, "b")).toDF("u", "t", "e")
+    val r = Temporal.funnel(df, "u", "t", Seq(
+      "a" -> (col("e") === "a"), "b" -> (col("e") === "b"))).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 20L)
+  }
+
+  // ---- applyChangelog -----------------------------------------------
+
+  private def cdcFixture = {
+    val base = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0), (4L, 400.0))
+      .toDF("k", "bal")
+    // k=1 untouched; k=2 two upserts (latest wins); k=3 deleted;
+    // k=4 deleted then re-upserted; k=5 pure insert (no base row)
+    val changes = Seq(
+      (2L, 20.0, "U", 10L, 1L), (2L, 25.0, "U", 20L, 2L),
+      (3L, 0.0, "D", 10L, 3L),
+      (4L, 0.0, "D", 10L, 4L), (4L, 44.0, "U", 20L, 5L),
+      (5L, 55.0, "U", 10L, 6L))
+      .toDF("k", "bal", "op", "t", "eid")
+    (base, changes)
+  }
+
+  test("applyChangelog: latest-wins upsert/delete merge of base + delta") {
+    val (base, changes) = cdcFixture
+    val out = Temporal.applyChangelog(base, changes, "k",
+        Seq("t", "eid"), "op", deleteOp = "D")
+      .orderBy("k").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 100.0), (2L, 25.0), (4L, 44.0), (5L, 55.0)))
+  }
+
+  test("applyChangelog: equal-time changes resolve by the tie column") {
+    val base = Seq((1L, 0.0)).toDF("k", "bal")
+    val changes = Seq((1L, 10.0, "U", 5L, 1L), (1L, 20.0, "U", 5L, 2L))
+      .toDF("k", "bal", "op", "t", "eid")
+    val out = Temporal.applyChangelog(base, changes, "k",
+      Seq("t", "eid"), "op", "D").head()
+    assert(out.getDouble(1) == 20.0)
+  }
+
+  test("applyChangelog: rejects a changelog missing value columns") {
+    val base = Seq((1L, 0.0)).toDF("k", "bal")
+    val changes = Seq((1L, "U", 5L)).toDF("k", "op", "t")
+    val e = intercept[IllegalArgumentException](
+      Temporal.applyChangelog(base, changes, "k", Seq("t"), "op", "D"))
+    assert(e.getMessage.contains("bal"))
+  }
+
+  // ---- scd2 ---------------------------------------------------------
+
+  test("scd2: unchanged consecutive records collapse into one interval") {
+    // k=1 tiers: A(t10) A(t20) B(t30) A(t40) — the repeat at t20 merges
+    val df = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A")).toDF("k", "t", "eid", "tier")
+    val out = Temporal.scd2(df, "k", "t", "eid", Seq("tier"))
+      .orderBy("valid_from")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        Option(r.get(3)).orNull))
+    assert(out.toSeq == Seq(("A", 10L, 30L), ("B", 30L, 40L), ("A", 40L, null)))
+  }
+
+  test("scd2: null attributes compare null-safely (no phantom changes)") {
+    val df = Seq((1L, 10L, 1L, None: Option[String]),
+      (1L, 20L, 2L, None: Option[String]), (1L, 30L, 3L, Some("x")))
+      .toDF("k", "t", "eid", "tier")
+    val out = Temporal.scd2(df, "k", "t", "eid", Seq("tier"))
+    assert(out.count() == 2)
+  }
+
+  test("scd2: keys build independent histories") {
+    val df = Seq((1L, 10L, 1L, "A"), (2L, 5L, 2L, "A"))
+      .toDF("k", "t", "eid", "tier")
+    val out = Temporal.scd2(df, "k", "t", "eid", Seq("tier"))
+      .filter(col("valid_to").isNotNull).count()
+    assert(out == 0) // both rows are their key's current version
+  }
 }
