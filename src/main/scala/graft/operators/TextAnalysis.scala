@@ -526,4 +526,36 @@ object TextAnalysis {
         array_sort(collect_list(
           struct(col("pos"), coalesce(col("id"), lit(0L)).as("tid")))),
         s => s.getField("tid")).as(outCol))
+
+  /** Inverted index build: one row per distinct case-folded token with
+    * its document frequency and a bounded posting list (the first
+    * `maxPostings` doc ids ascending, comma-joined) — the retrieval /
+    * contamination-lookup artifact next to q82's BM25 scorer.
+    *
+    * Scale shape: document frequency aggregates the FULL (term, doc)
+    * frame, but the posting list is capped BEFORE collection by a
+    * per-term rank window, so a stopword's list costs `maxPostings`
+    * rows in the collect — an uncapped collect_list of a hot term is
+    * the classic single-executor OOM. Both aggregations and the final
+    * join share the term key, so the frame shuffles on term once and
+    * stays co-partitioned.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 20): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val terms = df.select(col(idCol).as("doc_id"),
+        explode(wsTokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    val postings = terms
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPostings)
+      .groupBy("term")
+      .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("postings"))
+    dfreq.join(postings, Seq("term"))
+  }
 }

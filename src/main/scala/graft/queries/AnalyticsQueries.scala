@@ -4,15 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Profiling, Temporal}
+import graft.operators.{Dedup, Profiling, Temporal, TextAnalysis}
 
 /** Time-series / warehouse-maintenance analytics over the event log
+  * plus the round's entity-resolution/graph/retrieval additions
   * (extended surface, SURVEY.md §2.10 continuation): grid resampling
   * with forward fill, ordered funnels, distribution summaries
-  * (histogram, Tukey fences), CDC snapshot merge, and SCD2 history.
-  * All six have FULL DuckDB oracles — the window/spine/merge
-  * arithmetic is portable SQL, so the scale-shaped Spark plans are
-  * hash-checked end to end.
+  * (histogram, Tukey fences), CDC snapshot merge, SCD2 history,
+  * edit-distance-1 fuzzy matching, co-purchase triangle enumeration,
+  * and inverted-index build. All have FULL DuckDB oracles — the
+  * window/spine/merge/join arithmetic is portable SQL, so the
+  * scale-shaped Spark plans are hash-checked end to end (the fuzzy
+  * matcher's oracle is the O(n²) all-pairs definition its blocking
+  * provably equals).
   *
   * Time convention: µs precision via `ts div 1000` / `epoch_us(ts)`
   * (the TemporalQueries contract — DuckDB truncates the parquet ns
@@ -207,6 +211,84 @@ object AnalyticsQueries {
                 floor(col("value") / 100.0).cast("long").as("tier")),
             "user_id", "tus", "event_id", Seq("tier"))
           .select("user_id", "tier", "valid_from", "valid_to")
-          .orderBy("user_id", "valid_from"))
+          .orderBy("user_id", "valid_from")),
+
+    // Fuzzy customer-name matching at edit distance ≤ 1 via
+    // deletion-neighborhood blocking (complete for distance 1 — see
+    // Dedup.editDistanceOnePairs). The oracle is the all-pairs
+    // levenshtein definition itself, so the hash match PROVES the
+    // blocked plan loses nothing vs the quadratic join it replaces.
+    Query("q113_fuzzy_names", Some(
+      """WITH n AS (SELECT DISTINCT c_name AS s FROM customer
+        |  WHERE c_name IS NOT NULL AND length(c_name) BETWEEN 1 AND 64)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY name_a, name_b""".stripMargin))(
+      (s, dir) =>
+        Dedup.editDistanceOnePairs(
+            t(s, dir, "customer").select("c_name"), "c_name")
+          .select(col("s_a").as("name_a"), col("s_b").as("name_b"),
+            col("dist"))
+          .orderBy("name_a", "name_b")),
+
+    // Triangles in the frequently-co-purchased part graph (parts
+    // sharing an order at least twice): per-order pair generation is
+    // a bounded array expansion (order size caps the quadratic), the
+    // support filter is one aggregation, and the enumeration itself is
+    // Dedup.triangles' degree-ordered orientation — wedge counts stay
+    // O(√m) per vertex even on hub-heavy graphs. The oracle replays
+    // the definition as a three-way self-join over the same edge set.
+    Query("q114_triangles", Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT e1.pa AS id_a, e1.pb AS id_b, e2.pb AS id_c
+        |FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        |ORDER BY id_a, id_b, id_c""".stripMargin))(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        val pairArr = filter(
+          flatten(transform(col("ps"), x =>
+            transform(col("ps"), y => struct(x.as("pa"), y.as("pb"))))),
+          p => p.getField("pa") < p.getField("pb"))
+        val edges = perOrder.select(explode(pairArr).as("p"))
+          .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= 2)
+          .select("pa", "pb")
+        Dedup.triangles(edges, "pa", "pb")
+          .orderBy("id_a", "id_b", "id_c")
+      }),
+
+    // Inverted index over the document corpus: per case-folded term,
+    // document frequency (full count) and a bounded posting list
+    // (first 20 doc ids) — capped BEFORE collection so hot terms cost
+    // maxPostings rows, not an executor-sized list.
+    Query("q115_inverted_index", Some(
+      """WITH t AS (SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '\s+')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+        |c AS (SELECT term, doc_id FROM (
+        |    SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term
+        |      ORDER BY doc_id) AS rk FROM t)
+        |  WHERE rk <= 20),
+        |p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+        |    ORDER BY doc_id) AS postings FROM c GROUP BY 1)
+        |SELECT d.term, d.df, p.postings FROM d JOIN p USING (term)
+        |ORDER BY term""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.invertedIndex(t(s, dir, "documents"),
+            "doc_id", "text", maxPostings = 20)
+          .orderBy("term"))
   )
 }

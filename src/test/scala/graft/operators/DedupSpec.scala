@@ -291,4 +291,80 @@ class DedupSpec extends SparkSpec {
       .as[(String, Long, String)].collect()
     assert(got.toSeq == Seq(("a1", 1L, "k l m n")))
   }
+
+  // ---- editDistanceOnePairs ------------------------------------------
+
+  test("editDistanceOnePairs equals all-pairs levenshtein ≤ 1") {
+    // brute-force reference over a vocabulary with planted neighbors of
+    // every edit kind: substitution (cat/cut), deletion (cat/at),
+    // insertion (cat/cart), plus decoys at distance 2+
+    val vocab = Seq("cat", "cut", "at", "cart", "dog", "dig", "dgo",
+      "hello", "hallo", "hell", "xyz", "abc", "ab", "ba")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+    } yield (a, b, 1)).sorted
+    val got = Dedup.editDistanceOnePairs(vocab.toDF("s"), "s")
+      .as[(String, String, Int)].collect().sorted
+    assert(got.toSeq == want)
+    assert(want.exists(p => p._1 == "at" && p._2 == "cat"))   // deletion
+    assert(want.exists(p => p._1 == "cart" && p._2 == "cat")) // insertion
+    assert(want.exists(p => p._1 == "cat" && p._2 == "cut"))  // substitution
+  }
+
+  test("editDistanceOnePairs rejects shared-variant distance-2 pairs") {
+    // "ab"/"ba" share deletion variants "a" AND "b" but are distance 2
+    val got = Dedup.editDistanceOnePairs(Seq("ab", "ba").toDF("s"), "s")
+    assert(got.count() == 0)
+  }
+
+  test("editDistanceOnePairs: duplicates don't pair; hot buckets cap") {
+    // identical strings collapse before pairing (no self-pairs)
+    assert(Dedup.editDistanceOnePairs(
+      Seq("same", "same", "same").toDF("s"), "s").count() == 0)
+    // a1/a2/a3 all share variant "a" (bucket size 3 > cap 2) and share
+    // no other variant — capped bucket produces no pairs
+    assert(Dedup.editDistanceOnePairs(
+      Seq("a1", "a2", "a3").toDF("s"), "s", maxBucketSize = 2).count() == 0)
+  }
+
+  // ---- triangles -----------------------------------------------------
+
+  test("triangles: enumerates each triangle once, ordered") {
+    // K4 on {1,2,3,4} (4 triangles) plus pendant 5 and isolated-ish
+    // chain 6-7 (no triangles); edges given in mixed orientation with
+    // a duplicate and a self-loop to exercise normalization
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (4L, 2L), (3L, 4L), (4L, 5L), (6L, 7L), (6L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.triangles(edges).as[(Long, Long, Long)]
+      .collect().sorted
+    assert(got.toSeq == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+  }
+
+  test("triangles: paths and stars have none") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Dedup.triangles(path).count() == 0)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("id_a", "id_b")
+    assert(Dedup.triangles(star).count() == 0)
+  }
+
+  test("triangles: hub-heavy wheel matches the closed form") {
+    // wheel: hub 0 + cycle 1..8 — triangles = the 8 cycle edges each
+    // closing with the hub; degree orientation handles the hub without
+    // wedge blowup
+    val n = 8L
+    val cycle = (1L to n).map(i => (i, if (i == n) 1L else i + 1))
+    val spokes = (1L to n).map(i => (0L, i))
+    val got = Dedup.triangles((cycle ++ spokes).toDF("id_a", "id_b"))
+    assert(got.count() == n)
+  }
 }

@@ -283,4 +283,28 @@ class TextAnalysisSpec extends SparkSpec {
       case ((want, g), in) => assert(g == want, s"input '$in'")
     }
   }
+
+  test("invertedIndex: df counts docs once, postings cap and sort") {
+    val docs = Seq(
+      (3L, "apple banana apple"),   // within-doc repeat counts once
+      (1L, "APPLE cherry"),         // case-folds into the same term
+      (2L, "apple date")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 2)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // df is the FULL document frequency; postings cap at the 2 lowest ids
+    assert(got("apple") == ((3L, "1,2")))
+    assert(got("banana") == ((1L, "3")))
+    assert(got("cherry") == ((1L, "1")))
+    assert(got("date") == ((1L, "2")))
+  }
+
+  test("invertedIndex: empty and whitespace-only docs contribute nothing") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "word"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, String)].collect()
+    assert(got.toSeq == Seq(("word", 1L, "3")))
+  }
 }
