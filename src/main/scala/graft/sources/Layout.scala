@@ -120,6 +120,45 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes` — the maintenance job every
+    * incrementally-written table needs (streaming sinks, per-batch
+    * ingests, and over-parallel writers all shed thousands of tiny
+    * files, and each one costs a listing entry + footer read on EVERY
+    * later scan; at 100 TB that breaks the metadata layer before it
+    * slows the I/O). The target file count comes from the directory's
+    * real byte size (filesystem metadata — no data scan), and the
+    * rewrite uses `coalesce`, which UNIONS input splits into writer
+    * tasks without a shuffle — compaction moves every byte once, and
+    * only once. Returns the file count written.
+    *
+    * Row-group caveat: coalesce preserves existing row order per
+    * file; it does not re-sort. Re-clustering belongs to
+    * [[writeShards]]/[[writeZOrdered]], not here.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    require(new java.net.URI(outPath).getPath !=
+      new java.net.URI(inPath).getPath,
+      "compact cannot overwrite its input in place")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue).toInt
+    spark.read.parquet(inPath)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   // ---- cached bucketed twins of the testdata tables -----------------
 
   private val bktCache = new graft.SessionCache[String]

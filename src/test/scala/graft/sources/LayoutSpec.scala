@@ -121,4 +121,29 @@ class LayoutSpec extends SparkSpec {
     assert(scan.count() ==
       ev.filter(col("event_type") === "click").count())
   }
+
+  test("compact: collapses a small-file mess without losing a row") {
+    def parquetFiles(d: String): Seq[java.io.File] =
+      new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet")).toSeq
+    val base = Files.createTempDirectory("graft_compact").toString
+    val ev = graft.Tables(spark, sf, "events")
+    // simulate an over-parallel ingest: 40 files for ~100 KB of data
+    ev.repartition(40).write.parquet(s"$base/messy")
+    assert(parquetFiles(s"$base/messy").size >= 40)
+    val n = Layout.compact(spark, s"$base/messy", s"$base/tidy",
+      targetFileBytes = 4L * 1024 * 1024)
+    val got = parquetFiles(s"$base/tidy").size
+    assert(got == n && n < 5, s"expected <5 files, wrote $n (found $got)")
+    // content identity, not just cardinality
+    val a = spark.read.parquet(s"$base/messy")
+    val b = spark.read.parquet(s"$base/tidy")
+    assert(b.count() == a.count() && a.exceptAll(b).isEmpty &&
+      b.exceptAll(a).isEmpty)
+  }
+
+  test("compact: refuses in-place rewrites") {
+    val e = intercept[IllegalArgumentException](
+      Layout.compact(spark, "/tmp/x", "/tmp/x"))
+    assert(e.getMessage.contains("in place"))
+  }
 }
