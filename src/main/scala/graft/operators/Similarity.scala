@@ -550,4 +550,133 @@ object Similarity {
     quantized.select(col(idCol), round(score, 6).as("score"))
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): the third standard ANN memory/scan lever
+  // beyond IVF cells (scan pruning) and int8 (4× compression) — m
+  // per-subspace codebooks compress each vector to m byte-sized codes
+  // (here 64 dims → 8 codes: 32× smaller than float32), probes score
+  // the COMPRESSED corpus via per-subspace lookup tables (ADC), and a
+  // small exact re-rank restores precision. The codebooks are bounded
+  // driver metadata (m × ksub × dims/m doubles), trained once at index
+  // build by the same deterministic sampled k-means as IVF.
+  // ---------------------------------------------------------------------
+
+  /** Train the m per-subspace codebooks: the corpus sample is drawn
+    * ONCE (the trainCentroids sampling contract) and each subspace fits
+    * its own k-means over the sample's slice — m small driver-side
+    * fits, not m corpus scans.
+    */
+  def trainPqCodebooks(corpus: DataFrame, embCol: String, m: Int = 8,
+      ksub: Int = 16, seed: Long = 42L,
+      maxTrainRows: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dims = corpus.select(size(col(embCol))).head().getInt(0)
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must split evenly into m ($m) subspaces")
+    val subLen = dims / m
+    val v = toDouble(col(embCol))
+    val sampled =
+      (if (corpus.limit(maxTrainRows + 1).count() <= maxTrainRows)
+        corpus.select(v.as("v"))
+      else corpus
+        .select(v.as("v"), xxhash64(col(embCol), lit(seed)).as("__h"))
+        .orderBy(col("__h")).limit(maxTrainRows).select(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).map { j =>
+        val sub = sampled.select(array_to_vector(
+          slice(col("v"), j * subLen + 1, subLen)).as("features"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
+          .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+      }
+    } finally { sampled.unpersist(blocking = false) }
+  }
+
+  /** PQ code array for a vector column: element j = the index of
+    * subspace j's nearest centroid (squared-L2; the per-subspace |v_j|²
+    * term is common to every centroid and dropped). One expression —
+    * the encode pass is a single scan.
+    */
+  def pqCode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val m = codebooks.size
+    val subLen = codebooks.head.head.size
+    array((0 until m).map { j =>
+      val sub = slice(v, j * subLen + 1, subLen)
+      array_min(array(codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct((lit(sq(c)) - lit(2.0) * dot(sub, typedlit(c))).as("d"),
+          lit(i).as("i"))
+      }: _*)).getField("i")
+    }: _*)
+  }
+
+  /** Build the persisted PQ index at `path`: (id, codes) — 32× smaller
+    * than the float32 corpus — plus the codebooks as `_codebooks`
+    * (bounded metadata, the _meta/_centroids pattern).
+    */
+  def buildPqIndex(corpus: DataFrame, embCol: String, idCol: String,
+      path: String, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      writeTasks: Int = 8): Unit = {
+    val codebooks = trainPqCodebooks(corpus, embCol, m, ksub, seed)
+    val coded = corpus.select(col(idCol),
+      pqCode(toDouble(col(embCol)), codebooks).as("codes"))
+    (if (writeTasks > 0) coded.coalesce(writeTasks) else coded)
+      .write.mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, i) =>
+        (j, i, c) } }
+      .toDF("j", "i", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+    idxFrameCache.put(spark, path, spark.read.parquet(path))
+    idxMetaCache.put(spark, s"$path/_codebooks",
+      spark.read.parquet(s"$path/_codebooks").collect())
+  }
+
+  /** Probe the PQ index: asymmetric distance computation (ADC) — the
+    * query builds one m × ksub inner-product lookup table on the
+    * driver, the compressed scan sums m `element_at`s per row (reading
+    * codes, never vectors), the top `shortlist` approximate matches
+    * come back through a bounded TakeOrdered, and ONLY those rows'
+    * real embeddings are re-read (broadcast semi-join) for the exact
+    * cosine re-rank. `shortlist` is the recall/precision lever:
+    * true top-k candidates missing from the shortlist are the PQ
+    * approximation error, exactly as nProbe bounds IVF recall.
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, embCol: String, idCol: String, query: Seq[Double],
+      k: Int, shortlist: Int = 50): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) > 0")
+    val rows = indexMeta(spark, s"$path/_codebooks")
+    val codebooks: Seq[Seq[Seq[Double]]] = rows
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("i"),
+        r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val m = codebooks.size
+    val subLen = codebooks.head.head.size
+    require(query.size == m * subLen,
+      s"query has ${query.size} dims but the index was built for " +
+        s"${m * subLen}")
+    // per-subspace inner-product LUT (driver-side, m × ksub doubles)
+    val luts: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qSub = query.slice(j * subLen, (j + 1) * subLen)
+      cb.map(c => c.zip(qSub).map { case (a, b) => a * b }.sum)
+    }
+    val approx = (0 until m).map(j =>
+        element_at(typedlit(luts(j)), col("codes").getItem(j) + 1))
+      .reduce(_ + _)
+    val short = indexFrame(spark, path)
+      .select(col(idCol), approx.as("__approx"))
+      .orderBy(col("__approx").desc, col(idCol))
+      .limit(shortlist)
+    corpus.join(broadcast(short.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

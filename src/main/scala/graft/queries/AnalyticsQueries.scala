@@ -272,6 +272,54 @@ object AnalyticsQueries {
     // document frequency (full count) and a bounded posting list
     // (first 20 doc ids) — capped BEFORE collection so hot terms cost
     // maxPostings rows, not an executor-sized list.
+    // TPC-H Q5-shaped star join: five dimension hops (region → nation →
+    // customer/supplier) around the orders→lineitem fact spine, revenue
+    // per nation for one region-year. The OLAP plan-quality probe: the
+    // dims broadcast (no fact shuffle until the final groupBy), the
+    // date/region filters push into the scans, and revenue is exact
+    // decimal arithmetic end to end (decimal × decimal, then the house
+    // decimal-sum convention) so partial-agg order can't drift.
+    Query("q116_star_join", Some(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+            col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+          .groupBy("n_name")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,4)")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      }),
+
     Query("q115_inverted_index", Some(
       """WITH t AS (SELECT DISTINCT doc_id, term FROM (
         |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),

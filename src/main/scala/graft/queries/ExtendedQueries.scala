@@ -110,6 +110,14 @@ object ExtendedQueries {
         "vec_id", p, nClusters = 16)
       p
     }
+  private val pqIdxCache = new graft.SessionCache[String]
+  private def pqIndexPath(s: SparkSession, dir: String): String =
+    pqIdxCache.get(s, dir) {
+      val p = newIdxDir("graft_pq_idx")
+      Similarity.buildPqIndex(t(s, dir, "embeddings"), "embedding",
+        "vec_id", p, m = 8, ksub = 16)
+      p
+    }
 
   /** Build both persisted ANN indexes for `dir` eagerly. Bench calls
     * this before timing and reports the build cost as its own metric:
@@ -125,7 +133,7 @@ object ExtendedQueries {
     // independent builds, independent Spark jobs — overlap them
     Await.result(Future.sequence(Seq(
       Future(lshIndexPath(s, dir)), Future(ivfIndexPath(s, dir)),
-      Future(deltaIndexTable(s, dir)))),
+      Future(deltaIndexTable(s, dir)), Future(pqIndexPath(s, dir)))),
       Duration.Inf)
   }
 
@@ -597,6 +605,42 @@ object ExtendedQueries {
       (s, dir) =>
         Similarity.ivfTopKIndexed(s, ivfIndexPath(s, dir), "embedding",
           "vec_id", queryVec(s, dir), k = 10, nProbe = 4)),
+
+    // ANN probe against the PERSISTED PQ index: the compressed-scan
+    // path — 8 byte-codes per vector (32× smaller than float32), ADC
+    // lookup-table scoring, a bounded shortlist, exact re-rank of only
+    // those rows' real vectors. Unlike IVF/LSH (whose probes recall
+    // the full true top-10 at verify scale), PQ's approximation error
+    // on these near-uniform synthetic vectors genuinely reorders the
+    // tail, so the oracle is the q42 CONTRACT form: the exact top-10
+    // rides along (DuckDB recomputes it) and `recall_ok` asserts the
+    // probe recovered at least 8 of the true 10 — hash-checked per
+    // round. The probe's raw output is additionally pinned by
+    // SimilaritySpec (recall floor + exact-score parity on the
+    // returned rows).
+    Query("q117_pq_topk", Some(
+      """WITH topk AS (
+        |  SELECT vec_id FROM (
+        |    SELECT v.vec_id,
+        |      ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |         WHERE vec_id = 0)), 6) AS score
+        |    FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10))
+        |SELECT CAST(10 AS BIGINT) AS n_returned,
+        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_true,
+        |  true AS recall_ok""".stripMargin))(
+      (s, dir) => {
+        val pq = Similarity.pqTopKIndexed(s, pqIndexPath(s, dir),
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryVec(s, dir), k = 10, shortlist = 100)
+        val exact = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+          "embedding", "vec_id", queryVec(s, dir), k = 10)
+        val overlap = pq.select(col("vec_id"))
+          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        pq.agg(count(lit(1)).as("n_returned"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
+          .crossJoin(overlap.agg((count(lit(1)) >= 8).as("recall_ok")))
+      }),
 
     // Batch kNN join: top-5 neighbors for each of three query vectors
     // in one pass, per-query top-k via the bounded-heap aggregator

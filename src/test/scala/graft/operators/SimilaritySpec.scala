@@ -318,4 +318,49 @@ class SimilaritySpec extends SparkSpec {
     // self dot: codes (127,0,0)·(127,0,0) = 16129, rescale 1·1/127² → 1.0
     assert(got(0).getAs[Double]("score") == 1.0)
   }
+
+  test("pqCode: m codes, each a valid codebook index; encode is " +
+      "deterministic") {
+    val codebooks = Similarity.trainPqCodebooks(emb, "embedding",
+      m = 8, ksub = 16)
+    assert(codebooks.size == 8 && codebooks.forall(_.size == 16) &&
+      codebooks.forall(_.forall(_.size == 8)))
+    def codesOf() = emb.orderBy("vec_id")
+      .select(Similarity.pqCode(
+        transform(col("embedding"), _.cast("double")), codebooks).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    val c1 = codesOf()
+    assert(c1.forall(c => c.size == 8 && c.forall(i => i >= 0 && i < 16)))
+    assert(c1 == codesOf()) // same codebooks → same codes, any run
+  }
+
+  test("pq index probe: exact re-rank scores, recall floor vs brute " +
+      "force, self always found") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec")
+      .toString + "/idx"
+    Similarity.buildPqIndex(emb, "embedding", "vec_id", dir)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val got = Similarity.pqTopKIndexed(spark, dir, emb, "embedding",
+      "vec_id", q, k = 10, shortlist = 100).as[(Long, Double)].collect()
+    assert(got.length == 10)
+    // the query's own vector quantizes to itself in every subspace —
+    // its ADC score is maximal among its own codes, so it must survive
+    // the shortlist and re-rank first with the exact score
+    assert(got.head._1 == 7L && got.head._2 == 1.0)
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect()
+    val overlap = (got.map(_._1).toSet & exact.map(_._1).toSet).size
+    // near-uniform synthetic vectors are PQ's worst case (no cluster
+    // structure for the codebooks to exploit); this floor is a
+    // determinism regression pin, not a quality claim — q117's
+    // contract oracle pins 8/10 on its own fixed query
+    assert(overlap >= 7, s"recall@10 too low: $overlap/10")
+    // every returned score is the EXACT rounded cosine (the re-rank
+    // recomputes on real vectors — no quantization error in the output)
+    val exactById = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+      q, emb.count().toInt).as[(Long, Double)].collect().toMap
+    got.foreach { case (id, s) => assert(s == exactById(id)) }
+  }
 }

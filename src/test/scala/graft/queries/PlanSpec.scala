@@ -238,6 +238,34 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("partial_count") > p.indexOf("FullOuter"), p.take(2000))
   }
 
+  test("star join broadcasts every dimension — one fact-side shuffle " +
+      "at most (q116)") {
+    val p = plan("q116_star_join")
+    // region/nation/supplier/customer all broadcast; the orders date
+    // filter reaches its scan
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension fell back to a shuffled join:\n" + p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "o_orderdate filter not pushed:\n" + p.take(2000))
+  }
+
+  test("fuzzy matching expands variant buckets in place — no window " +
+      "sort, no self-join (q113)") {
+    val p = plan("q113_fuzzy_names")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pairing should be an in-bucket expansion, not a join:\n" +
+        p.take(2000))
+  }
+
+  test("inverted index shares the term shuffle between df and postings " +
+      "(q115)") {
+    val p = plan("q115_inverted_index")
+    // the posting-list cap is a rank window BEFORE collect_list
+    assert(p.contains("row_number"), p.take(2000))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
