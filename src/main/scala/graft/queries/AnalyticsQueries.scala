@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Profiling, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Incremental, Profiling, Temporal,
+  TextAnalysis}
 
 /** Time-series / warehouse-maintenance analytics over the event log
   * plus the round's entity-resolution/graph/retrieval additions
@@ -212,6 +213,143 @@ object AnalyticsQueries {
             "user_id", "tus", "event_id", Seq("tier"))
           .select("user_id", "tier", "valid_from", "valid_to")
           .orderBy("user_id", "valid_from")),
+
+    // Group-wise ordinary least squares: slope/intercept/R² of event
+    // value against hour-of-day per event type — the "is this metric
+    // time-of-day dependent, and how much" modeling primitive on top
+    // of q105's raw moments. The SQL-standard regr_* aggregates are
+    // definitional (moment sums), so one partial+final shuffle
+    // computes all four; 6-decimal rounding absorbs summation-order
+    // ulps (the q105 convention).
+    Query("q118_regression", Some(
+      """SELECT event_type,
+        |  CAST(regr_count(value, hod) AS BIGINT) AS n,
+        |  ROUND(regr_slope(value, hod), 6) AS slope,
+        |  ROUND(regr_intercept(value, hod), 6) AS icept,
+        |  ROUND(regr_r2(value, hod), 6) AS r2
+        |FROM (SELECT event_type, value,
+        |        CAST(epoch_ns(ts) // 3600000000000 % 24 AS DOUBLE) AS hod
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            (expr("ts div 3600000000000") % 24).cast("double").as("hod"))
+          .groupBy("event_type")
+          .agg(regr_count(col("value"), col("hod")).as("n"),
+            round(regr_slope(col("value"), col("hod")), 6).as("slope"),
+            round(regr_intercept(col("value"), col("hod")), 6).as("icept"),
+            round(regr_r2(col("value"), col("hod")), 6).as("r2"))
+          .orderBy("event_type")),
+
+    // Rolling z-score anomaly detection: each event scored against the
+    // mean/stddev of its user's PREVIOUS 10 events (frame excludes the
+    // current row — scoring a point against a window that contains it
+    // dampens exactly the outliers being hunted). z is null until the
+    // window has 5 points and while the window is degenerate (zero
+    // spread). One shuffle on user_id; all three window aggregates
+    // share the frame.
+    Query("q119_rolling_zscore", Some(
+      """WITH w AS (SELECT event_id, user_id, value,
+        |    COUNT(value) OVER win AS n_win,
+        |    AVG(value) OVER win AS mu,
+        |    stddev_samp(value) OVER win AS sd
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+        |        FROM events)
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        |  CAST(n_win AS BIGINT) AS n_win,
+        |  CASE WHEN n_win >= 5 AND sd > 0
+        |    THEN ROUND((value - mu) / sd, 6) END AS z
+        |FROM w ORDER BY event_id""".stripMargin))(
+      (s, dir) => {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+          .rowsBetween(-10, -1)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), tsUs.as("tus"),
+            col("value"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            count(col("value")).over(win).as("n_win"),
+            avg(col("value")).over(win).as("mu"),
+            stddev_samp(col("value")).over(win).as("sd"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("n_win"),
+            when(col("n_win") >= 5 && col("sd") > 0,
+              round((col("value") - col("mu")) / col("sd"), 6)).as("z"))
+          .orderBy("event_id")
+      }),
+
+    // Incremental rollup maintenance: the stored per-type rollup of
+    // the first three weeks of events (days < 19744), folded together
+    // with the delta batch's rollup (the final week) — and the oracle
+    // recomputes the whole rollup from raw facts, so the hash match IS
+    // the incremental-view-maintenance contract: merged state ==
+    // from-scratch, with the raw history scanned zero extra times.
+    // Measures stay exact decimal through the merge; double only at
+    // presentation.
+    Query("q120_incremental_rollup", Some(
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            expr("ts div 86400000000000").as("day"))
+        def rollup(part: DataFrame): DataFrame = part
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).as("sum_val"))
+        val cut = 19744L // events span epoch days 19723..19752
+        val state = rollup(ev.filter(col("day") < cut))
+        val delta = rollup(ev.filter(col("day") >= cut))
+        Incremental.mergeAdditive(state, delta, Seq("event_type"),
+            Seq("cnt", "sum_val"))
+          .select(col("event_type"), col("cnt"),
+            col("sum_val").cast("double").as("sum_val"))
+          .orderBy("event_type")
+      }),
+
+    // Data-quality expectation gate: six named rules over the event
+    // stream, all evaluated in ONE aggregation over ONE scan, bounded
+    // output per rule. Null predicates count as violations ("unknown"
+    // is not "valid") — the ts/null rule pins that convention. Two
+    // rules are deliberately violated so the failure path is what the
+    // oracle hashes.
+    Query("q121_expectations", Some(
+      """WITH e AS (SELECT *, epoch_us(ts) AS tus FROM events)
+        |SELECT rule, (SELECT COUNT(*) FROM e) AS n_rows, n_viol,
+        |  n_viol = 0 AS pass
+        |FROM (
+        |  SELECT 'event_id_not_null' AS rule,
+        |    (SELECT COUNT(*) FROM e WHERE event_id IS NULL) AS n_viol
+        |  UNION ALL SELECT 'value_non_negative',
+        |    (SELECT COUNT(*) FROM e
+        |     WHERE NOT COALESCE(value >= 0, false))
+        |  UNION ALL SELECT 'value_under_400',
+        |    (SELECT COUNT(*) FROM e
+        |     WHERE NOT COALESCE(value < 400, false))
+        |  UNION ALL SELECT 'known_event_type',
+        |    (SELECT COUNT(*) FROM e WHERE NOT COALESCE(event_type IN
+        |      ('click','view','purchase','signup','error'), false))
+        |  UNION ALL SELECT 'user_id_in_range',
+        |    (SELECT COUNT(*) FROM e
+        |     WHERE NOT COALESCE(user_id BETWEEN 0 AND 99, false))
+        |  UNION ALL SELECT 'ts_present',
+        |    (SELECT COUNT(*) FROM e WHERE NOT COALESCE(tus IS NOT NULL,
+        |      false)))
+        |ORDER BY rule""".stripMargin))(
+      (s, dir) =>
+        Incremental.expect(t(s, dir, "events"), Seq(
+            "event_id_not_null" -> col("event_id").isNotNull,
+            "value_non_negative" -> (col("value") >= 0),
+            "value_under_400" -> (col("value") < 400),
+            "known_event_type" -> col("event_type").isin(
+              "click", "view", "purchase", "signup", "error"),
+            "user_id_in_range" -> col("user_id").between(0, 99),
+            "ts_present" -> col("ts").isNotNull))
+          .orderBy("rule")),
 
     // Fuzzy customer-name matching at edit distance ≤ 1 via
     // deletion-neighborhood blocking (complete for distance 1 — see
