@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the incremental-maintenance contracts: additive merge equals
+  * from-scratch re-aggregation, and the expectation report's
+  * null-is-a-violation convention.
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeAdditive == from-scratch rollup, including delta-only and " +
+      "state-only keys") {
+    val base = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val delta = Seq(("a", 10.0), ("c", 7.0)).toDF("k", "v")
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+    val merged = Incremental.mergeAdditive(rollup(base), rollup(delta),
+      Seq("k"), Seq("cnt", "sv"))
+    val scratch = rollup(base.unionAll(delta))
+    assert(merged.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(merged).isEmpty)
+    val m = merged.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    assert(m == Seq(("a", 3L, 13.0), ("b", 1L, 5.0), ("c", 1L, 7.0)))
+  }
+
+  test("mergeAdditive rejects mismatched shapes") {
+    val a = Seq(("a", 1L)).toDF("k", "cnt")
+    val b = Seq(("a", 1L)).toDF("k", "other")
+    val e = intercept[IllegalArgumentException](
+      Incremental.mergeAdditive(a, b, Seq("k"), Seq("cnt")))
+    assert(e.getMessage.contains("cnt"))
+  }
+
+  test("expect: null predicate counts as a violation; pass iff zero") {
+    val df = Seq(Some(1.0), Some(-2.0), None).toDF("v")
+    val got = Incremental.expect(df, Seq(
+        "non_negative" -> (col("v") >= 0),  // -2 fails, null is unknown
+        "present" -> col("v").isNotNull))
+      .orderBy("rule")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("non_negative", 3L, 2L, false), // the null row is a violation too
+      ("present", 3L, 1L, false)))
+  }
+
+  test("expect: all-green rules pass and report full row counts") {
+    val df = Seq(1, 2, 3).toDF("v")
+    val got = Incremental.expect(df, Seq("pos" -> (col("v") > 0))).head()
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getBoolean(3)) == (("pos", 3L, 0L, true)))
+  }
+}
