@@ -54,6 +54,22 @@ object CsvJsonIO {
     df.orderBy(col(orderKey)).limit(n)
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSONL (one JSON object per line) sink/source round-trip — the
+    * interchange format most training-data tooling consumes. The sink
+    * shards by `orderCol` range so files are globally ordered and
+    * disjoint (the Layout.writeShards layout, in text form); the
+    * source is Spark's native JSON reader (splittable — JSONL scans
+    * parallelize by file split, unlike multi-line JSON).
+    */
+  def writeJsonl(df: DataFrame, path: String, orderCol: String,
+      numShards: Int): Unit =
+    df.repartitionByRange(numShards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** S9 — per-column distinct-value sinks (main.py:458-473): one CSV
     * per (name, frame) pair, as produced by
     * `CrmPipeline.multiChoiceLists`. File-system-safe directory names.

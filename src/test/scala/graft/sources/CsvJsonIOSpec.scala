@@ -54,4 +54,28 @@ class CsvJsonIOSpec extends SparkSpec {
     assert(CsvJsonIO.readCsv(spark, s"$dir/Checkbox_1")
       .as[String].collect().toSeq == Seq("X"))
   }
+
+  test("JSONL round-trip: ordered disjoint shards, one object per line") {
+    val dir = tmp() + "/jsonl"
+    val df = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text")
+    CsvJsonIO.writeJsonl(df, dir, "id", numShards = 4)
+    val back = CsvJsonIO.readJsonl(spark, dir)
+    assert(back.count() == 100 &&
+      df.exceptAll(back.select("id", "text")).isEmpty)
+    // shards are range-disjoint: per-file (min, max) intervals don't
+    // overlap — a trainer can stream files in key order
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    assert(parts.length == 4)
+    val ranges = parts.map { f =>
+      val ids = scala.io.Source.fromFile(f).getLines()
+        .map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+        .toSeq
+      assert(ids == ids.sorted) // ordered within the shard
+      (ids.min, ids.max)
+    }
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping shard ranges: $hi >= $lo")
+    }
+  }
 }
