@@ -645,10 +645,14 @@ object Dedup {
     * Scale: one shuffle on the variant key (each string contributes
     * len+1 ≤ maxLen+1 keys), hot variants capped like LSH buckets
     * (an all-but-one-identical code family funnels into few variants).
-    * Returns distinct (s_a < s_b, dist).
+    * The default cap is far below the LSH operators' 10000 because the
+    * pairing here expands bucket² structs inside ONE aggregated row
+    * (the join-free form) — the cap bounds that allocation
+    * (512² ≈ 260k structs, ~10 MB), where a join-based pairer only
+    * bounds streamed rows. Returns distinct (s_a < s_b, dist).
     */
   def editDistanceOnePairs(df: DataFrame, strCol: String,
-      maxLen: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
+      maxLen: Int = 64, maxBucketSize: Int = 512): DataFrame = {
     require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
     // no spread(): per-row featurization here is ~len substrings, not
     // the minhash kernel — the .rdd partition probe costs more than

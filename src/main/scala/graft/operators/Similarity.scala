@@ -654,7 +654,7 @@ object Similarity {
     val rows = indexMeta(spark, s"$path/_codebooks")
     val codebooks: Seq[Seq[Seq[Double]]] = rows
       .map(r => (r.getAs[Int]("j"), r.getAs[Int]("i"),
-        r.getSeq[Double](2).toSeq))
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
     val m = codebooks.size

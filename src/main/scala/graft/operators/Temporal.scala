@@ -155,7 +155,14 @@ object Temporal {
       aggs: Seq[Column], fillCols: Seq[String]): DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
     require(aggs.nonEmpty, "resampleFill needs at least one aggregate")
-    val bucketed = df.withColumn("__bkt", expr(s"`$tCol` div ${width}L"))
+    // FLOOR division, not `div` (truncate-toward-zero): with negative
+    // encodings (pre-1970 epochs) truncation would give bucket 0 double
+    // width and shift every negative observation one bucket high —
+    // diverging from SQL `//` floor semantics. Exact in the long
+    // domain (no double round-trip: ns-epochs exceed 2^53).
+    val tdiv = expr(s"`$tCol` div ${width}L")
+    val bucketed = df.withColumn("__bkt",
+      when(expr(s"`$tCol` % ${width}L") < 0, tdiv - 1).otherwise(tdiv))
     val observed = bucketed.groupBy(col(keyCol), col("__bkt"))
       .agg(aggs.head, aggs.tail: _*)
     val spine = observed.groupBy(col(keyCol))
@@ -250,6 +257,10 @@ object Temporal {
     * Two stacked windows on one key partitioning: a lag comparison
     * (struct-compared, null-safe) keeps only change points, then lead
     * over the SURVIVORS closes each interval at the next change.
+    * `tieCol` survives into the output: it is the record's identity
+    * within a same-instant group, and downstream as-of consumers (the
+    * point-in-time join) need it to resolve the instant the same way
+    * this history did.
     */
   def scd2(df: DataFrame, keyCol: String, tCol: String, tieCol: String,
       attrCols: Seq[String]): DataFrame = {
@@ -260,7 +271,7 @@ object Temporal {
       .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
       .withColumn("valid_from", col(tCol))
       .withColumn("valid_to", lead(col(tCol), 1).over(order))
-      .select(col(keyCol) +: attrCols.map(col) :+
+      .select(col(keyCol) +: col(tieCol) +: attrCols.map(col) :+
         col("valid_from") :+ col("valid_to"): _*)
   }
 }

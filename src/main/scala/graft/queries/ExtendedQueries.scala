@@ -119,7 +119,8 @@ object ExtendedQueries {
       p
     }
 
-  /** Build both persisted ANN indexes for `dir` eagerly. Bench calls
+  /** Build the four persisted index artifacts (LSH, IVF, PQ, and the
+    * delta-dedup bucket table) for `dir` eagerly. Bench calls
     * this before timing and reports the build cost as its own metric:
     * the indexes are one-time artifacts a deployment builds beside the
     * corpus, so probe latency (q47/q49) and build cost are separate

@@ -65,7 +65,10 @@ object CsvJsonIO {
       numShards: Int): Unit =
     df.repartitionByRange(numShards, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .write.mode("overwrite").json(path)
+      // keep null fields: the default writer omits them, and a column
+      // that happens to be all-null (an optional annotation) would
+      // vanish from the round-trip's inferred schema entirely
+      .write.mode("overwrite").option("ignoreNullFields", false).json(path)
 
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)

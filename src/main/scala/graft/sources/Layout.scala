@@ -140,11 +140,14 @@ object Layout {
       outPath: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0,
       s"targetFileBytes must be positive, got $targetFileBytes")
-    require(new java.net.URI(outPath).getPath !=
-      new java.net.URI(inPath).getPath,
-      "compact cannot overwrite its input in place")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // filesystem-qualified comparison — raw string comparison would
+    // let a trailing slash or relative spelling of the same directory
+    // through, and the overwrite would destroy the input mid-read
+    require(fs.makeQualified(new org.apache.hadoop.fs.Path(outPath)) !=
+      fs.makeQualified(p),
+      "compact cannot overwrite its input in place")
     val it = fs.listFiles(p, true)
     var bytes = 0L
     while (it.hasNext) {

@@ -125,6 +125,19 @@ class TemporalSpec extends SparkSpec {
       (2L, 5L, 1L, 7.0, 7.0)))
   }
 
+  test("resampleFill: negative times bucket by FLOOR division") {
+    // width 10: t=-15 → bucket -2, t=-5 → bucket -1, t=5 → bucket 0.
+    // Truncating division would fold -5 and 5 into one double-width
+    // bucket 0 and misalign the whole grid.
+    val df = Seq((1L, -15L, 1.0), (1L, -5L, 2.0), (1L, 5L, 3.0))
+      .toDF("k", "t", "v")
+    val out = Temporal.resampleFill(df, "k", "t", width = 10L,
+        aggs = Seq(max(col("v")).as("mv")), fillCols = Seq("mv"))
+      .orderBy("bucket").select("bucket", "mv")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((-2L, 1.0), (-1L, 2.0), (0L, 3.0)))
+  }
+
   // ---- funnel -------------------------------------------------------
 
   test("funnel: steps must complete strictly in order") {
@@ -207,8 +220,9 @@ class TemporalSpec extends SparkSpec {
       (1L, 40L, 4L, "A")).toDF("k", "t", "eid", "tier")
     val out = Temporal.scd2(df, "k", "t", "eid", Seq("tier"))
       .orderBy("valid_from")
-      .collect().map(r => (r.getString(1), r.getLong(2),
-        Option(r.get(3)).orNull))
+      .select("tier", "valid_from", "valid_to")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).orNull))
     assert(out.toSeq == Seq(("A", 10L, 30L), ("B", 30L, 40L), ("A", 40L, null)))
   }
 

@@ -78,4 +78,16 @@ class CsvJsonIOSpec extends SparkSpec {
       assert(hi < lo, s"overlapping shard ranges: $hi >= $lo")
     }
   }
+
+  test("JSONL round-trip keeps a column that is null in every row") {
+    val dir = tmp() + "/jsonl_nulls"
+    val df = Seq((1L, None: Option[String]), (2L, None: Option[String]))
+      .toDF("id", "label")
+    CsvJsonIO.writeJsonl(df, dir, "id", numShards = 1)
+    val back = CsvJsonIO.readJsonl(spark, dir)
+    // default writer would omit null fields and the inferred schema
+    // would lose 'label' entirely
+    assert(back.columns.toSet == Set("id", "label"))
+    assert(back.filter(col("label").isNull).count() == 2)
+  }
 }
