@@ -351,6 +351,53 @@ object AnalyticsQueries {
             "ts_present" -> col("ts").isNotNull))
           .orderBy("rule")),
 
+    // Point-in-time enrichment — the feature-store join: every click
+    // is stamped with the user's purchase-tier AS OF the click instant
+    // (state at the event's own time, not today's — the train-time
+    // leakage rule). Composition: q112's SCD2 history feeds
+    // Temporal.asOfJoin on valid_from (contiguous intervals make
+    // as-of and interval-membership equivalent), so the probe costs
+    // ONE co-shuffle of clicks ∪ history — no per-probe history scan.
+    // The oracle expresses the same semantics the OTHER way (interval
+    // join on [valid_from, valid_to)), so the hash match also proves
+    // the as-of/interval equivalence.
+    Query("q122_pit_join", Some(
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(FLOOR(value / 100.0) AS BIGINT) AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT *, lag(tier) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM p),
+        |k AS (SELECT * FROM c WHERE prev IS NULL OR prev <> tier),
+        |h AS (SELECT user_id, tier, tus AS valid_from,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS valid_to FROM k),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        |      WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.tus, h.tier
+        |FROM e LEFT JOIN h ON h.user_id = e.user_id
+        |  AND h.valid_from <= e.tus
+        |  AND (h.valid_to IS NULL OR e.tus < h.valid_to)
+        |ORDER BY e.event_id""".stripMargin))(
+      (s, dir) => {
+        val hist = Temporal.scd2(
+          t(s, dir, "events").filter(col("event_type") === "purchase")
+            .select(col("user_id"), tsUs.as("tus"), col("event_id"),
+              floor(col("value") / 100.0).cast("long").as("tier")),
+          "user_id", "tus", "event_id", Seq("tier"))
+          .withColumnRenamed("event_id", "src_event_id")
+        val clicks = t(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), tsUs.as("tus"))
+        // eventTie = the history's OWN tie column: among same-instant
+        // versions the as-of must pick the record scd2's
+        // (tus, event_id) ordering made the interval owner — any other
+        // tie-breaker could stamp a zero-width version and diverge
+        // from the oracle's interval semantics
+        Temporal.asOfJoin(clicks, hist, "user_id", "user_id",
+            "tus", "valid_from", "src_event_id", Seq("tier"))
+          .orderBy("event_id")
+      }),
+
     // Fuzzy customer-name matching at edit distance ≤ 1 via
     // deletion-neighborhood blocking (complete for distance 1 — see
     // Dedup.editDistanceOnePairs). The oracle is the all-pairs
@@ -406,10 +453,6 @@ object AnalyticsQueries {
           .orderBy("id_a", "id_b", "id_c")
       }),
 
-    // Inverted index over the document corpus: per case-folded term,
-    // document frequency (full count) and a bounded posting list
-    // (first 20 doc ids) — capped BEFORE collection so hot terms cost
-    // maxPostings rows, not an executor-sized list.
     // TPC-H Q5-shaped star join: five dimension hops (region → nation →
     // customer/supplier) around the orders→lineitem fact spine, revenue
     // per nation for one region-year. The OLAP plan-quality probe: the
@@ -458,6 +501,10 @@ object AnalyticsQueries {
           .orderBy("n_name")
       }),
 
+    // Inverted index over the document corpus: per case-folded term,
+    // document frequency (full count) and a bounded posting list
+    // (first 20 doc ids) — capped BEFORE collection so hot terms cost
+    // maxPostings rows, not an executor-sized list.
     Query("q115_inverted_index", Some(
       """WITH t AS (SELECT DISTINCT doc_id, term FROM (
         |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
