@@ -609,6 +609,47 @@ object Multimodal {
       .select(col("media_id"), col("dhash").as("dhash"))
   }
 
+  /** 64-bit audio fingerprint: decode PCM, bin the full-scale-
+    * normalized mono mix into a 65-segment RMS loudness envelope, set
+    * bit i when segment i+1 is louder than segment i — the audio twin
+    * of [[dHash64]] (delta-SIGN structure survives gain changes,
+    * re-encoding to a different PCM width, and resampling, where the
+    * byte-level hashes see unrelated blobs). None for undecodable
+    * payloads or clips shorter than the envelope.
+    */
+  private[operators] def audioFingerprint64(
+      payload: Array[Byte]): Option[Long] =
+    decodeAudio(payload, dim = 65).flatMap { d =>
+      if (d.features.length < 65 || d.width < 65) None
+      else {
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (d.features(i + 1) > d.features(i)) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
+      }
+    }
+
+  /** Batched audio fingerprints: (media_id, afp) with null for
+    * undecodable rows — same mapPartitions batching as
+    * [[extractFeatures]]; feed `Dedup.fingerprintNearDupPairs(_,
+    * "media_id", "afp")` for audio near-dup pairs (the pigeonhole
+    * pipeline is modality-agnostic once payloads are fingerprinted,
+    * exactly as with [[imageDHashes]]).
+    */
+  def audioFingerprints(ds: Dataset[MediaItem],
+      batchSize: Int = defaultBatchSize): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { m =>
+        (m.media_id,
+          audioFingerprint64(Option(m.payload).getOrElse(Array.empty)))
+      })
+    }.toDF("media_id", "afp")
+  }
+
   /** "Resize": emit target dimensions + scale factors as metadata —
     * the real implementation would transform pixels; the plumbing
     * (projection shape, aspect-ratio math) is real.

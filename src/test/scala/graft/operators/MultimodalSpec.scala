@@ -397,4 +397,58 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"$pairs")
   }
+
+  /** Amplitude-modulated sine (the envelope carries the content): a
+    * flat tone has a featureless RMS envelope, so the fingerprint
+    * tests modulate loudness at `modHz` and vary only `gain` for the
+    * "same content, different level" pair.
+    */
+  private def modWav(gain: Double, modHz: Double,
+      rate: Int = 8000): Array[Byte] = {
+    val n = rate
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val t = i.toDouble / rate
+      val env = 0.55 + 0.45 * math.sin(2 * math.Pi * modHz * t)
+      val s = (math.sin(2 * math.Pi * 440 * t) * env * gain * 32767).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio fingerprint: gain-invariant, content-sensitive, null on " +
+      "undecodable") {
+    import spark.implicits._
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a = Multimodal.audioFingerprint64(modWav(gain = 0.9, modHz = 3)).get
+    val b = Multimodal.audioFingerprint64(modWav(gain = 0.45, modHz = 3)).get
+    val c = Multimodal.audioFingerprint64(modWav(gain = 0.9, modHz = 7)).get
+    // half the gain, same loudness SHAPE → near-identical delta signs
+    assert(hamming(a, b) <= 4, s"gain changed the fingerprint: ${hamming(a, b)}")
+    // different modulation → mostly different delta signs
+    assert(hamming(a, c) > 10, s"contents collide: ${hamming(a, c)}")
+    assert(Multimodal.audioFingerprint64("nope".getBytes).isEmpty)
+
+    // end-to-end: the pigeonhole pairing finds the gain pair only
+    val items = Seq(
+      Multimodal.MediaItem(1L, "audio", modWav(0.9, 3), Map.empty),
+      Multimodal.MediaItem(2L, "audio", modWav(0.45, 3), Map.empty),
+      Multimodal.MediaItem(3L, "audio", modWav(0.9, 7), Map.empty),
+      Multimodal.MediaItem(4L, "audio", "junk".getBytes, Map.empty))
+      .toDS()
+    val fps = Multimodal.audioFingerprints(items)
+    assert(fps.filter(col("media_id") === 4 && col("afp").isNull).count() == 1)
+    val pairs = Dedup.fingerprintNearDupPairs(fps, "media_id", "afp",
+        maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"$pairs")
+  }
 }
