@@ -103,6 +103,67 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming CDC apply: maintain a latest-wins key snapshot from a
+    * changelog stream by folding every micro-batch through
+    * [[graft.operators.Temporal.applyChangelog]] (foreachBatch — the
+    * batch operator IS the streaming operator). Snapshots are written
+    * as versioned directories `v=<batchId>` and readers take the max
+    * version ([[readSnapshot]]): the previous version is never
+    * overwritten while being read, and a replayed batch (restart
+    * between write and checkpoint commit) rewrites ITS OWN version —
+    * idempotent, so the sink stays exactly-once without a
+    * transactional table format. Old versions are pruned to
+    * `keepVersions` AFTER the new one lands.
+    */
+  def upsertSnapshotSink(changes: DataFrame, path: String,
+      checkpoint: String, keyCol: String, ordCols: Seq[String],
+      opCol: String, deleteOp: String, keepVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val valCols = changes.columns.toSeq
+      .filterNot(c => c == opCol || ordCols.contains(c))
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = latestVersion(spark, path) match {
+          case Some(v) => spark.read.parquet(s"$path/v=$v")
+          case None => batch.select(valCols.map(col): _*).limit(0)
+        }
+        graft.operators.Temporal
+          .applyChangelog(base, batch, keyCol, ordCols, opCol, deleteOp)
+          .write.mode("overwrite").parquet(s"$path/v=$batchId")
+        // prune AFTER the new version is durable; never the newest
+        versionsOf(spark, path).sorted.dropRight(keepVersions).foreach { v =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/v=$v")
+          p.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(p, true)
+        }
+      }
+      .start()
+  }
+
+  private def versionsOf(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  private def latestVersion(spark: SparkSession,
+      path: String): Option[Long] =
+    versionsOf(spark, path).sorted.lastOption
+
+  /** Read the current snapshot maintained by [[upsertSnapshotSink]]. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    latestVersion(spark, path) match {
+      case Some(v) => spark.read.parquet(s"$path/v=$v")
+      case None => throw new IllegalArgumentException(
+        s"no snapshot versions under $path")
+    }
+
   /** Inactivity-gap sessionization via flatMapGroupsWithState: a
     * session closes when a user is silent for `gap`. Event-time
     * processing with per-group state — the canonical custom-state

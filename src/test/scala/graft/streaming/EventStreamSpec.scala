@@ -265,4 +265,38 @@ class EventStreamSpec extends SparkSpec {
       else assert(pairs.isEmpty, s"hamming=$h beyond budget must not pair")
     } finally q.stop()
   }
+
+  test("upsertSnapshotSink folds changelog batches into a latest-wins " +
+      "snapshot, versioned and pruned") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val (path, ckpt) = (s"$base/snap", s"$base/ckpt")
+    // changelog rows: (k, bal, op, t, eid)
+    val mem = MemoryStream[(Long, Double, String, Long, Long)]
+    val q = EventStream.upsertSnapshotSink(
+      mem.toDF().toDF("k", "bal", "op", "t", "eid"),
+      path, ckpt, "k", Seq("t", "eid"), "op", deleteOp = "D")
+    try {
+      // batch 0: insert k=1, k=2 (k=1 updated twice in-batch)
+      mem.addData((1L, 10.0, "U", 1L, 1L), (1L, 11.0, "U", 2L, 2L),
+        (2L, 20.0, "U", 1L, 3L))
+      q.processAllAvailable()
+      val s0 = EventStream.readSnapshot(spark, path)
+        .as[(Long, Double)].collect().toSet
+      assert(s0 == Set((1L, 11.0), (2L, 20.0)))
+      // batch 1: update k=1, delete k=2, insert k=3
+      mem.addData((1L, 12.0, "U", 3L, 4L), (2L, 0.0, "D", 3L, 5L),
+        (3L, 30.0, "U", 3L, 6L))
+      q.processAllAvailable()
+      val s1 = EventStream.readSnapshot(spark, path)
+        .as[(Long, Double)].collect().toSet
+      assert(s1 == Set((1L, 12.0), (3L, 30.0)))
+      // versioned layout: the newest version is always present and
+      // old versions prune down to keepVersions
+      val vs = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("v=")).map(_.getName).sorted
+      assert(vs.length <= 2 && vs.contains("v=1"), vs.mkString(","))
+    } finally q.stop()
+  }
 }
