@@ -351,6 +351,122 @@ object AnalyticsQueries {
             "ts_present" -> col("ts").isNotNull))
           .orderBy("rule")),
 
+    // Per-user event-type transition matrix (first-order Markov): for
+    // each (prev → next) pair, the transition count and the
+    // row-normalized probability — the sequence-analytics primitive
+    // under journey analysis and next-event prediction. One shuffle on
+    // user_id for the lag; the pair aggregation reuses nothing heavier
+    // than a 25-cell group-by; probability = count / window row total
+    // (6-decimal rounded).
+    Query("q124_transitions", Some(
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS next, COUNT(*) AS cnt
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, cnt,
+        |  ROUND(cnt / SUM(cnt) OVER (PARTITION BY prev), 6) AS p
+        |FROM c ORDER BY prev, next""".stripMargin))(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy("prev")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), tsUs.as("tus"),
+            col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("p", round(col("cnt") / sum(col("cnt")).over(wp), 6))
+          .orderBy("prev", "next")
+      }),
+
+    // Chi-square independence test: is event type independent of the
+    // day of week? Contingency counts → expected = row·col/total →
+    // Χ² = Σ (obs−exp)²/exp, plus degrees of freedom — the
+    // hypothesis-testing primitive over two categoricals. All
+    // arithmetic is portable sums (6-decimal rounded); the contingency
+    // table is one group-by, and the marginals ride window sums over
+    // it (35 cells — no second scan).
+    Query("q125_chi_square", Some(
+      """WITH o AS (SELECT event_type AS et,
+        |    CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS BIGINT)
+        |      AS dow,
+        |    COUNT(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, SUM(obs) OVER (PARTITION BY et) AS row_n,
+        |    SUM(obs) OVER (PARTITION BY dow) AS col_n,
+        |    SUM(obs) OVER () AS n FROM o)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST((COUNT(DISTINCT et) - 1) * (COUNT(DISTINCT dow) - 1)
+        |    AS BIGINT) AS dof,
+        |  ROUND(SUM(POW(obs - row_n * col_n / n, 2)
+        |    / (row_n * col_n / n)), 6) AS chi2
+        |FROM m""".stripMargin))(
+      (s, dir) => {
+        val wr = org.apache.spark.sql.expressions.Window.partitionBy("et")
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy("dow")
+        val wn = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val exp = col("row_n") * col("col_n") / col("n")
+        t(s, dir, "events")
+          .select(col("event_type").as("et"),
+            ((expr("ts div 86400000000000") + 4) % 7).as("dow"))
+          .groupBy("et", "dow").agg(count(lit(1)).as("obs"))
+          .withColumn("row_n", sum(col("obs")).over(wr))
+          .withColumn("col_n", sum(col("obs")).over(wc))
+          .withColumn("n", sum(col("obs")).over(wn))
+          .agg(count(lit(1)).as("n_cells"),
+            ((countDistinct(col("et")) - 1) *
+              (countDistinct(col("dow")) - 1)).as("dof"),
+            round(sum(pow(col("obs") - exp, 2) / exp), 6).as("chi2"))
+      }),
+
+    // Robust central tendency per group: the 10-90 trimmed mean (drop
+    // the tails) and the winsorized mean (clamp the tails) — the
+    // outlier-resistant complements of q16's plain averages, built on
+    // q110's broadcast-fence shape: exact percentiles once per group,
+    // 6-decimal-rounded boundaries (engine-parity convention), then
+    // one fact pass with no shuffle beyond the final per-group
+    // aggregate. Sums stay exact decimal; the winsorized sum uses
+    // scale 6 because clamped values carry the rounded boundary.
+    Query("q123_robust_mean", Some(
+      """WITH f AS (SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.10), 6) AS lo,
+        |    ROUND(quantile_cont(value, 0.90), 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  ROUND(CAST(SUM(CASE WHEN e.value BETWEEN f.lo AND f.hi
+        |      THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / COUNT(CASE WHEN e.value BETWEEN f.lo AND f.hi THEN 1 END),
+        |    6) AS trimmed_mean,
+        |  ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, f.lo), f.hi)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(e.value), 6)
+        |    AS winsor_mean,
+        |  COUNT(e.value) AS n
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val fences = ev.groupBy("event_type")
+          .agg(round(percentile(col("value"), lit(0.10)), 6).as("lo"),
+            round(percentile(col("value"), lit(0.90)), 6).as("hi"))
+        val inRange = col("value").between(col("lo"), col("hi"))
+        ev.join(broadcast(fences), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            round(sum(when(inRange, col("value").cast("decimal(18,2)")))
+              .cast("double") / count(when(inRange, 1)), 6)
+              .as("trimmed_mean"),
+            round(sum(least(greatest(col("value"), col("lo")), col("hi"))
+              .cast("decimal(18,6)")).cast("double") / count(col("value")),
+              6).as("winsor_mean"),
+            count(col("value")).as("n"))
+          .orderBy("event_type")
+      }),
+
     // Point-in-time enrichment — the feature-store join: every click
     // is stamped with the user's purchase-tier AS OF the click instant
     // (state at the event's own time, not today's — the train-time
