@@ -643,16 +643,18 @@ object Dedup {
     * check is not optional).
     *
     * Scale: one shuffle on the variant key (each string contributes
-    * len+1 ≤ maxLen+1 keys), hot variants capped like LSH buckets
-    * (an all-but-one-identical code family funnels into few variants).
-    * The default cap is far below the LSH operators' 10000 because the
-    * pairing here expands bucket² structs inside ONE aggregated row
-    * (the join-free form) — the cap bounds that allocation
-    * (512² ≈ 260k structs, ~10 MB), where a join-based pairer only
-    * bounds streamed rows. Returns distinct (s_a < s_b, dist).
+    * len+1 ≤ maxLen+1 keys). Pairing within a bucket is a streamed
+    * self-join (memory-bounded at ANY bucket size), with the windowed
+    * count cap dropping only degenerate buckets past `maxBucketSize` —
+    * and because a variant bucket is bounded by construction at
+    * (len+1)·|alphabet|+1 distinct members, the default cap sits ABOVE
+    * that bound for realistic alphabets: completeness only yields on
+    * inputs where the quadratic itself would be the bug (the standard
+    * skew-guard contract of every capped dedup operator here).
+    * Returns distinct (s_a < s_b, dist).
     */
   def editDistanceOnePairs(df: DataFrame, strCol: String,
-      maxLen: Int = 64, maxBucketSize: Int = 512): DataFrame = {
+      maxLen: Int = 64, maxBucketSize: Int = 10000): DataFrame = {
     require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
     // no spread(): per-row featurization here is ~len substrings, not
     // the minhash kernel — the .rdd partition probe costs more than
@@ -669,23 +671,20 @@ object Dedup {
         transform(sequence(lit(1), length(col("s"))), i =>
           concat(col("s").substr(lit(1), i - 1),
             col("s").substr(i + 1, length(col("s")) - i)))))).as("__var"))
-    // ONE aggregation collects each variant bucket and expands its
-    // member pairs in place — no bucket-count window (a full sort
-    // shuffle) and no self-join (a second read of the keyed frame):
-    // both were measured to dominate the operator at sf0.1. The
-    // transient per-bucket list is bounded by CONSTRUCTION, not just
-    // by the cap: members of a variant bucket are DISTINCT strings
-    // one insertion away from the same variant, so a bucket can never
-    // exceed (len+1)·|alphabet|+1 regardless of input skew.
-    val buckets = keyed.groupBy(col("__var"))
-      .agg(collect_list(col("s")).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucketSize))
-    val pairArr = filter(
-      flatten(transform(col("ms"), a =>
-        transform(col("ms"), b => struct(a.as("s_a"), b.as("s_b"))))),
-      p => p.getField("s_a") < p.getField("s_b"))
-    buckets.select(explode(pairArr).as("p"))
-      .select(col("p.s_a").as("s_a"), col("p.s_b").as("s_b"))
+    // Pairing is a streamed self-join on the variant key: an in-array
+    // expansion (collect_list + bucket² transform) was measured ~2×
+    // faster at bench scale but allocates bucket² structs inside ONE
+    // row — with the cap raised above the construction bound (where it
+    // must sit for the completeness contract), that allocation is an
+    // executor OOM on adversarial alphabets; the join only ever
+    // streams rows. Persisted: both join sides read the keyed frame.
+    val capped = persistHeavy(
+      keyed.withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy("__var")))
+        .filter(col("__bsz") <= maxBucketSize).drop("__bsz"))
+    capped.as("a").join(capped.as("b"),
+        col("a.__var") === col("b.__var") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s_a"), col("b.s").as("s_b"))
       // verify BEFORE the dedup shuffle: the thresholded levenshtein
       // (banded DP, early exit past k) is cheaper per candidate than
       // shuffling the failing candidates into the distinct

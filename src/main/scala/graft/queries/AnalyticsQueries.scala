@@ -385,20 +385,25 @@ object AnalyticsQueries {
 
     // Chi-square independence test: is event type independent of the
     // day of week? Contingency counts → expected = row·col/total →
-    // Χ² = Σ (obs−exp)²/exp, plus degrees of freedom — the
-    // hypothesis-testing primitive over two categoricals. All
-    // arithmetic is portable sums (6-decimal rounded); the contingency
-    // table is one group-by, and the marginals ride window sums over
-    // it (35 cells — no second scan).
+    // Χ² = Σ (obs−exp)²/exp over the FULL et × dow grid — empty cells
+    // contribute their expected count (GROUP BY alone would omit them,
+    // understating Χ² while dof still counts them), so the observed
+    // frame cross-joins the distinct margins (a bounded 5×7 grid) and
+    // zero-fills. All arithmetic is portable sums (6-decimal rounded);
+    // marginals ride window sums over the grid — no second scan.
     Query("q125_chi_square", Some(
-      """WITH o AS (SELECT event_type AS et,
+      """WITH d AS (SELECT event_type AS et,
         |    CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS BIGINT)
-        |      AS dow,
-        |    COUNT(*) AS obs
-        |  FROM events GROUP BY 1, 2),
+        |      AS dow
+        |  FROM events),
+        |o AS (SELECT et, dow, COUNT(*) AS obs FROM d GROUP BY 1, 2),
+        |g AS (SELECT et, dow FROM (SELECT DISTINCT et FROM d)
+        |      CROSS JOIN (SELECT DISTINCT dow FROM d)),
+        |f AS (SELECT g.et, g.dow, COALESCE(o.obs, 0) AS obs
+        |  FROM g LEFT JOIN o ON o.et = g.et AND o.dow = g.dow),
         |m AS (SELECT *, SUM(obs) OVER (PARTITION BY et) AS row_n,
         |    SUM(obs) OVER (PARTITION BY dow) AS col_n,
-        |    SUM(obs) OVER () AS n FROM o)
+        |    SUM(obs) OVER () AS n FROM f)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
         |  CAST((COUNT(DISTINCT et) - 1) * (COUNT(DISTINCT dow) - 1)
         |    AS BIGINT) AS dof,
@@ -411,10 +416,15 @@ object AnalyticsQueries {
         val wn = org.apache.spark.sql.expressions.Window
           .partitionBy(lit(1))
         val exp = col("row_n") * col("col_n") / col("n")
-        t(s, dir, "events")
+        val d = t(s, dir, "events")
           .select(col("event_type").as("et"),
             ((expr("ts div 86400000000000") + 4) % 7).as("dow"))
-          .groupBy("et", "dow").agg(count(lit(1)).as("obs"))
+        val obs = d.groupBy("et", "dow").agg(count(lit(1)).as("obs"))
+        val grid = d.select("et").distinct()
+          .crossJoin(broadcast(d.select("dow").distinct()))
+        grid.join(obs, Seq("et", "dow"), "left")
+          .select(col("et"), col("dow"),
+            coalesce(col("obs"), lit(0L)).as("obs"))
           .withColumn("row_n", sum(col("obs")).over(wr))
           .withColumn("col_n", sum(col("obs")).over(wc))
           .withColumn("n", sum(col("obs")).over(wn))

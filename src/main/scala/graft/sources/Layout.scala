@@ -142,12 +142,15 @@ object Layout {
       s"targetFileBytes must be positive, got $targetFileBytes")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // filesystem-qualified comparison — raw string comparison would
-    // let a trailing slash or relative spelling of the same directory
-    // through, and the overwrite would destroy the input mid-read
-    require(fs.makeQualified(new org.apache.hadoop.fs.Path(outPath)) !=
-      fs.makeQualified(p),
-      "compact cannot overwrite its input in place")
+    // filesystem-qualified ANCESTRY check, not just equality: writing
+    // INTO an ancestor of the input recursively deletes the input
+    // before the lazy read executes, and writing into a descendant
+    // makes later scans of the input double-count the compacted copy —
+    // both are the in-place hazard in different spellings
+    val qi = fs.makeQualified(p).toString
+    val qo = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath)).toString
+    require(qi != qo && !qi.startsWith(qo + "/") && !qo.startsWith(qi + "/"),
+      "compact cannot overwrite (or nest within) its input")
     val it = fs.listFiles(p, true)
     var bytes = 0L
     while (it.hasNext) {

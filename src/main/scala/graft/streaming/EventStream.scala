@@ -126,7 +126,16 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val base = latestVersion(spark, path) match {
+        // base = the newest version STRICTLY BELOW this batch id — not
+        // the newest overall: a batch replayed after a crash between
+        // its write and the checkpoint commit would otherwise read its
+        // own half-landed v=<batchId> as the base AND overwrite it in
+        // the same job (Spark refuses, wedging the stream on every
+        // restart). Strictly-below makes the replay recompute from the
+        // same base as the first attempt — byte-identical output,
+        // true idempotence.
+        val base = versionsOf(spark, path).filter(_ < batchId).sorted
+          .lastOption match {
           case Some(v) => spark.read.parquet(s"$path/v=$v")
           case None => batch.select(valCols.map(col): _*).limit(0)
         }

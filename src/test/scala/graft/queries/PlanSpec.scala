@@ -250,13 +250,13 @@ class PlanSpec extends SparkSpec {
       "o_orderdate filter not pushed:\n" + p.take(2000))
   }
 
-  test("fuzzy matching expands variant buckets in place — no window " +
-      "sort, no self-join (q113)") {
+  test("fuzzy matching pairs via a STREAMED bucket join over one " +
+      "persisted keyed frame (q113)") {
     val p = plan("q113_fuzzy_names")
-    assert(!p.contains("Window"), p.take(1500))
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "pairing should be an in-bucket expansion, not a join:\n" +
-        p.take(2000))
+    // the pairing must stream (join), not materialize bucket² arrays
+    // in a row — and both join sides must read the same cached frame
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("inverted index shares the term shuffle between df and postings " +

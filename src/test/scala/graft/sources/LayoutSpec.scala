@@ -141,9 +141,14 @@ class LayoutSpec extends SparkSpec {
       b.exceptAll(a).isEmpty)
   }
 
-  test("compact: refuses in-place rewrites") {
-    val e = intercept[IllegalArgumentException](
-      Layout.compact(spark, "/tmp/x", "/tmp/x"))
-    assert(e.getMessage.contains("in place"))
+  test("compact: refuses in-place and nested rewrites, any spelling") {
+    for ((i, o) <- Seq(
+        ("/tmp/x", "/tmp/x"),        // identical
+        ("/tmp/x", "/tmp/x/"),       // trailing slash
+        ("/tmp/x/part", "/tmp/x"),   // out is an ancestor of in
+        ("/tmp/x", "/tmp/x/tidy")))  // out nests inside in
+      assert(intercept[IllegalArgumentException](
+        Layout.compact(spark, i, o)).getMessage.contains("nest"),
+        s"$i -> $o must be rejected")
   }
 }
