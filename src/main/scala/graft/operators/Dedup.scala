@@ -694,6 +694,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Sorted-neighborhood candidate pairs — the third classic blocking
+    * strategy beside LSH buckets and the deletion neighborhood: sort
+    * the distinct strings within caller-chosen blocks and emit each
+    * string with its next `window` successors (`gap` = sort distance).
+    * DELIBERATELY heuristic: recall is whatever sort-adjacency gives
+    * (shared-prefix variants cluster; a first-character typo lands far
+    * away) — the standard record-linkage trade, and the q126 oracle
+    * replays the same heuristic rather than pretending completeness.
+    *
+    * One shuffle on the block key; the per-block sort is bounded by
+    * block size, the `window` leads share one WindowExec pass, and no
+    * pairing join exists at all — candidates are a narrow projection
+    * of the sorted stream. Verification (edit distance, Jaccard, a
+    * model) belongs to the caller on the bounded candidate set.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, strCol: String,
+      blockOf: Column => Column, window: Int = 3): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val base = df.select(col(strCol).as("s"))
+      .filter(col("s").isNotNull).distinct()
+      .withColumn("__blk", blockOf(col("s")))
+    val w = Window.partitionBy("__blk").orderBy("s")
+    // leads bind as real columns first — a window expression inside a
+    // generator is rejected by the analyzer
+    base.select(col("s") +: (1 to window).map(k =>
+        lead(col("s"), k).over(w).as(s"__l$k")): _*)
+      .select(col("s").as("s_a"),
+        posexplode(array((1 to window).map(k => col(s"__l$k")): _*))
+          .as(Seq("__pos", "s_b")))
+      .filter(col("s_b").isNotNull)
+      .select(col("s_a"), col("s_b"), (col("__pos") + 1).as("gap"))
+  }
+
   /** Triangle enumeration over an undirected pair graph — the local
     * clustering signal on top of [[connectedComponents]]' global one
     * (a near-dup or co-occurrence component that is also

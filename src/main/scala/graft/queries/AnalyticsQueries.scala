@@ -627,6 +627,36 @@ object AnalyticsQueries {
           .orderBy("n_name")
       }),
 
+    // Sorted-neighborhood fuzzy candidates over customer names —
+    // q113's deletion-neighborhood twin from the other classic
+    // blocking family: sort within 13-char-prefix blocks, compare each
+    // name with its next 3 sort successors, keep edit distance ≤ 1.
+    // The oracle replays the identical heuristic (rank windows inside
+    // the same blocks), so the hash pins the heuristic's exact
+    // candidate set — not a completeness claim (q113 carries that).
+    Query("q126_sorted_neighborhood", Some(
+      """WITH n AS (SELECT DISTINCT c_name AS s FROM customer
+        |           WHERE c_name IS NOT NULL),
+        |r AS (SELECT s, substring(s, 1, 13) AS blk,
+        |    ROW_NUMBER() OVER (PARTITION BY substring(s, 1, 13)
+        |      ORDER BY s) AS rn FROM n)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |  CAST(b.rn - a.rn AS INTEGER) AS gap,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON a.blk = b.blk
+        |  AND b.rn - a.rn BETWEEN 1 AND 3
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY name_a, name_b""".stripMargin))(
+      (s, dir) =>
+        Dedup.sortedNeighborhoodPairs(
+            t(s, dir, "customer").select("c_name"), "c_name",
+            blockOf = c => substring(c, 1, 13), window = 3)
+          .select(col("s_a").as("name_a"), col("s_b").as("name_b"),
+            col("gap"),
+            levenshtein(col("name_a"), col("name_b"), 1).as("dist"))
+          .filter(col("dist") >= 0)
+          .orderBy("name_a", "name_b")),
+
     // Inverted index over the document corpus: per case-folded term,
     // document frequency (full count) and a bounded posting list
     // (first 20 doc ids) — capped BEFORE collection so hot terms cost

@@ -335,6 +335,33 @@ class DedupSpec extends SparkSpec {
       Seq("a1", "a2", "a3").toDF("s"), "s", maxBucketSize = 2).count() == 0)
   }
 
+  // ---- sortedNeighborhoodPairs ----------------------------------------
+
+  test("sortedNeighborhoodPairs: window-bounded successors with gaps, " +
+      "heuristic recall documented by misses") {
+    // block = first char. Block 'a': sorted [aa, ab, ac, ad, az] —
+    // window 2 pairs each with its next two; az is 2 past ad but 4
+    // past aa (missed: the heuristic trade). Block 'b' is isolated.
+    val df = Seq("ab", "aa", "az", "ad", "ac", "ba").toDF("s")
+    val got = Dedup.sortedNeighborhoodPairs(df, "s",
+        blockOf = c => substring(c, 1, 1), window = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(
+      ("aa", "ab", 1), ("aa", "ac", 2),
+      ("ab", "ac", 1), ("ab", "ad", 2),
+      ("ac", "ad", 1), ("ac", "az", 2),
+      ("ad", "az", 1)))
+    // no cross-block candidates, no (aa, az) — sort distance 4 > window
+    assert(!got.exists(p => p._1.head != p._2.head))
+  }
+
+  test("sortedNeighborhoodPairs: duplicates collapse before ranking") {
+    val df = Seq("x1", "x1", "x2").toDF("s")
+    val got = Dedup.sortedNeighborhoodPairs(df, "s",
+      blockOf = c => substring(c, 1, 1), window = 3)
+    assert(got.count() == 1) // one (x1, x2), never a self-pair
+  }
+
   // ---- triangles -----------------------------------------------------
 
   test("triangles: enumerates each triangle once, ordered") {
