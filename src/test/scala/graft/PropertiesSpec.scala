@@ -129,6 +129,100 @@ class PropertiesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("applyChangelog matches the naive per-key replay on random data") {
+    import graft.operators.Temporal
+    // base keys 0..9; changes hit keys 0..14 (5 are pure inserts)
+    val base = (0L to 9L).map(k => (k, k * 100.0)).toDF("k", "bal")
+    val changes = (1L to 80L).map { eid =>
+      (rnd.nextInt(15).toLong, rnd.nextDouble() * 50,
+        if (rnd.nextInt(4) == 0) "D" else "U", rnd.nextInt(30).toLong, eid)
+    }
+    val got = Temporal.applyChangelog(base.toDF("k", "bal"),
+        changes.toDF("k", "bal", "op", "t", "eid"), "k",
+        Seq("t", "eid"), "op", "D")
+      .as[(Long, Double)].collect().toMap
+    val want = (0L to 14L).flatMap { k =>
+      val ch = changes.filter(_._1 == k).sortBy(c => (c._4, c._5)).lastOption
+      ch match {
+        case Some(c) => if (c._3 == "D") None else Some(k -> c._2)
+        case None => if (k <= 9) Some(k -> k * 100.0) else None
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("funnel matches the naive per-key ordered scan on random data") {
+    import graft.operators.Temporal
+    val steps = Seq("a", "b", "c")
+    val evs = (1L to 150L).map(eid =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong,
+        steps(rnd.nextInt(3))))
+    val got = Temporal.funnel(evs.toDF("k", "t", "e"), "k", "t",
+        steps.map(s => s -> (col("e") === s)))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+      .toMap
+    evs.map(_._1).distinct.foreach { k =>
+      val mine = evs.filter(_._1 == k)
+      // naive: earliest step-s time strictly after the previous step's
+      var prev = Option(Long.MinValue)
+      val want = steps.map { s =>
+        val t = prev.flatMap(p => mine.filter(e => e._3 == s && e._2 > p)
+          .map(_._2).sorted.headOption)
+        prev = t
+        t
+      }
+      // strictly-after of the FIRST event needs > nothing: emulate the
+      // i == 0 case by seeding prev with MinValue (all times exceed it)
+      assert(got(k) == want, s"key $k")
+    }
+  }
+
+  test("triangles matches brute-force enumeration on random graphs") {
+    val n = 14
+    val edgeSeq = (1 to 40).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val got = Dedup.triangles(edgeSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    val es = edgeSeq.toSet
+    val want = (for {
+      a <- 0L until n.toLong; b <- a + 1 to n.toLong; c <- b + 1 to n.toLong
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield (a, b, c)).toSet
+    assert(got == want)
+  }
+
+  test("resampleFill: full grid per key, fill equals last observation " +
+      "at or before the bucket (random data)") {
+    import graft.operators.Temporal
+    val width = 7L
+    // (key, t, value) — eid doubles as a distinct double value
+    val obs = randEvents.map { case (k, t, eid) => (k, t, eid.toDouble) }
+    val got = Temporal.resampleFill(obs.toDF("k", "t", "v"),
+        "k", "t", width,
+        aggs = Seq(max(col("v")).as("mv")), fillCols = Seq("mv"))
+      .select("k", "bucket", "mv_ff")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    obs.groupBy(_._1).foreach { case (k, mine) =>
+      val buckets = mine.map(e => Math.floorDiv(e._2, width))
+      // grid covers exactly [min, max] bucket
+      ((buckets.min) to (buckets.max)).foreach { b =>
+        val lastObs = mine.filter(e => Math.floorDiv(e._2, width) <= b)
+        assert(got.contains((k, b)), s"missing ($k, $b)")
+        // fill = the max value (our agg) of the latest NON-EMPTY bucket
+        val lastBucket = lastObs.map(e => Math.floorDiv(e._2, width)).max
+        val want = mine.filter(e => Math.floorDiv(e._2, width) == lastBucket)
+          .map(_._3).max
+        assert(got((k, b)) == want, s"($k, $b)")
+      }
+      assert(!got.contains((k, buckets.max + 1)), "grid must not overrun")
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val n = 30L
     val nodes = (1L to n).toDF("id")
