@@ -181,8 +181,11 @@ object Temporal {
     * completed each step of `steps` IN ORDER — step i counts only
     * strictly after the key's step-(i−1) time (the standard
     * conversion-funnel semantics: a purchase before the click doesn't
-    * count). Returns one row per key with one nullable `t_<name>`
-    * column per step; a null means the funnel stopped there.
+    * count), and, when `maxGap` is set, no later than step-(i−1)'s
+    * time + maxGap (the attribution window: a conversion a month
+    * after the click doesn't attribute). Returns one row per key with
+    * one nullable `t_<name>` column per step; a null means the funnel
+    * stopped there.
     *
     * One shuffle on the key: the per-step earliest times are stacked
     * conditional window minima over the SAME partitioning (each
@@ -191,14 +194,21 @@ object Temporal {
     * already-constant columns instead of re-sorting.
     */
   def funnel(df: DataFrame, keyCol: String, tCol: String,
-      steps: Seq[(String, Column)]): DataFrame = {
+      steps: Seq[(String, Column)],
+      maxGap: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGap.forall(_ > 0), s"maxGap must be positive: $maxGap")
     val wu = Window.partitionBy(keyCol)
     val stepped = steps.zipWithIndex.foldLeft(df) {
       case (acc, ((name, pred), i)) =>
+        val prev = if (i == 0) lit(null) else col(s"t_${steps(i - 1)._1}")
+        val inWindow = maxGap match {
+          case Some(g) if i > 0 => col(tCol) <= prev + g
+          case _ => lit(true)
+        }
         val gate =
           if (i == 0) pred
-          else pred && col(tCol) > col(s"t_${steps(i - 1)._1}")
+          else pred && col(tCol) > prev && inWindow
         acc.withColumn(s"t_$name",
           min(when(gate, col(tCol))).over(wu))
     }

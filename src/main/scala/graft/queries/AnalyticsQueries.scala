@@ -627,6 +627,90 @@ object AnalyticsQueries {
           .orderBy("n_name")
       }),
 
+    // Attribution-window funnel — q108 with a deadline: each step must
+    // land within 48 hours of the previous one, or the journey doesn't
+    // attribute (the marketing-attribution rule that unbounded funnels
+    // overstate). Same one-shuffle stacked-window shape; only the step
+    // gate changes.
+    Query("q127_funnel_window", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN tus END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tus > t1
+        |    AND tus <= t1 + 172800000000 THEN tus END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus > t2
+        |    AND tus <= t2 + 172800000000 THEN tus END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |  FROM w3 GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'signup' AS step, COUNT(t1) AS n_users
+        |  FROM u
+        |  UNION ALL SELECT 2, 'click', COUNT(t2) FROM u
+        |  UNION ALL SELECT 3, 'purchase', COUNT(t3) FROM u)
+        |ORDER BY step_idx""".stripMargin))(
+      (s, dir) => {
+        val f = Temporal.funnel(
+          t(s, dir, "events").select(col("user_id"), tsUs.as("tus"),
+            col("event_type")),
+          "user_id", "tus", Seq(
+            "signup" -> (col("event_type") === "signup"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")),
+          maxGap = Some(48L * 3600000000L))
+        f.agg(count(col("t_signup")).as("c1"), count(col("t_click")).as("c2"),
+            count(col("t_purchase")).as("c3"))
+          .select(explode(array(
+            struct(lit(1).as("step_idx"), lit("signup").as("step"),
+              col("c1").as("n_users")),
+            struct(lit(2).as("step_idx"), lit("click").as("step"),
+              col("c2").as("n_users")),
+            struct(lit(3).as("step_idx"), lit("purchase").as("step"),
+              col("c3").as("n_users")))).as("s"))
+          .select(col("s.step_idx").as("step_idx"), col("s.step").as("step"),
+            col("s.n_users").as("n_users"))
+          .orderBy("step_idx")
+      }),
+
+    // Time-in-state from the SCD2 history: per purchase tier, total
+    // dwell µs and the distinct users who ever held it — the
+    // state-duration rollup every SCD2 consumer eventually writes.
+    // Open (current) intervals close at the corpus' max event time so
+    // dwell is finite and identical in both engines.
+    Query("q128_time_in_state", Some(
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(FLOOR(value / 100.0) AS BIGINT) AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT *, lag(tier) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM p),
+        |k AS (SELECT * FROM c WHERE prev IS NULL OR prev <> tier),
+        |h AS (SELECT user_id, tier, tus AS valid_from,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS valid_to FROM k),
+        |mx AS (SELECT MAX(epoch_us(ts)) AS t_end FROM events)
+        |SELECT tier,
+        |  CAST(SUM(COALESCE(valid_to, t_end) - valid_from) AS BIGINT)
+        |    AS dwell_us,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM h CROSS JOIN mx
+        |GROUP BY tier ORDER BY tier""".stripMargin))(
+      (s, dir) => {
+        val hist = Temporal.scd2(
+          t(s, dir, "events").filter(col("event_type") === "purchase")
+            .select(col("user_id"), tsUs.as("tus"), col("event_id"),
+              floor(col("value") / 100.0).cast("long").as("tier")),
+          "user_id", "tus", "event_id", Seq("tier"))
+        val tEnd = t(s, dir, "events").agg(max(tsUs).as("t_end"))
+        hist.crossJoin(broadcast(tEnd))
+          .groupBy("tier")
+          .agg(sum(coalesce(col("valid_to"), col("t_end"))
+              - col("valid_from")).as("dwell_us"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("tier")
+      }),
+
     // Sorted-neighborhood fuzzy candidates over customer names —
     // q113's deletion-neighborhood twin from the other classic
     // blocking family: sort within 13-char-prefix blocks, compare each

@@ -163,6 +163,30 @@ class TemporalSpec extends SparkSpec {
       (4L, null, null, null)))
   }
 
+  test("funnel: maxGap voids steps past the attribution window") {
+    // u1 converts b within the gap; u2's b is 100 ticks late — the
+    // journey stops at a even though a LATER in-window c exists
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 15L, "b"),
+      (2L, 10L, "a"), (2L, 110L, "b"), (2L, 111L, "c"))
+      .toDF("u", "t", "e")
+    val out = Temporal.funnel(df, "u", "t", Seq(
+        "a" -> (col("e") === "a"), "b" -> (col("e") === "b"),
+        "c" -> (col("e") === "c")), maxGap = Some(10L))
+      .orderBy("u")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).orNull,
+        Option(r.get(2)).orNull, Option(r.get(3)).orNull))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 15L, null),
+      (2L, 10L, null, null)))
+    // boundary: exactly prev + gap is IN the window (<=)
+    val edge = Temporal.funnel(
+      Seq((1L, 0L, "a"), (1L, 10L, "b")).toDF("u", "t", "e"),
+      "u", "t", Seq("a" -> (col("e") === "a"), "b" -> (col("e") === "b")),
+      maxGap = Some(10L)).head()
+    assert(edge.getLong(2) == 10L)
+  }
+
   test("funnel: earliest qualifying time wins per step") {
     val df = Seq((1L, 10L, "a"), (1L, 5L, "b"), (1L, 20L, "b"),
       (1L, 50L, "b")).toDF("u", "t", "e")
