@@ -627,6 +627,102 @@ object AnalyticsQueries {
           .orderBy("n_name")
       }),
 
+    // Linear interpolation on the resample grid — the other standard
+    // gap policy beside q107's forward fill: an empty bucket takes the
+    // value lerped between its nearest observed neighbors (prev/next
+    // value+bucket ride two mirrored IGNORE NULLS windows over the
+    // q107 spine; leading/trailing gaps fall back to the available
+    // side). Presentation is FLOOR(x·1e6 + 0.5)/1e6, not round():
+    // lerp ratios like k/16 land doubles EXACTLY on .5 decimal
+    // boundaries, where the engines' round() disagree (shortest-repr
+    // HALF_UP vs away-from-zero) — floor arithmetic is pure IEEE ops,
+    // bit-identical everywhere.
+    Query("q129_interpolate", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bkt,
+        |            value FROM events),
+        |o AS (SELECT user_id, bkt,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, UNNEST(generate_series(MIN(bkt), MAX(bkt)))
+        |    AS bkt FROM o GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.bkt, o.sv
+        |  FROM s LEFT JOIN o ON o.user_id = s.user_id AND o.bkt = s.bkt),
+        |w AS (SELECT *,
+        |    last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS pv,
+        |    last_value(CASE WHEN sv IS NOT NULL THEN bkt END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |    first_value(sv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bkt ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+        |      FOLLOWING) AS nv,
+        |    first_value(CASE WHEN sv IS NOT NULL THEN bkt END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY bkt
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT user_id, bkt AS bucket,
+        |  FLOOR((CASE
+        |    WHEN sv IS NOT NULL THEN sv
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * (bkt - pb) / (nb - pb) END)
+        |    * 1000000 + 0.5) / 1000000 AS v_interp
+        |FROM w ORDER BY user_id, bucket""".stripMargin))(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val back = W.partitionBy("user_id").orderBy("bucket")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val fwd = W.partitionBy("user_id").orderBy("bucket")
+          .rowsBetween(W.currentRow, W.unboundedFollowing)
+        val spine = Temporal.resampleFill(
+          t(s, dir, "events").select(col("user_id"), tsUs.as("tus"),
+            col("value")),
+          "user_id", "tus", HourUs,
+          aggs = Seq(Query.dsum(col("value")).as("sv")),
+          fillCols = Seq("sv"))
+        val obsBkt = when(col("sv").isNotNull, col("bucket"))
+        spine
+          .withColumn("pv", last(col("sv"), ignoreNulls = true).over(back))
+          .withColumn("pb", last(obsBkt, ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("sv"), ignoreNulls = true).over(fwd))
+          .withColumn("nb", first(obsBkt, ignoreNulls = true).over(fwd))
+          .select(col("user_id"), col("bucket"),
+            (floor((when(col("sv").isNotNull, col("sv"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (col("bucket") - col("pb")) / (col("nb") - col("pb"))))
+              * 1000000 + 0.5) / 1000000).as("v_interp"))
+          .orderBy("user_id", "bucket")
+      }),
+
+    // Per-group standardization — the feature-engineering staple:
+    // z = (v − μ_g)/σ_g per event type, appended to every row with the
+    // group moments broadcast back (no fact shuffle — the q110 fence
+    // shape); constant groups yield null, not a division blow-up.
+    Query("q130_standardize", Some(
+      """WITH m AS (SELECT event_type,
+        |    ROUND(AVG(value), 6) AS mu,
+        |    ROUND(stddev_samp(value), 6) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN m.sd > 0 THEN ROUND((e.value - m.mu) / m.sd, 6) END
+        |    AS z
+        |FROM events e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin))(
+      (s, dir) => {
+        val moments = t(s, dir, "events").groupBy("event_type")
+          .agg(round(avg(col("value")), 6).as("mu"),
+            round(stddev_samp(col("value")), 6).as("sd"))
+        t(s, dir, "events")
+          .join(broadcast(moments), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            when(col("sd") > 0,
+              round((col("value") - col("mu")) / col("sd"), 6)).as("z"))
+          .orderBy("event_id")
+      }),
+
     // Attribution-window funnel — q108 with a deadline: each step must
     // land within 48 hours of the previous one, or the journey doesn't
     // attribute (the marketing-attribution rule that unbounded funnels
