@@ -66,6 +66,37 @@ object Profiling {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Join/partition-key skew profile — the diagnostic to run BEFORE
+    * choosing between a plain shuffle and `Skew.saltedJoin`: key
+    * cardinality, the heaviest key's share, the max/mean skew ratio,
+    * and the Gini coefficient of the key distribution (0 = uniform,
+    * →1 = one key owns everything). One partial-aggregated shuffle
+    * builds the per-key counts; the Gini rank is a sort of the COUNT
+    * frame (distinct keys, not rows) — the same bounded frame any key
+    * histogram needs. Single-row output.
+    */
+  def keySkew(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(key.isNotNull)
+      .groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+    // Gini over ascending counts: (2·Σ rank·c) / (n·Σc) − (n+1)/n
+    val ranked = counts.withColumn("__r",
+      row_number().over(Window.orderBy(col("__c"), col("__k"))))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_cnt"),
+        sum(col("__r") * col("__c")).as("__rc"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        round(col("max_cnt") /
+          (col("n_rows").cast("double") / col("n_keys")), 6)
+          .as("skew_ratio"),
+        round(lit(2.0) * col("__rc") /
+          (col("n_keys").cast("double") * col("n_rows"))
+          - (col("n_keys") + 1).cast("double") / col("n_keys"), 6)
+          .as("gini"))
+  }
+
   /** Tukey-fence outlier summary per group: exact quartiles
     * (`percentile`, the quantile_cont interpolation), fences at
     * q1 − k·IQR / q3 + k·IQR, and the count of rows outside each

@@ -527,6 +527,53 @@ object TextAnalysis {
           struct(col("pos"), coalesce(col("id"), lit(0L)).as("tid")))),
         s => s.getField("tid")).as(outCol))
 
+  /** Per-document bigram surprisal — the conditional upgrade of
+    * [[unigramSurprisal]]: mean −ln P(wᵢ | wᵢ₋₁) under the corpus
+    * bigram model with add-one smoothing over the observed-next-token
+    * vocabulary, P = (c(prev, cur) + 1) / (c(prev·) + V). Low = the
+    * document's word SEQUENCES are corpus-typical; unigram surprisal
+    * can't tell scrambled text from prose — this can.
+    *
+    * The bigram stream is a narrow array zip (tokens materialize once
+    * per row, no self-join/window); model counts are two partial-
+    * aggregated shuffles over (prev, cur) / prev; V is bounded
+    * metadata riding a broadcast. −ln terms sum as exact decimals
+    * (the q69 convention — partial-agg order can't drift the sum).
+    * Documents with fewer than two tokens return n_bigrams 0 and a
+    * null surprisal.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = Dedup.spread(df)
+      .select(col(idCol), wsTokens(lower(col(textCol))).as("__w"))
+    val bigrams = toks.select(col(idCol),
+        explode(when(size(col("__w")) >= 2,
+          expr("""transform(sequence(2, size(__w)),
+                 i -> struct(__w[i-2] AS prev, __w[i-1] AS cur))"""))
+          .otherwise(expr(
+            "CAST(array() AS array<struct<prev:string,cur:string>>)")))
+          .as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val biCnt = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    // context totals + vocabulary from the (small) bigram-count frame,
+    // not the corpus stream (the q69 total-from-freq-frame rule)
+    val ctxCnt = biCnt.groupBy("prev").agg(sum(col("c2")).as("c1"))
+    val vocab = biCnt.agg(count_distinct(col("cur")).as("__v"))
+    val p = (col("c2") + 1).cast("double") / (col("c1") + col("__v"))
+    val scored = bigrams
+      .join(biCnt, Seq("prev", "cur"))
+      .join(ctxCnt, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((-log(p)).cast("decimal(18,12)")).as("__s"))
+    toks.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams"), 6)
+          .as("bigram_surprisal"))
+  }
+
   /** Inverted index build: one row per distinct case-folded token with
     * its document frequency and a bounded posting list (the first
     * `maxPostings` doc ids ascending, comma-joined) — the retrieval /

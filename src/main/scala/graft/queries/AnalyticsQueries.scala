@@ -627,6 +627,58 @@ object AnalyticsQueries {
           .orderBy("n_name")
       }),
 
+    // Join-key skew profile of lineitem's part key — the diagnostic a
+    // deployment runs BEFORE choosing plain vs salted shuffles:
+    // cardinality, heaviest-key share ratio, and the Gini coefficient
+    // of the key distribution. The Gini rank sorts the COUNT frame
+    // (distinct keys), never the fact rows.
+    Query("q131_key_skew", Some(
+      """WITH c AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY c, k) AS rk FROM c)
+        |SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  MAX(c) AS max_cnt,
+        |  ROUND(MAX(c) / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6)
+        |    AS skew_ratio,
+        |  ROUND(2.0 * SUM(rk * c)
+        |      / (CAST(COUNT(*) AS DOUBLE) * SUM(c))
+        |    - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+        |FROM r""".stripMargin))(
+      (s, dir) =>
+        Profiling.keySkew(t(s, dir, "lineitem"), col("l_partkey"))),
+
+    // Bigram surprisal — the conditional-LM quality score beside q69's
+    // unigram one: mean −ln P(cur | prev) with add-one smoothing over
+    // the observed-next-token vocabulary. The oracle rebuilds the
+    // identical model (bigram comprehension, context totals and V from
+    // the count frame, decimal-summed logs).
+    Query("q132_bigram_surprisal", Some(
+      """WITH b AS (
+        |  SELECT doc_id, unnest([{'prev': toks[i-1], 'cur': toks[i]}
+        |                         FOR i IN generate_series(2, len(toks))])
+        |    AS bg
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)),
+        |          '\s+') AS toks FROM documents)),
+        |f AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur FROM b),
+        |c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM f GROUP BY 1, 2),
+        |c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT cur) AS v FROM c2),
+        |s AS (SELECT f.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(CAST(-ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))
+        |      AS DECIMAL(18,12))) AS ssum
+        |  FROM f JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        |  CROSS JOIN v GROUP BY f.doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  ROUND(CAST(s.ssum AS DOUBLE) / s.n_bigrams, 6)
+        |    AS bigram_surprisal
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.bigramSurprisal(t(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("doc_id")),
+
     // Linear interpolation on the resample grid — the other standard
     // gap policy beside q107's forward fill: an empty bucket takes the
     // value lerped between its nearest observed neighbors (prev/next

@@ -41,6 +41,22 @@ class ProfilingSpec extends SparkSpec {
     assert(out.map(_._4).sum == 6L) // totals reconcile: nulls excluded
   }
 
+  test("keySkew: uniform keys score gini 0 and ratio 1; a hot key " +
+      "dominates both") {
+    val uniform = (1 to 40).map(i => (i % 4).toLong).toDF("k")
+    val u = Profiling.keySkew(uniform, col("k")).head()
+    assert(u.getLong(0) == 4L && u.getLong(1) == 40L && u.getLong(2) == 10L)
+    assert(u.getDouble(3) == 1.0 && u.getDouble(4) == 0.0)
+    // 37 rows of key 0 + three singletons: ratio 3.7, gini near 1
+    val hot = (Seq.fill(37)(0L) ++ Seq(1L, 2L, 3L)).toDF("k")
+    val h = Profiling.keySkew(hot, col("k")).head()
+    assert(h.getDouble(3) == 3.7)
+    assert(h.getDouble(4) > 0.6, s"gini ${h.getDouble(4)}")
+    // nulls are not a key
+    assert(Profiling.keySkew(Seq(Some(1L), None).toDF("k"), col("k"))
+      .head().getLong(1) == 1L)
+  }
+
   test("iqrOutliers: Tukey fences flag the planted extremes per group") {
     // group a: 1..11 plus outliers -100 and +100. quantile_cont over
     // the 13 sorted values interpolates at index 0.25·12 = 3 → q1 = 3

@@ -284,6 +284,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bigramSurprisal: corpus-typical sequences score below rare " +
+      "ones; sub-bigram docs are null") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "sat cat the"),  // same unigrams, reversed sequences
+      (5L, "the"))          // one token — no bigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(5L) == ((0L, None)))
+    assert(got(1L)._1 == 2L && got(1L) == got(2L))
+    // unigram surprisal CAN'T separate doc 4 from docs 1-3 (identical
+    // token multiset); the bigram model must
+    assert(got(4L)._2.get > got(1L)._2.get,
+      s"scrambled ${got(4L)._2.get} vs typical ${got(1L)._2.get}")
+  }
+
   test("invertedIndex: df counts docs once, postings cap and sort") {
     val docs = Seq(
       (3L, "apple banana apple"),   // within-doc repeat counts once
