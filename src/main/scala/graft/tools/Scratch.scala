@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+// Scratch dev harness — NOT part of the library surface; not committed.
+// Dumps a subset of queries for a quick DuckDB compare during iteration.
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/graft_scratch")
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q107,q108,q109,q110,q111,q112")
+      .split(",").toSeq
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+    val sel = graft.SparkEntry.queries.filter {
+      case (n, _) => only.exists(n.startsWith)
+    }
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_.nonEmpty)) {
+      val q = sys.env("SPARK_GRAFT_EXPLAIN")
+      for (round <- 1 to 3) {
+        val tc = System.nanoTime()
+        val df = graft.SparkEntry.queries(q)(spark, dir)
+        println(f"[scratch] $q construct#$round ${(System.nanoTime() - tc) / 1e9}%6.2f s")
+        val t0 = System.nanoTime()
+        df.count()
+        println(f"[scratch] $q count#$round ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_ED1").contains("1")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scratch] $label%-36s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      val strings = graft.Tables(spark, dir, "customer").select(col("c_name").as("s"))
+        .filter(col("s").isNotNull && length(col("s")).between(1, 64))
+        .distinct()
+      time("strings")(strings.count())
+      val keyed = strings.select(col("s"),
+        explode(array_distinct(concat(
+          array(col("s")),
+          transform(sequence(lit(1), length(col("s"))), i =>
+            concat(col("s").substr(lit(1), i - 1),
+              col("s").substr(i + 1, length(col("s")) - i)))))).as("__var"))
+      time("keyed")(keyed.count())
+      val capped = keyed.withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy("__var")))
+        .filter(col("__bsz") <= 10000).drop("__bsz")
+      time("capped")(capped.count())
+      val joined = capped.as("a").join(capped.as("b"),
+          col("a.__var") === col("b.__var") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("s_a"), col("b.s").as("s_b"))
+      time("joined")(joined.count())
+      val dd = joined.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("distinct (persist)")(dd.count())
+      time("lev plain")(dd.filter(
+        levenshtein(col("s_a"), col("s_b")) <= 1).count())
+      time("lev plain again")(dd.filter(
+        levenshtein(col("s_a"), col("s_b")) <= 1).count())
+      time("lev threshold")(dd.filter(
+        levenshtein(col("s_a"), col("s_b"), 1) >= 0).count())
+      time("lit baseline")(dd.filter(
+        length(col("s_a")) - length(col("s_b")) <= 1).count())
+      spark.stop()
+      return
+    }
+    val countOnly = sys.env.get("SPARK_GRAFT_COUNT").contains("1")
+    sel.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        if (countOnly) fn(spark, dir).count()
+        else fn(spark, dir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/$name")
+        println(f"[scratch] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      } catch { case e: Throwable =>
+        println(s"[scratch] $name FAILED: ${e.getMessage}")
+      }
+    }
+    val oracles = graft.SparkEntry.oracleSql.filter {
+      case (n, _) => only.exists(n.startsWith)
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+      oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
