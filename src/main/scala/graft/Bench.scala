@@ -53,8 +53,15 @@ object Bench {
       System.err.println(s"[bench] index prebuild FAILED: ${e.getMessage}")
       -1.0
     }
+    // optional subset for standalone profiling (comma-separated name
+    // prefixes); the driver never sets it, so driver benches run all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -67,12 +74,14 @@ object Bench {
         None
       }
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // a crashing query must not masquerade as a fast one
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build":$idxSec,"failed":$failedJson,"sf":"$sfDir"}""")
+    // a crashing query must not masquerade as a fast one. Summary keys
+    // (total, counts, failures) come BEFORE the per-query map so a
+    // tail-truncated capture still carries the headline numbers.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"index_build":$idxSec,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

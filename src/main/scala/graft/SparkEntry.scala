@@ -9,11 +9,17 @@ import graft.queries.{AnalyticsQueries, CoreQueries, ExtendedQueries, Query,
 object SparkEntry {
 
   /** Every declared query (reference surface + extended LLM-pipeline
-    * operators), in registration order.
+    * operators), in registration order. Names must be unique: the
+    * `queries`/`oracleSql` maps would otherwise silently shadow a
+    * query behind a copy-paste name collision.
     */
-  def allQueries: Seq[Query] =
-    CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all ++
+  val allQueries: Seq[Query] = {
+    val qs = CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all ++
       TemporalQueries.all ++ AnalyticsQueries.all
+    val dups = qs.groupBy(_.name).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

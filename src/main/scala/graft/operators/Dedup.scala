@@ -249,9 +249,14 @@ object Dedup {
     mhIdxCache.get(df.sparkSession, name) {
       val spark = df.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      // stale data cleanup via the Hadoop FileSystem resolved from the
+      // warehouse path — a local java.io.File would silently skip (or
+      // mis-resolve) an HDFS/S3 warehouse, exactly the deployment this
+      // delta-ingestion index targets
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
       val buckets = minhashBuckets(df, idCol, textCol, n, numHashes, bands)
         .withColumnRenamed(idCol, "id")
         .withColumn("bsz", count(lit(1)).over(
@@ -744,12 +749,15 @@ object Dedup {
     */
   def triangles(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
-    val e = edges
+    // Persisted: e feeds the degree union (both endpoint projections)
+    // AND the orientation join — unpersisted, the caller's whole edge
+    // derivation upstream of `edges` re-executes three times.
+    val e = persistHeavy(edges
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("x"),
         greatest(col("x"), col("y")).as("y"))
-      .distinct()
+      .distinct())
     val deg = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val withDeg = e
@@ -757,10 +765,14 @@ object Dedup {
       .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
     val xFirst = col("dx") < col("dy") ||
       (col("dx") === col("dy") && col("x") < col("y"))
-    val oriented = withDeg.select(
+    // Persisted: oriented feeds BOTH wedge sides and the closing
+    // semi-join — unpersisted, the degree joins recompute three times.
+    // freshScope=false keeps `e` cached (oriented materializes FROM it).
+    val oriented = persistHeavy(withDeg.select(
       when(xFirst, col("x")).otherwise(col("y")).as("u"),
       when(xFirst, col("y")).otherwise(col("x")).as("v"),
-      when(xFirst, col("dy")).otherwise(col("dx")).as("dv"))
+      when(xFirst, col("dy")).otherwise(col("dx")).as("dv")),
+      freshScope = false)
     // wedges: ordered out-neighbor pairs at u, ranked like the
     // orientation so the closing edge is stored exactly as (v1 → v2)
     val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))

@@ -71,17 +71,26 @@ object Profiling {
     * cardinality, the heaviest key's share, the max/mean skew ratio,
     * and the Gini coefficient of the key distribution (0 = uniform,
     * →1 = one key owns everything). One partial-aggregated shuffle
-    * builds the per-key counts; the Gini rank is a sort of the COUNT
-    * frame (distinct keys, not rows) — the same bounded frame any key
-    * histogram needs. Single-row output.
+    * builds the per-key counts; the Gini rank comes from a DISTRIBUTED
+    * sort of the count frame + zipWithIndex (per-partition offsets via
+    * one lightweight count job) — never a single-partition global
+    * window, because high-cardinality join keys are exactly the case
+    * this diagnostic targets. Single-row output.
     */
   def keySkew(df: DataFrame, key: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val counts = df.filter(key.isNotNull)
       .groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
-    // Gini over ascending counts: (2·Σ rank·c) / (n·Σc) − (n+1)/n
-    val ranked = counts.withColumn("__r",
-      row_number().over(Window.orderBy(col("__c"), col("__k"))))
+    // Gini over ascending counts: (2·Σ rank·c) / (n·Σc) − (n+1)/n.
+    // Ranks are 1-based positions in the range-partitioned (c, k)
+    // sort; Σ rank·c is permutation-invariant among equal counts, so
+    // the result is deterministic regardless of tie placement.
+    val ranked = counts.sort(col("__c"), col("__k"))
+      .select(col("__c").cast("long")).rdd
+      .zipWithIndex()
+      .map { case (row, i) => (row.getLong(0), i + 1L) }
+      .toDF("__c", "__r")
     ranked.agg(
         count(lit(1)).as("n_keys"),
         sum(col("__c")).as("n_rows"),

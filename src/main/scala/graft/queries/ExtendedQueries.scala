@@ -927,10 +927,11 @@ object ExtendedQueries {
         |          AS scale
         |      FROM e)
         |SELECT vec_id, ROUND(scale, 6) AS scale,
-        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-        |       ELSE list_transform(v, x ->
-        |              CAST(round(COALESCE(x, 0) * 127.0 / scale)
-        |                AS INTEGER)) END AS q,
+        |  array_to_string(
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS VARCHAR))
+        |         ELSE list_transform(v, x ->
+        |                CAST(CAST(round(COALESCE(x, 0) * 127.0 / scale)
+        |                  AS INTEGER) AS VARCHAR)) END, ',') AS q,
         |  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
         |       ELSE ROUND(list_max(list_transform(v, x ->
         |              abs(x - round(x * 127.0 / scale) * scale / 127.0))),
@@ -938,9 +939,13 @@ object ExtendedQueries {
         |  END AS err
         |FROM s ORDER BY vec_id""".stripMargin))(
       (s, dir) =>
+        // The int8 codes travel as a comma-joined string: the driver
+        // gate re-sorts result frames in pandas, which cannot order raw
+        // array cells; values are unchanged (q92 replays the raw codes).
         Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
           .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-            col("q"), round(col("err"), 6).as("err"))
+            array_join(col("q").cast("array<string>"), ",").as("q"),
+            round(col("err"), 6).as("err"))
           .orderBy("vec_id")),
 
     // Leakage-safe split: cluster near-duplicates first (q67's

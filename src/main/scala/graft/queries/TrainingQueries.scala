@@ -642,13 +642,19 @@ object TrainingQueries {
         |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT)
         |      AS id
         |  FROM vc ORDER BY c DESC, term LIMIT 256)
-        |SELECT t.doc_id, list(COALESCE(v.id, 0) ORDER BY t.pos) AS ids
+        |SELECT t.doc_id,
+        |  string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ','
+        |             ORDER BY t.pos) AS ids
         |FROM tok2 t LEFT JOIN vocab v USING (term)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))(
       (s, dir) => {
+        // ids travel comma-joined (driver gate re-sorts in pandas and
+        // cannot order raw array cells); token order is preserved.
         val docs = t(s, dir, "documents").select("doc_id", "text")
         TextAnalysis.encodeIds(docs, "doc_id", "text",
             TextAnalysis.buildVocab(docs, "text", 256))
+          .select(col("doc_id"),
+            array_join(col("ids").cast("array<string>"), ",").as("ids"))
           .orderBy("doc_id")
       }),
 

@@ -119,7 +119,12 @@ object EventStream {
       checkpoint: String, keyCol: String, ordCols: Seq[String],
       opCol: String, deleteOp: String, keepVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    // >= 2, not >= 1: the prune runs before the checkpoint commit, so
+    // with keepVersions = 1 a crash in that window deletes every
+    // version below v=N and the replay of batch N finds no
+    // strictly-below base — it would silently rebuild the snapshot
+    // from that single batch, dropping all previously upserted keys.
+    require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
     val valCols = changes.columns.toSeq
       .filterNot(c => c == opCol || ordCols.contains(c))
     changes.writeStream
@@ -246,8 +251,12 @@ object EventStream {
           graft.operators.TextAnalysis.wsTokens(lower(col("text"))))
           .as("fp"))
       .select(col("doc_id"), col("fp"),
+        // unsigned shift, matching the batch twins (fingerprint/simhash
+        // near-dup): the AND mask makes them coincide today, but an
+        // arithmetic shift would diverge if a top chunk were ever not
+        // fully mask-covered
         posexplode(array((0 until chunks).map(c =>
-          shiftright(col("fp"), c * width).bitwiseAND(lit(mask))): _*))
+          shiftrightunsigned(col("fp"), c * width).bitwiseAND(lit(mask))): _*))
           .as(Seq("chunk_idx", "chunk_val")))
       .as[(Long, Long, Int, Long)]
     keyed

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-// Scratch dev harness — NOT part of the library surface; not committed.
+// Scratch dev harness — NOT part of the library surface.
 // Dumps a subset of queries for a quick DuckDB compare during iteration.
 object Scratch {
   def main(args: Array[String]): Unit = {
