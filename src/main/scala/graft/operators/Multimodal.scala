@@ -248,22 +248,26 @@ object Multimodal {
     if (sawMoov) Some(Mp4Meta(w, h, timescale, duration)) else None
   }
 
-  /** REAL video pixel decode for MJPEG-in-AVI: the RIFF/AVI container
-    * is walked per the public layout (chunks little-endian, `LIST`
-    * boxes carry a 4-byte type, frame chunks are `##dc`/`##db`), and
-    * each Motion-JPEG frame is an ordinary JPEG the JVM's own
-    * `javax.imageio` codec decodes — so frame pixels, not just headers,
-    * back the feature vector. Features: a `dim`-segment mean-luminance
-    * envelope over the frame sequence (the video twin of the audio RMS
-    * envelope — black-frame runs, fades, and hard cuts show up
-    * directly), luminance normalized to [0, 1]. Width/height come from
-    * the first decodable frame; duration from `avih`'s
-    * dwMicroSecPerFrame × the container frame count.
+  /** REAL video pixel decode for AVI: the RIFF/AVI container is walked
+    * per the public layout (chunks little-endian, `LIST` boxes carry a
+    * 4-byte type, frame chunks are `##dc`/`##db`), and each frame
+    * decodes one of two ways — a Motion-JPEG frame is an ordinary JPEG
+    * the JVM's own `javax.imageio` codec reads, and an UNCOMPRESSED
+    * frame (BI_RGB per the video stream's `strf` BITMAPINFOHEADER,
+    * 24/32 bpp) is interpreted directly as padded bottom-up BGR rows —
+    * so frame pixels, not just headers, back the feature vector either
+    * way. Features: a `dim`-segment mean-luminance envelope over the
+    * frame sequence (the video twin of the audio RMS envelope —
+    * black-frame runs, fades, and hard cuts show up directly),
+    * luminance normalized to [0, 1]. Width/height come from the first
+    * decodable frame (or the `strf` header on the DIB path); duration
+    * from `avih`'s dwMicroSecPerFrame × the container frame count.
     *
     * At most `maxFrames` frames are decoded, sampled evenly across the
     * stream — a bounded per-row cost on a 100 TB corpus of long clips
     * (the envelope is a sampled estimate beyond the cap, exact below
-    * it). Non-MJPEG payloads (frames ImageIO can't read) return None.
+    * it). Payloads with frames neither ImageIO nor the DIB layout can
+    * read return None.
     */
   private[operators] def decodeAviMjpeg(payload: Array[Byte], dim: Int,
       maxFrames: Int = 256): Option[Decoded] = {
@@ -275,6 +279,12 @@ object Multimodal {
     try {
       if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
       var usPerFrame = 0L
+      // video stream format (BITMAPINFOHEADER) for the DIB fallback
+      var lastStrh = ""
+      var dibW = 0
+      var dibH = 0
+      var dibBpp = 0
+      var dibComp = -1L
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       def walk(start: Int, end: Int): Unit = {
         var off = start
@@ -286,6 +296,14 @@ object Multimodal {
           val bodyEnd = (body + size).toInt
           if (id == "LIST" && size >= 4) walk(body + 4, bodyEnd)
           else if (id == "avih" && size >= 4) usPerFrame = u32(body)
+          else if (id == "strh" && size >= 4) lastStrh = fourcc(body)
+          else if (id == "strf" && size >= 20 && lastStrh == "vids") {
+            dibW = u32(body + 4).toInt
+            dibH = math.abs(u32(body + 8).toInt) // negative = top-down
+            dibBpp = (payload(body + 14) & 0xff) |
+              ((payload(body + 15) & 0xff) << 8)
+            dibComp = u32(body + 16) // 0 = BI_RGB (uncompressed)
+          }
           else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
             id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0)
             frames += ((body, size.toInt))
@@ -298,21 +316,53 @@ object Multimodal {
       val picked =
         if (n <= maxFrames) frames.toSeq
         else (0 until maxFrames).map(i => frames((i.toLong * n / maxFrames).toInt))
+      val dibOk = dibComp == 0L && dibW > 0 && dibH > 0 &&
+        (dibBpp == 24 || dibBpp == 32)
       var w = 0
       var h = 0
       val lums = picked.flatMap { case (off, len) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload, off, len))
-        if (img == null) None
-        else {
+        if (img != null) {
           if (w == 0) { w = img.getWidth; h = img.getHeight }
           Some(meanLum(img))
-        }
+        } else if (dibOk) {
+          // mean luminance is orientation-invariant, so bottom-up vs
+          // top-down row order never matters here
+          val r = dibMeanLum(payload, off, len, dibW, dibH, dibBpp)
+          if (r.isDefined && w == 0) { w = dibW; h = dibH }
+          r
+        } else None
       }.toIndexedSeq
       if (lums.isEmpty || w == 0) return None
       Some(Decoded(w, h, (usPerFrame * n / 1e6).toFloat,
         lumEnvelope(lums, dim)))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Rec. 601 mean luminance of one uncompressed DIB frame (BI_RGB,
+    * 24/32 bpp, rows padded to 4 bytes), read straight from the chunk
+    * bytes. None when the chunk is smaller than the declared geometry.
+    */
+  private def dibMeanLum(payload: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int, bpp: Int): Option[Double] = {
+    val bytesPerPx = bpp / 8
+    val stride = ((w * bytesPerPx + 3) / 4) * 4
+    if (stride.toLong * h > len) return None
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      val row = off + y * stride
+      var x = 0
+      while (x < w) {
+        val p = row + x * bytesPerPx
+        sum += 0.299 * (payload(p + 2) & 0xff) +
+          0.587 * (payload(p + 1) & 0xff) + 0.114 * (payload(p) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(sum / (w.toLong * h) / 255.0)
   }
 
   /** Rec. 601 mean luminance of one frame, normalized to [0, 1]. */
@@ -417,10 +467,11 @@ object Multimodal {
         .getAttribute("delayTime").toLong
     } catch { case scala.util.control.NonFatal(_) => 0L }
 
-  /** Video decode: REAL pixels for MJPEG-in-AVI ([[decodeAviMjpeg]])
-    * and animated GIF ([[decodeGifAnimation]]); for MP4, REAL
-    * container metadata (dimensions + duration from the box tree) with
-    * the byte-fingerprint feature vector — decoding MP4 pixels needs a
+  /** Video decode: REAL pixels for MJPEG-in-AVI and uncompressed-DIB
+    * AVI ([[decodeAviMjpeg]]) and animated GIF
+    * ([[decodeGifAnimation]]); for MP4, REAL container metadata
+    * (dimensions + duration from the box tree) with the
+    * byte-fingerprint feature vector — decoding MP4 pixels needs a
     * codec no bare JVM ships, and that boundary is declared rather
     * than faked.
     */

@@ -86,6 +86,43 @@ class MultimodalSpec extends SparkSpec {
     "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
   }
 
+  /** AVI with UNCOMPRESSED (BI_RGB) frames: a vids strh + a
+    * BITMAPINFOHEADER strf in the header list, raw padded BGR rows as
+    * `00db` chunks — the layout decodeAviMjpeg's DIB fallback reads.
+    */
+  private def miniAviDib(w: Int, h: Int, grays: Seq[Int],
+      usPerFrame: Long): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      id.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+    val avih = chunk("avih", le32(usPerFrame) ++ new Array[Byte](52))
+    val strh = chunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ new Array[Byte](52))
+    val stride = ((w * 3 + 3) / 4) * 4
+    val strf = chunk("strf",
+      le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+        le16(24) ++ le32(0L) ++ le32(stride.toLong * h) ++
+        new Array[Byte](16))
+    val dbs = grays.toArray.flatMap { g =>
+      val body = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        body(y * stride + x * 3 + c) = g.toByte
+      chunk("00db", body)
+    }
+    val body = "AVI ".getBytes("ISO-8859-1") ++
+      list("hdrl", avih ++ list("strl", strh ++ strf)) ++ list("movi", dbs)
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
+  }
+
   private def grayFrame(w: Int, h: Int, gray: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -207,6 +244,26 @@ class MultimodalSpec extends SparkSpec {
     assert(d.features(1) > 0.9f, d.features(1))
     // non-AVI bytes must not parse
     assert(Multimodal.decodeAviMjpeg("not an avi at all".getBytes, 2).isEmpty)
+  }
+
+  test("uncompressed-DIB AVI frames decode to exact pixel luminance") {
+    // 5×3 frames at gray 0, 51, 255 — no codec loss on the DIB path,
+    // so the envelope is EXACT (gray/255), unlike the JPEG-lossy bands
+    val avi = miniAviDib(5, 3, Seq(0, 51, 255), usPerFrame = 200000L)
+    val d = Multimodal.decodeAviMjpeg(avi, dim = 3).get
+    assert(d.width == 5 && d.height == 3) // from the strf header
+    assert(math.abs(d.durationS - 0.6f) < 1e-3)
+    assert(math.abs(d.features(0) - 0.0f) < 1e-6)
+    assert(math.abs(d.features(1) - 0.2f) < 1e-6)
+    assert(math.abs(d.features(2) - 1.0f) < 1e-6)
+    // a declared-compressed stream must NOT hit the raw-DIB reader:
+    // flipping biCompression to non-zero makes the same bytes undecodable
+    val idx = {
+      val hay = avi.indexOfSlice("strf".getBytes("ISO-8859-1"))
+      hay + 8 + 16 // biCompression offset inside BITMAPINFOHEADER
+    }
+    val bad = avi.clone(); bad(idx) = 1.toByte
+    assert(Multimodal.decodeAviMjpeg(bad, 3).isEmpty)
   }
 
   test("AVI video rows route through the pixel decoder in extractFeatures") {
