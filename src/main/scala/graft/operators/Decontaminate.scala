@@ -42,6 +42,42 @@ object Decontaminate {
         count_distinct(col("__eval_id")).as("n_eval_docs"))
   }
 
+  /** Per-(train, eval) CONTAINMENT scores — the asymmetric overlap
+    * metric eval contamination actually needs: containment =
+    * |grams(train) ∩ grams(eval)| / |grams(eval)|, which flags an
+    * eval question embedded verbatim in a much larger train document
+    * where Jaccard (q71's symmetric metric) is diluted toward zero by
+    * the train doc's size. Emits every pair sharing ≥ 1 gram with its
+    * shared-gram count and containment in [0, 1].
+    *
+    * Same scale shape as [[contaminationReport]]: the eval side
+    * (distinct grams + per-doc totals) broadcasts; the train gram
+    * stream joins it without shuffling, and only the matched rows
+    * enter the per-pair aggregation. The division is one double op
+    * from two integer counts, floor-rounded to 6 decimals.
+    */
+  def containmentReport(train: DataFrame, trainId: String,
+      trainText: String, eval: DataFrame, evalId: String, evalText: String,
+      n: Int = 8): DataFrame = {
+    val evalGrams = Dedup.shingleFrame(eval, evalId, evalText, n)
+      .select(col(evalId).as("eval_id"), explode_outer(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+    val evalTotals = evalGrams.groupBy("eval_id")
+      .agg(count(lit(1)).as("__n_eval_grams"))
+    val trainGrams = Dedup.shingleFrame(train, trainId, trainText, n)
+      .select(col(trainId), explode_outer(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+    trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col(trainId), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .join(broadcast(evalTotals), "eval_id")
+      .select(col(trainId), col("eval_id"), col("n_shared_grams"),
+        (floor(col("n_shared_grams").cast("double") /
+          col("__n_eval_grams") * 1e6 + 0.5) / 1e6).as("containment"))
+  }
+
   /** The cleaned training corpus: drop every doc the report flags
     * (left anti join on the contaminated id set).
     */

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift and snapshot-reconciliation operators — the
+  * monitoring layer a long-lived 100 TB pipeline runs between
+  * ingestion batches: has this week's data shifted against the
+  * reference window (PSI, KS), and what exactly changed between two
+  * snapshots of a keyed table (diff)?
+  *
+  * Scale shape: every operator reduces the fact data to a BOUNDED
+  * frame first (fixed histogram bins, per-distinct-value counts, one
+  * co-partitioned join) and does the statistical arithmetic on that —
+  * nothing here ever sorts or collects raw rows on one node.
+  */
+object Drift {
+
+  /** Engine-portable 6-decimal rounding: FLOOR(x·1e6 + 0.5)/1e6 is
+    * pure IEEE ops, bit-identical across engines where round-half
+    * conventions differ (Spark shortest-repr HALF_UP vs DuckDB
+    * away-from-zero) — statistical outputs land on exact .5 decimal
+    * boundaries often enough to matter.
+    */
+  private def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private def r12(c: Column): Column = floor(c * 1e12 + 0.5) / 1e12
+
+  /** Population Stability Index of `v` between a reference and a
+    * current frame over `nBins` fixed-width bins on [lo, hi)
+    * (out-of-range values clamp into the edge bins — every row
+    * counts, the [[Profiling.histogram]] convention). Bin fractions
+    * are Laplace-smoothed (+0.5 per bin) so an empty bin on either
+    * side contributes a finite term instead of ±∞ — the standard
+    * monitoring-dashboard treatment. PSI = Σ (pc − pr)·ln(pc/pr);
+    * rule of thumb: < 0.1 stable, > 0.25 shifted.
+    *
+    * Both inputs reduce to one `nBins`-row count frame each (one
+    * partial-aggregated shuffle per side); the PSI arithmetic runs on
+    * the joined spine. Per-bin terms are rounded to 12 decimals and
+    * decimal-summed so partial-agg order can't drift the total.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, v: Column, lo: Double,
+      hi: Double, nBins: Int): DataFrame = {
+    val hr = Profiling.histogram(ref, v, lo, hi, nBins)
+      .select(col("bin"), col("cnt").as("cnt_ref"))
+    val hc = Profiling.histogram(cur, v, lo, hi, nBins)
+      .select(col("bin"), col("cnt").as("cnt_cur"))
+    val joined = hr.join(hc, "bin")
+    val nr = sum(col("cnt_ref")).over()
+    val nc = sum(col("cnt_cur")).over()
+    // the window-total denominators ride the bounded nBins-row frame,
+    // never the fact data
+    val pr = (col("cnt_ref") + 0.5) / (nr + 0.5 * nBins)
+    val pc = (col("cnt_cur") + 0.5) / (nc + 0.5 * nBins)
+    joined
+      .select(col("cnt_ref"), col("cnt_cur"),
+        r12((pc - pr) * log(pc / pr)).as("term"))
+      .agg(sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"),
+        r6(sum(col("term").cast("decimal(24,12)")).cast("double")).as("psi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic of `v` between two
+    * frames: max over observed values of |F_a(v) − F_b(v)|. Exact —
+    * no binning — yet never a single-partition pass: values reduce to
+    * one (value, cnt_a, cnt_b) frame (bounded by DISTINCT values, one
+    * shuffle), which is range-partition sorted; cumulative counts come
+    * from a two-pass distributed prefix sum (per-partition subtotals —
+    * one row per partition — broadcast back as offsets). The CDF
+    * difference is pure IEEE arithmetic from integer counts, so both
+    * engines produce bit-identical doubles and the max agrees exactly.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, v: Column): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tagged = a.select(v.cast("double").as("v")).filter(col("v").isNotNull)
+      .withColumn("__side", lit(0))
+      .unionAll(b.select(v.cast("double").as("v"))
+        .filter(col("v").isNotNull).withColumn("__side", lit(1)))
+    val counts = tagged.groupBy("v").agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cb"))
+      .sort("v")
+    val rdd = counts.select(col("ca"), col("cb")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition subtotals (numPartitions rows — bounded)
+      val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var sa = 0L; var sb = 0L
+        it.foreach { case (da, db) => sa += da; sb += db }
+        Iterator((i, sa, sb))
+      }.collect().sortBy(_._1)
+      val na = partTotals.map(_._2).sum
+      val nb = partTotals.map(_._3).sum
+      if (na == 0L || nb == 0L)
+        return spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+          lit(null).cast("double").as("ks"))
+      val offA = partTotals.scanLeft(0L)(_ + _._2).dropRight(1)
+      val offB = partTotals.scanLeft(0L)(_ + _._3).dropRight(1)
+      // pass 2: running CDFs from the broadcast offsets; max per
+      // partition, then a driver max over numPartitions values
+      val ks = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var ca = offA(i); var cb = offB(i)
+        var best = 0.0
+        it.foreach { case (da, db) =>
+          ca += da; cb += db
+          val d = math.abs(ca.toDouble / na - cb.toDouble / nb)
+          if (d > best) best = d
+        }
+        Iterator(best)
+      }.fold(0.0)(math.max)
+      Seq((na, nb, math.floor(ks * 1e6 + 0.5) / 1e6))
+        .toDF("n_a", "n_b", "ks")
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  /** Row-level diff of two keyed snapshots: one `full_outer` join on
+    * the key (both sides shuffle once, co-partitioned — the only
+    * data-sized operation), each key classified `added` (new only),
+    * `removed` (old only), `changed` (any compare column differs,
+    * null-safely) or `unchanged`. Output carries the key plus
+    * old/new values of every compare column (stringified so
+    * heterogeneous types share one schema, the [[Profiling.profile]]
+    * convention).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__old", lit(true))
+    val n = newDf.select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"__new_$c")): _*)
+      .withColumn("__new", lit(true))
+    val joined = o.join(n, keyCols, "full_outer")
+    val anyDiff = compareCols.map(c =>
+      !(col(c) <=> col(s"__new_$c"))).reduce(_ || _)
+    val status = when(col("__old").isNull, "added")
+      .when(col("__new").isNull, "removed")
+      .when(anyDiff, "changed")
+      .otherwise("unchanged")
+    joined.select(keyCols.map(col) ++ Seq(status.as("status")) ++
+      compareCols.flatMap(c => Seq(
+        col(c).cast("string").as(s"old_$c"),
+        col(s"__new_$c").cast("string").as(s"new_$c"))): _*)
+  }
+}

@@ -284,4 +284,38 @@ object Temporal {
       .select(col(keyCol) +: col(tieCol) +: attrCols.map(col) :+
         col("valid_from") :+ col("valid_to"): _*)
   }
+
+  /** Time-weighted average of an observed value per key — the honest
+    * mean of a sampled signal with irregular observation times (a
+    * row-mean over-weights bursts; TWAP weights each observation by
+    * how long it was current). Each value holds from its timestamp
+    * (`tCol`, integer µs, ties broken by `tieCol`) until the key's
+    * next observation; the final observation has no successor and
+    * carries zero weight — the last-interval policy is declared, not
+    * hidden. Keys with a single observation produce no output row;
+    * keys whose observations all share one instant yield a null twap
+    * (zero total weight).
+    *
+    * One key-partitioned lead window (no self-join), then one keyed
+    * aggregation. value × µs products go through exact decimal sums
+    * so partial-agg order can't drift the quotient; the divide is one
+    * double op, floor-rounded to 6 decimals (engine-portable at .5
+    * boundaries).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tCol: String,
+      tieCol: String, vCol: String): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(col(tCol), col(tieCol))
+    val wgt = lead(col(tCol), 1).over(order) - col(tCol)
+    df.select(col(keyCol), col(tCol), col(tieCol), col(vCol))
+      .withColumn("__w", wgt)
+      .filter(col("__w").isNotNull)
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("__w")).as("span_us"),
+        (floor(
+          sum((col(vCol) * col("__w")).cast("decimal(30,6)")).cast("double")
+            / sum(col("__w")).cast("double") * 1e6 + 0.5) / 1e6)
+          .as("twap"))
+  }
 }

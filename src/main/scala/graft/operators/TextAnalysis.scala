@@ -605,4 +605,115 @@ object TextAnalysis {
         _.cast("string")), ",").as("postings"))
     dfreq.join(postings, Seq("term"))
   }
+
+  /** Gopher-style rule-based quality gate (the public DeepMind Gopher
+    * / MassiveText heuristics): per document — word count bounds,
+    * mean word length bounds, symbol-to-word ratio ('#' and '…'/'...'
+    * tokens), and a minimum count of distinct English function words —
+    * plus the conjunction flag a curation pipeline filters on. Pure
+    * per-row array arithmetic on ONE materialized token array: a
+    * narrow codegen'd projection, zero shuffles, embarrassingly
+    * parallel at any corpus size. Thresholds are the published
+    * defaults, overridable.
+    */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame = {
+    val toks = col("__gtoks")
+    val nW = size(toks)
+    val n1 = greatest(nW, lit(1))
+    val meanLen =
+      floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / n1 * 1e6 + 0.5) / 1e6
+    val symbolRatio =
+      floor(size(filter(toks, t =>
+        t === "#" || t === "..." || t === "…")).cast("double")
+        / n1 * 1e6 + 0.5) / 1e6
+    val stopHits = size(array_intersect(
+      transform(toks, lower _), typedlit(stopwords("en"))))
+    df.select(col(idCol), wsTokens(col(textCol)).as("__gtoks"))
+      .select(col(idCol),
+        nW.cast("bigint").as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        stopHits.cast("bigint").as("stop_hits"),
+        (nW >= minWords && nW <= maxWords).as("words_ok"),
+        (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("word_len_ok"),
+        (symbolRatio <= maxSymbolRatio).as("symbols_ok"),
+        (stopHits >= minStopHits).as("stopwords_ok"))
+      .withColumn("quality_ok",
+        col("words_ok") && col("word_len_ok") && col("symbols_ok") &&
+          col("stopwords_ok"))
+  }
+
+  /** Hierarchical reverse-domain rollup: each host explodes into its
+    * domain-level prefixes ('org' → 'org.example' →
+    * 'org.example.cdn', level = part count) and doc counts aggregate
+    * per (level, prefix) — the crawl-coverage cut every corpus
+    * dashboard starts from. One narrow generate + one
+    * partial-aggregated shuffle on the (level, prefix) key; a host
+    * contributes as many rows as it has labels (bounded small).
+    */
+  def domainRollup(df: DataFrame, host: Column): DataFrame =
+    df.select(reverse(split(host, "\\.")).as("__p"))
+      .select(explode(transform(sequence(lit(1), size(col("__p"))), i =>
+        struct(i.cast("bigint").as("level"),
+          array_join(slice(col("__p"), lit(1), i), ".").as("prefix"))))
+        .as("s"))
+      .select(col("s.level").as("level"), col("s.prefix").as("prefix"))
+      .groupBy("level", "prefix").agg(count(lit(1)).as("n_docs"))
+
+  /** Corpus collocations by pointwise mutual information — the
+    * word2phrase step that finds "new york"-style units worth fusing
+    * before vocabulary build. PMI(x,y) = ln( (c_xy/N_b) / (c_x/N_t ·
+    * c_y/N_t) ) over whitespace bigrams, restricted to pairs with
+    * `minCount` occurrences (PMI without a support floor surfaces
+    * one-off typos first — the standard failure). Top `k` by
+    * (PMI desc, pair asc).
+    *
+    * Scale shape: one (bigram) shuffle with map-side combine builds
+    * pair counts; unigram counts ride a second keyed shuffle and join
+    * back on the token key twice (vocabulary-sized frames, not corpus-
+    * sized); corpus totals broadcast as one row. The final cut is a
+    * TakeOrderedAndProject, never a global sort. The division sequence
+    * is written identically in the oracle so doubles match bit for
+    * bit before the 6-decimal floor-rounding.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
+      k: Int = 20): DataFrame = {
+    val toks = df.select(wsTokens(lower(col(textCol))).as("t"))
+      .filter(size(col("t")) > 0)
+    // persisted: the unigram count frame feeds the corpus total and
+    // BOTH pmi joins
+    val uni = graft.HeavyPersist(toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+    val totals = uni.agg(sum(col("c")).as("n_tok")).select(col("n_tok"))
+    // persisted: the bigram count frame feeds both the N_b total and
+    // the candidate cut — unpersisted, the corpus-wide bigram shuffle
+    // runs twice
+    val biAll = graft.HeavyPersist(toks.select(explode(
+        zip_with(slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")),
+      freshScope = false)
+    // N_b is the total over ALL bigrams — the support floor prunes
+    // candidates, not the probability space
+    val nBi = biAll.agg(sum(col("c_xy")).as("n_bi")).select(col("n_bi"))
+    val bi = biAll.filter(col("c_xy") >= minCount)
+    val pmi = floor(
+      log(col("c_xy").cast("double") / col("n_bi") / (
+        col("c_x").cast("double") / col("n_tok") *
+          (col("c_y").cast("double") / col("n_tok"))))
+        * 1e6 + 0.5) / 1e6
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

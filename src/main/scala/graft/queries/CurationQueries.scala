@@ -1,0 +1,417 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Decontaminate, Dedup, Drift, Temporal, TextAnalysis}
+
+/** Round-6 curation + monitoring surface (SURVEY.md §2.10
+  * continuation): rule-based quality gating (Gopher heuristics), PMI
+  * collocations, asymmetric containment decontamination, Jaro-Winkler
+  * record-linkage scoring, distribution drift (PSI, two-sample KS),
+  * rank statistics (Spearman, equal-frequency binning), time-weighted
+  * averages, rolling distinct cardinality, keyed snapshot diffs, and
+  * hierarchical domain rollups. All have FULL DuckDB oracles; float
+  * expressions go through the FLOOR(x·1e6 + 0.5)/1e6 portable
+  * rounding and exact decimal sums per the house convention.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Event time as µs-epoch (the TemporalQueries contract). */
+  private val tsUs = expr("ts div 1000")
+
+  private val HourUs = 3600000000L
+
+  /** Engine-portable 6-decimal rounding (see graft-wide convention). */
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1e6 + 0.5) / 1e6
+
+  val all: Seq[Query] = Seq(
+
+    // Gopher-style rule-based quality gate: per-doc word count, mean
+    // word length, symbol ratio, distinct-stopword hits, and the
+    // published threshold flags — the classic pre-training filter
+    // bundle, as one narrow zero-shuffle projection.
+    Query("q133_gopher_quality", Some(
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    FLOOR(CAST(COALESCE(list_sum(
+        |          list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+        |        / GREATEST(len(toks), 1) * 1e6 + 0.5) / 1e6
+        |      AS mean_word_len,
+        |    FLOOR(CAST(len(list_filter(toks,
+        |          t -> t IN ('#', '...', '…'))) AS DOUBLE)
+        |        / GREATEST(len(toks), 1) * 1e6 + 0.5) / 1e6
+        |      AS symbol_ratio,
+        |    CAST(len(list_filter(
+        |        ['the','and','of','to','a','in','is','it','that','for',
+        |         'was','on','are','with','as','at','this'],
+        |        s -> list_contains(list_transform(toks, t -> lower(t)), s)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM tk)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+        |  n_words BETWEEN 50 AND 100000 AS words_ok,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS word_len_ok,
+        |  symbol_ratio <= 0.1 AS symbols_ok,
+        |  stop_hits >= 2 AS stopwords_ok,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND stop_hits >= 2 AS quality_ok
+        |FROM m ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.gopherQualityFlags(
+            t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // Corpus collocations by PMI (the word2phrase step): top-20 bigram
+    // pairs with a support floor, unigram/bigram count frames joined
+    // on the token key, totals broadcast, TakeOrderedAndProject cut.
+    Query("q134_collocations", Some(
+      """WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS t FROM documents WHERE len(trim(text)) >= 0),
+        |tk2 AS (SELECT t FROM tk WHERE len(t) > 0),
+        |uc AS (SELECT w, COUNT(*) AS c
+        |       FROM (SELECT unnest(t) AS w FROM tk2) GROUP BY 1),
+        |nt AS (SELECT SUM(c) AS n_tok FROM uc),
+        |bc AS (SELECT p['w1'] AS w1, p['w2'] AS w2, COUNT(*) AS c_xy
+        |       FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+        |                FOR i IN generate_series(1, len(t) - 1)]) AS p
+        |             FROM tk2)
+        |       GROUP BY 1, 2),
+        |nb AS (SELECT SUM(c_xy) AS n_bi FROM bc)
+        |SELECT w1, w2, c_xy, c_x, c_y,
+        |  FLOOR(LN(CAST(c_xy AS DOUBLE) / n_bi /
+        |      (CAST(c_x AS DOUBLE) / n_tok
+        |        * (CAST(c_y AS DOUBLE) / n_tok))) * 1e6 + 0.5) / 1e6
+        |    AS pmi
+        |FROM (SELECT * FROM bc WHERE c_xy >= 5) b
+        |JOIN (SELECT w AS w1, c AS c_x FROM uc) ux USING (w1)
+        |JOIN (SELECT w AS w2, c AS c_y FROM uc) uy USING (w2)
+        |CROSS JOIN nt CROSS JOIN nb
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.collocations(t(s, dir, "documents"), "text",
+            minCount = 5, k = 20)
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))),
+
+    // Asymmetric containment decontamination: |∩|/|grams(eval)| per
+    // (train, eval) pair — flags an eval doc embedded in a larger
+    // train doc where symmetric Jaccard (q71) dilutes toward zero.
+    // Same benchmark slice as q54 (eval = doc_id < 20, 5-grams).
+    Query("q135_containment", Some(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |       || toks[i+3] || ' ' || toks[i+4]
+        |     FOR i IN generate_series(1, len(toks) - 4)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |evg AS (SELECT doc_id AS eval_id, unnest(sh) AS gram
+        |        FROM sh WHERE doc_id < 20),
+        |evt AS (SELECT eval_id, COUNT(*) AS ng FROM evg GROUP BY 1),
+        |trg AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+        |        WHERE doc_id >= 20)
+        |SELECT t.doc_id, e.eval_id AS eval_id,
+        |  COUNT(*) AS n_shared_grams,
+        |  FLOOR(CAST(COUNT(*) AS DOUBLE) / MIN(v.ng) * 1e6 + 0.5) / 1e6
+        |    AS containment
+        |FROM trg t JOIN evg e USING (gram)
+        |JOIN evt v ON v.eval_id = e.eval_id
+        |GROUP BY t.doc_id, e.eval_id
+        |ORDER BY t.doc_id, e.eval_id""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        Decontaminate.containmentReport(
+            docs.filter(col("doc_id") >= 20), "doc_id", "text",
+            docs.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
+          .orderBy("doc_id", "eval_id")
+      }),
+
+    // Jaro-Winkler record linkage over q126's sorted-neighborhood
+    // candidates: the custom codegen'd expression scores each
+    // candidate, keeping pairs at/above 0.9 — the oracle replays
+    // DuckDB's own jaro_winkler_similarity (same published algorithm,
+    // empirically bit-compatible; both sides compare the 6-decimal
+    // floor-rounded score).
+    Query("q136_jaro_winkler", Some(
+      """WITH n AS (SELECT DISTINCT c_name AS s FROM customer
+        |           WHERE c_name IS NOT NULL),
+        |r AS (SELECT s, substring(s, 1, 13) AS blk,
+        |    ROW_NUMBER() OVER (PARTITION BY substring(s, 1, 13)
+        |      ORDER BY s) AS rn FROM n)
+        |SELECT name_a, name_b, jw FROM (
+        |  SELECT a.s AS name_a, b.s AS name_b,
+        |    FLOOR(jaro_winkler_similarity(a.s, b.s) * 1e6 + 0.5) / 1e6
+        |      AS jw
+        |  FROM r a JOIN r b ON a.blk = b.blk
+        |    AND b.rn - a.rn BETWEEN 1 AND 3)
+        |WHERE jw >= 0.9 ORDER BY name_a, name_b""".stripMargin))(
+      (s, dir) =>
+        Dedup.sortedNeighborhoodPairs(
+            t(s, dir, "customer").select("c_name"), "c_name",
+            blockOf = c => substring(c, 1, 13), window = 3)
+          .select(col("s_a").as("name_a"), col("s_b").as("name_b"),
+            r6(graft.functions.StringExprs.jaroWinkler(
+              col("s_a"), col("s_b"))).as("jw"))
+          .filter(col("jw") >= 0.9)
+          .orderBy("name_a", "name_b")),
+
+    // Population Stability Index of the event value distribution,
+    // reference = even event ids vs current = odd (a deterministic
+    // same-distribution split, so PSI ≈ 0 — the dashboard's healthy
+    // baseline): 20 fixed bins on [0, 500), Laplace-smoothed
+    // fractions, 12-decimal term rounding under the decimal-sum
+    // convention.
+    Query("q137_psi_drift", Some(
+      """WITH v AS (SELECT event_id % 2 AS side,
+        |    CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS BIGINT)
+        |      AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT UNNEST(generate_series(0, 19)) AS bin),
+        |c AS (SELECT s.bin, COALESCE(r.cr, 0) AS cnt_ref,
+        |        COALESCE(u.cc, 0) AS cnt_cur
+        |      FROM s
+        |      LEFT JOIN (SELECT bin, COUNT(*) AS cr FROM v
+        |                 WHERE side = 0 GROUP BY 1) r ON r.bin = s.bin
+        |      LEFT JOIN (SELECT bin, COUNT(*) AS cc FROM v
+        |                 WHERE side = 1 GROUP BY 1) u ON u.bin = s.bin),
+        |p AS (SELECT cnt_ref, cnt_cur,
+        |        (cnt_cur + 0.5) / ((SUM(cnt_cur) OVER ()) + 0.5 * 20)
+        |          AS pc,
+        |        (cnt_ref + 0.5) / ((SUM(cnt_ref) OVER ()) + 0.5 * 20)
+        |          AS pr
+        |      FROM c)
+        |SELECT CAST(SUM(cnt_ref) AS BIGINT) AS n_ref,
+        |  CAST(SUM(cnt_cur) AS BIGINT) AS n_cur,
+        |  FLOOR(CAST(SUM(CAST(FLOOR((pc - pr) * LN(pc / pr) * 1e12 + 0.5)
+        |      / 1e12 AS DECIMAL(24,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS psi
+        |FROM p""".stripMargin))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        Drift.psi(ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1),
+          col("value"), lo = 0.0, hi = 500.0, nBins = 20)
+      }),
+
+    // Two-sample Kolmogorov-Smirnov statistic on the same split —
+    // exact (per-distinct-value CDFs, no binning), computed with a
+    // distributed prefix sum rather than a single-partition window;
+    // the CDF arithmetic is pure IEEE from integer counts, so the max
+    // agrees bit for bit with the oracle's window formulation.
+    Query("q138_ks_test", Some(
+      """WITH v AS (SELECT value AS v, event_id % 2 AS side FROM events
+        |           WHERE value IS NOT NULL),
+        |c AS (SELECT v, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+        |        SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+        |      FROM v GROUP BY 1),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+        |cdf AS (SELECT SUM(ca) OVER (ORDER BY v) AS cca,
+        |          SUM(cb) OVER (ORDER BY v) AS ccb FROM c)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  FLOOR(MAX(ABS(CAST(cca AS DOUBLE) / t.na
+        |      - CAST(ccb AS DOUBLE) / t.nb)) * 1e6 + 0.5) / 1e6 AS ks
+        |FROM cdf CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        Drift.ksStatistic(ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), col("value"))
+      }),
+
+    // Spearman rank correlation (value vs event time) per event type:
+    // average-rank ties via rank + peer-count windows on one key
+    // shuffle, moment sums exact in decimals (ranks are
+    // half-integers), one IEEE closed form at the end.
+    Query("q139_spearman", Some(
+      """WITH e AS (SELECT event_type, value AS v, epoch_us(ts) AS u
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type,
+        |    RANK() OVER (PARTITION BY event_type ORDER BY v)
+        |      + (COUNT(*) OVER (PARTITION BY event_type, v) - 1) / 2.0
+        |      AS ra,
+        |    RANK() OVER (PARTITION BY event_type ORDER BY u)
+        |      + (COUNT(*) OVER (PARTITION BY event_type, u) - 1) / 2.0
+        |      AS rb
+        |  FROM e),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ra AS DECIMAL(20,1))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(rb AS DECIMAL(20,1))) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(ra * rb AS DECIMAL(38,2))) AS DOUBLE) AS sab,
+        |    CAST(SUM(CAST(ra * ra AS DECIMAL(38,2))) AS DOUBLE) AS sa2,
+        |    CAST(SUM(CAST(rb * rb AS DECIMAL(38,2))) AS DOUBLE) AS sb2
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  FLOOR((n * sab - sa * sb)
+        |    / SQRT((n * sa2 - sa * sa) * (n * sb2 - sb * sb))
+        |    * 1e6 + 0.5) / 1e6 AS rho
+        |FROM m ORDER BY event_type""".stripMargin))(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("value").as("v"), tsUs.as("u"))
+        def avgRank(c: String) =
+          rank().over(Window.partitionBy("event_type").orderBy(c)) +
+            (count(lit(1)).over(Window.partitionBy("event_type", c)) - 1) / 2.0
+        e.select(col("event_type"), avgRank("v").as("ra"),
+            avgRank("u").as("rb"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("ra").cast("decimal(20,1)")).cast("double").as("sa"),
+            sum(col("rb").cast("decimal(20,1)")).cast("double").as("sb"),
+            sum((col("ra") * col("rb")).cast("decimal(38,2)"))
+              .cast("double").as("sab"),
+            sum((col("ra") * col("ra")).cast("decimal(38,2)"))
+              .cast("double").as("sa2"),
+            sum((col("rb") * col("rb")).cast("decimal(38,2)"))
+              .cast("double").as("sb2"))
+          .select(col("event_type"), col("n"),
+            r6((col("n") * col("sab") - col("sa") * col("sb")) /
+              sqrt((col("n") * col("sa2") - col("sa") * col("sa")) *
+                (col("n") * col("sb2") - col("sb") * col("sb"))))
+              .as("rho"))
+          .orderBy("event_type")
+      }),
+
+    // Equal-frequency (quartile) binning per event type — the feature
+    // discretization step: NTILE's floor-division distribution is
+    // defined identically in both engines, ties broken by the unique
+    // event id so the cut is deterministic.
+    Query("q140_quantile_bins", Some(
+      """SELECT event_type, q, COUNT(*) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM (SELECT event_type, value,
+        |        NTILE(4) OVER (PARTITION BY event_type
+        |          ORDER BY value, event_id) AS q
+        |      FROM events WHERE value IS NOT NULL)
+        |GROUP BY 1, 2 ORDER BY event_type, q""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), col("value"),
+            ntile(4).over(Window.partitionBy("event_type")
+              .orderBy("value", "event_id")).as("q"))
+          .groupBy("event_type", "q")
+          .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+            max(col("value")).as("hi"))
+          .orderBy("event_type", "q")),
+
+    // Time-weighted average event value per user: each observation
+    // weighted by how long it was current (lead window, last
+    // observation zero-weight by declared policy); value × µs products
+    // through exact decimal sums.
+    Query("q141_twap", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+        |           FROM events),
+        |w AS (SELECT user_id, value,
+        |        LEAD(t) OVER (PARTITION BY user_id
+        |          ORDER BY t, event_id) - t AS w
+        |      FROM e)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(w) AS BIGINT) AS span_us,
+        |  FLOOR(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * w
+        |        AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(SUM(w) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
+        |FROM w WHERE w IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin))(
+      (s, dir) =>
+        Temporal.timeWeightedAvg(
+            t(s, dir, "events")
+              .select(col("user_id"), tsUs.as("t"), col("event_id"),
+                col("value")),
+            "user_id", "t", "event_id", "value")
+          .orderBy("user_id")),
+
+    // Rolling distinct cardinality: distinct event types per user in
+    // the trailing hour (event-time RANGE frame) — "how varied is this
+    // user's recent behavior", the windowed-diversity signal. State is
+    // bounded by the frame, never the history.
+    Query("q142_rolling_distinct", Some(
+      """SELECT event_id, user_id, epoch_us(ts) AS t,
+        |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS n_types
+        |FROM events ORDER BY event_id""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), tsUs.as("t"),
+            col("event_type"))
+          .withColumn("n_types",
+            size(array_distinct(collect_list(col("event_type")).over(
+              Window.partitionBy("user_id").orderBy("t")
+                .rangeBetween(-HourUs, 0)))).cast("bigint"))
+          .drop("event_type")
+          .orderBy("event_id")),
+
+    // Keyed snapshot diff: reconcile two versions of the orders table
+    // (synthetic edits derived identically in both engines) into
+    // added/removed/changed/unchanged — the table-versioning audit.
+    // One co-partitioned full-outer join; money stringifies through
+    // decimal(18,2) so both engines render identically.
+    Query("q143_snapshot_diff", Some(
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 100 <> 0),
+        |n AS (SELECT o_orderkey,
+        |    CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 100 <> 50)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.price <> n.price THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  CAST(o.price AS VARCHAR) AS old_price,
+        |  CAST(n.price AS VARCHAR) AS new_price
+        |FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin))(
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val old = orders.filter(col("o_orderkey") % 100 =!= 0)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+        val nw = orders.filter(col("o_orderkey") % 100 =!= 50)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))
+              .cast("decimal(18,2)").as("price"))
+        Drift.snapshotDiff(old, nw, Seq("o_orderkey"), Seq("price"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Hierarchical reverse-domain rollup of (synthesized) document
+    // hosts: doc counts at every domain level ('org', 'org.example',
+    // 'org.example.cdn…') — the crawl-coverage dashboard cut. One
+    // partial-aggregated shuffle on the (level, prefix) key.
+    Query("q144_domain_rollup", Some(
+      """WITH h AS (SELECT 'cdn.' || lower(source) || '.example.' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'org' WHEN 1 THEN 'com'
+        |         ELSE 'net' END AS host
+        |  FROM documents),
+        |p AS (SELECT list_reverse(string_split(host, '.')) AS parts
+        |      FROM h),
+        |l AS (SELECT unnest([{'level': i,
+        |         'prefix': array_to_string(parts[1:i], '.')}
+        |       FOR i IN generate_series(1, len(parts))]) AS s
+        |      FROM p)
+        |SELECT s['level'] AS level, s['prefix'] AS prefix,
+        |  COUNT(*) AS n_docs
+        |FROM l GROUP BY 1, 2 ORDER BY level, prefix""".stripMargin))(
+      (s, dir) => {
+        val host = concat(lit("cdn."), lower(col("source")),
+          lit(".example."),
+          when(col("doc_id") % 3 === 0, "org")
+            .when(col("doc_id") % 3 === 1, "com").otherwise("net"))
+        TextAnalysis.domainRollup(
+            t(s, dir, "documents").select(host.as("host")), col("host"))
+          .orderBy("level", "prefix")
+      })
+  )
+}

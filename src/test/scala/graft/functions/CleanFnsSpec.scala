@@ -120,4 +120,49 @@ class CleanFnsSpec extends SparkSpec {
       .as[String].collect()
     assert(got.toSeq == Seq("", "", "keep"))
   }
+
+  test("jaroWinkler matches the published algorithm on calibrated cases " +
+      "(values probed against DuckDB's jaro_winkler_similarity)") {
+    val cases = Seq(
+      // classic literature pairs
+      ("martha", "marhta", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      // below the 0.7 boost threshold the prefix bonus must NOT apply
+      ("abcdxxxx", "abcdyyyyzzzz", 0.611111111111111),
+      // prefix bonus caps at 4 even with a 5-char common prefix
+      ("aaaaaaaaaa", "aaaaabaaaa", 0.96),
+      // zero-window / no-match cases
+      ("CAB", "ABC", 0.0), ("ab", "ba", 0.0), ("abc", "xyz", 0.0),
+      // no common prefix → no bonus even above threshold
+      ("abab", "baba", 0.8333333333333334),
+      // odd/even transposition mix
+      ("abcdef", "abdcfe", 0.9111111111111111),
+      ("abcde", "abdec", 0.8933333333333333),
+      ("ab", "abcdefghij", 0.7866666666666667),
+      ("prefixmatch", "prefixnomatch", 0.9692307692307692),
+      // empty semantics: DuckDB scores empties 0, including both-empty
+      ("x", "", 0.0), ("", "", 0.0), ("a", "a", 1.0))
+    cases.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.StringExprs.jaroWinkler($"a", $"b"))
+        .head().getDouble(0)
+      assert(math.abs(got - want) < 1e-12, s"jw('$a','$b') = $got != $want")
+    }
+  }
+
+  test("jaroWinkler is symmetric and null-propagating") {
+    val pairs = Seq(("martha", "marhta"), ("abcde", "abdec"),
+      ("prefixmatch", "prefixnomatch"))
+    pairs.foreach { case (a, b) =>
+      val Seq(x, y) = Seq((a, b), (b, a)).toDF("a", "b")
+        .select(graft.functions.StringExprs.jaroWinkler($"a", $"b"))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(x == y, s"asymmetric on ($a, $b)")
+    }
+    val n = Seq((Option("x"), None: Option[String]))
+      .toDF("a", "b")
+      .select(graft.functions.StringExprs.jaroWinkler($"a", $"b"))
+      .head()
+    assert(n.isNullAt(0))
+  }
 }

@@ -88,4 +88,23 @@ class DecontaminateSpec extends SparkSpec {
     assert(r.filter(!_.getBoolean(0))
       .forall(_.getString(1) == "no identifiers in this one"))
   }
+
+  test("containmentReport: an eval doc embedded in a bigger train doc " +
+      "scores 1.0 where Jaccard would dilute") {
+    val evalDoc = "alpha beta gamma delta"           // 2 distinct 3-grams
+    val train = Seq(
+      (100L, s"x1 x2 x3 x4 x5 $evalDoc y1 y2 y3 y4 y5"), // fully contains
+      (101L, "alpha beta gamma nope"),                   // 1 of 2 grams
+      (102L, "entirely unrelated words here")).toDF("doc_id", "text")
+    val eval = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val out = Decontaminate.containmentReport(
+        train, "doc_id", "text", eval, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared_grams"), r.getAs[Double]("containment"))))
+      .toMap
+    assert(out(100L) == ((2L, 1.0)))
+    assert(out(101L) == ((1L, 0.5)))
+    assert(!out.contains(102L)) // zero overlap → no pair row
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi: identical distributions score ~0; a shifted one scores high") {
+    val ref = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+    val same = Drift.psi(ref, ref, col("v"), 0.0, 10.0, 10).head()
+    assert(same.getAs[Long]("n_ref") == 100L)
+    assert(same.getAs[Long]("n_cur") == 100L)
+    assert(math.abs(same.getAs[Double]("psi")) < 1e-9)
+    // current mass concentrated in the top bin: strong shift
+    val cur = Seq.fill(100)(9.5).toDF("v")
+    val moved = Drift.psi(ref, cur, col("v"), 0.0, 10.0, 10).head()
+    assert(moved.getAs[Double]("psi") > 0.25, moved.getAs[Double]("psi"))
+  }
+
+  test("psi is asymmetric-input safe: empty bins stay finite (smoothing)") {
+    val ref = Seq(1.0, 1.0, 1.0).toDF("v")
+    val cur = Seq(8.0, 8.0, 8.0).toDF("v")
+    val r = Drift.psi(ref, cur, col("v"), 0.0, 10.0, 5).head()
+    assert(!r.isNullAt(r.fieldIndex("psi")))
+    assert(r.getAs[Double]("psi") > 1.0) // disjoint supports = big drift
+  }
+
+  test("ksStatistic: identical samples give 0, disjoint give 1, " +
+      "known mixed case matches the hand CDF") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    assert(Drift.ksStatistic(a, a, col("v")).head().getAs[Double]("ks")
+      == 0.0)
+    val b = Seq(10.0, 11.0).toDF("v")
+    val d = Drift.ksStatistic(a, b, col("v")).head()
+    assert(d.getAs[Double]("ks") == 1.0)
+    assert(d.getAs[Long]("n_a") == 4L && d.getAs[Long]("n_b") == 2L)
+    // a = {1,2,3,4}, b = {3,4,4,5}: max gap at v=2 → |2/4 - 0/4| = 0.5
+    val c = Seq(3.0, 4.0, 4.0, 5.0).toDF("v")
+    assert(Drift.ksStatistic(a, c, col("v")).head().getAs[Double]("ks")
+      == 0.5)
+  }
+
+  test("ksStatistic survives many partitions (distributed prefix sum)") {
+    val a = spark.range(1000).select((col("id") % 100).cast("double").as("v"))
+      .repartition(13)
+    val b = spark.range(1000)
+      .select(((col("id") % 100) + 50).cast("double").as("v"))
+      .repartition(7)
+    val ks = Drift.ksStatistic(a, b, col("v")).head().getAs[Double]("ks")
+    assert(ks == 0.5, ks) // half the mass is shifted past the overlap
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged " +
+      "null-safely") {
+    val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, None),
+      (4L, Option("d"))).toDF("k", "x")
+    val nw = Seq((2L, Option("B")), (3L, None), (4L, Option("d")),
+      (5L, Option("e"))).toDF("k", "x")
+    val out = Drift.snapshotDiff(old, nw, Seq("k"), Seq("x"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "changed", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
+  test("snapshotDiff carries old/new values for every compare column") {
+    val old = Seq((1L, 10.0, "x")).toDF("k", "a", "b")
+    val nw = Seq((1L, 11.0, "x")).toDF("k", "a", "b")
+    val r = Drift.snapshotDiff(old, nw, Seq("k"), Seq("a", "b")).head()
+    assert(r.getAs[String]("status") == "changed")
+    assert(r.getAs[String]("old_a") == "10.0" &&
+      r.getAs[String]("new_a") == "11.0")
+    assert(r.getAs[String]("old_b") == "x" && r.getAs[String]("new_b") == "x")
+  }
+}

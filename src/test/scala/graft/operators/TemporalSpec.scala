@@ -265,4 +265,28 @@ class TemporalSpec extends SparkSpec {
       .filter(col("valid_to").isNotNull).count()
     assert(out == 0) // both rows are their key's current version
   }
+
+  test("timeWeightedAvg: interval weights, zero-weight last observation") {
+    // key 1: v=10 holds 100µs, v=20 holds 300µs, v=99 has no successor
+    // → twap = (10·100 + 20·300) / 400 = 17.5
+    val df = Seq((1L, 0L, 1L, 10.0), (1L, 100L, 2L, 20.0),
+      (1L, 400L, 3L, 99.0)).toDF("k", "t", "eid", "v")
+    val r = Temporal.timeWeightedAvg(df, "k", "t", "eid", "v").head()
+    assert(r.getAs[Long]("n_intervals") == 2L)
+    assert(r.getAs[Long]("span_us") == 400L)
+    assert(r.getAs[Double]("twap") == 17.5)
+  }
+
+  test("timeWeightedAvg: single-observation keys vanish; same-instant " +
+      "ties get zero-width intervals") {
+    val df = Seq((1L, 10L, 1L, 5.0), // single observation → no output
+      (2L, 0L, 1L, 1.0), (2L, 0L, 2L, 7.0), (2L, 10L, 3L, 3.0))
+      .toDF("k", "t", "eid", "v")
+    val out = Temporal.timeWeightedAvg(df, "k", "t", "eid", "v")
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(!out.contains(1L))
+    // key 2: (1.0, w=0), (7.0, w=10) → twap = 7.0 over span 10
+    assert(out(2L).getAs[Long]("span_us") == 10L)
+    assert(out(2L).getAs[Double]("twap") == 7.0)
+  }
 }

@@ -326,4 +326,63 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, String)].collect()
     assert(got.toSeq == Seq(("word", 1L, "3")))
   }
+
+  test("gopherQualityFlags: thresholds gate exactly at the published " +
+      "defaults") {
+    // 75 words, mean length (110 + 9·25)/75 ≈ 4.47 — inside [3, 10]
+    val longDoc = (("the and of to a " * 10) + "wonderful " * 25).trim
+    val shortDoc = "the and of something"                          // 4 words
+    val symbolDoc = ("the and of " + "# " * 20 + "word " * 30).trim
+    val noStops = (Seq.fill(60)("zqx").mkString(" "))
+    val docs = Seq((1L, longDoc), (2L, shortDoc), (3L, symbolDoc),
+      (4L, noStops)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("quality_ok"))
+    assert(!r(2L).getAs[Boolean]("words_ok"))
+    assert(!r(3L).getAs[Boolean]("symbols_ok"))
+    assert(r(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!r(4L).getAs[Boolean]("stopwords_ok"))
+    assert(r(4L).getAs[Long]("stop_hits") == 0L)
+  }
+
+  test("gopherQualityFlags: stop_hits counts DISTINCT function words") {
+    val docs = Seq((1L, "the the the the"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("stop_hits") == 1L)
+  }
+
+  test("collocations: a fused pair beats frequent-but-independent words") {
+    // "new york" always together (10×); "a b" co-occur but both are
+    // everywhere, diluting their PMI; support floor drops one-offs
+    val rows =
+      Seq.fill(10)("new york a b") ++ Seq.fill(10)("a x b y") ++
+        Seq(hashCode.toString + " oneoff pair")
+    val docs = rows.toDF("text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5, k = 5)
+      .collect()
+    assert(got.head.getAs[String]("w1") == "new" &&
+      got.head.getAs[String]("w2") == "york")
+    val pairs = got.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")))
+    assert(!pairs.contains(("oneoff", "pair"))) // below the support floor
+  }
+
+  test("domainRollup: every level of each host aggregates, counts " +
+      "reconcile with the corpus") {
+    val hosts = Seq("a.example.org", "b.example.org", "c.example.com")
+      .toDF("host")
+    val got = TextAnalysis.domainRollup(hosts, col("host"))
+      .collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[String]("prefix")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(got((1L, "org")) == 2L && got((1L, "com")) == 1L)
+    assert(got((2L, "org.example")) == 2L)
+    assert(got((3L, "org.example.a")) == 1L)
+    assert(got((3L, "com.example.c")) == 1L)
+    // every level's counts sum to the corpus size
+    (1L to 3L).foreach { lvl =>
+      assert(got.collect { case ((l, _), n) if l == lvl => n }.sum == 3L)
+    }
+  }
 }
