@@ -83,6 +83,10 @@ object GraftSql {
       "symmetric int8 quantization of a float array: " +
         "struct(scale, codes q, max abs error err)")(
       VectorExprs.QuantizeInt8Expr(_)),
+    fn2("jaro_winkler",
+      "Jaro-Winkler similarity of two strings (Winkler 1990: 0.7 " +
+        "boost threshold, prefix bonus capped at 4)")(
+      StringExprs.JaroWinklerExpr(_, _)),
     (FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(tokens, n, numHashes): minhash slots over " +

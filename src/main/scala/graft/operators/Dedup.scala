@@ -787,4 +787,41 @@ object Dedup {
       .select(col("t")(0).as("id_a"), col("t")(1).as("id_b"),
         col("t")(2).as("id_c"))
   }
+
+  /** Entity-resolution clustering: given STRING-keyed match pairs
+    * (e.g. [[editDistanceOnePairs]] output), label every key with its
+    * entity cluster so survivorship rules can build one golden record
+    * per entity. Strings aren't [[connectedComponents]] node ids, so
+    * each distinct key is first mapped to a stable numeric node id —
+    * the MINIMUM `idCol` among that key's rows (content-derived, so
+    * re-ingestion can't relabel clusters the way a zipWithIndex
+    * would) — the pair frame maps through the same (key → nid) frame,
+    * and components run on the numeric graph. Output per distinct
+    * key: `entity_id` (the cluster's minimum nid — the elected
+    * representative's id) and `is_rep` (this key owns it).
+    *
+    * Scale shape: the (key → nid) frame is distinct-key-sized; the
+    * two mapping joins touch the PAIR frame (already blocked/capped by
+    * the pair generator); components is the checkpointed iterative
+    * min-label propagation. The caller joins the result back on the
+    * key column — fact rows never enter the graph.
+    */
+  def entityClusters(df: DataFrame, idCol: String, keyCol: String,
+      pairs: DataFrame, aCol: String = "s_a", bCol: String = "s_b")
+      : DataFrame = {
+    val names = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(min(col(idCol)).as("__nid"))
+    val edges = pairs
+      .join(names.select(col(keyCol).as(aCol), col("__nid").as("nid_a")),
+        aCol)
+      .join(names.select(col(keyCol).as(bCol), col("__nid").as("nid_b")),
+        bCol)
+      .select("nid_a", "nid_b")
+    connectedComponents(names.select(col("__nid")), "__nid",
+        edges, "nid_a", "nid_b")
+      .select(col("id").as("__nid"), col("comp").as("entity_id"))
+      .join(names, "__nid")
+      .select(col(keyCol), col("entity_id"),
+        (col("__nid") === col("entity_id")).as("is_rep"))
+  }
 }

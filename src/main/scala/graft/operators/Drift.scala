@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift and snapshot-reconciliation operators — the
@@ -112,6 +113,48 @@ object Drift {
       Seq((na, nb, math.floor(ks * 1e6 + 0.5) / 1e6))
         .toDF("n_a", "n_b", "ks")
     } finally rdd.unpersist(blocking = false)
+  }
+
+  /** PSI drift TIMELINE: [[psi]] of every time bucket (or any grouping)
+    * against the whole-frame reference distribution, in one pass — the
+    * monitoring dashboard's per-day drift row, without re-scanning the
+    * fact data per bucket. One partial-aggregated shuffle builds the
+    * (bucket, bin) counts; the reference histogram is a second
+    * aggregation OVER THAT bounded frame (never the facts again) and
+    * broadcasts back onto it. Same smoothing/rounding contract as
+    * [[psi]]. Output per bucket: n rows, psi vs the global reference.
+    *
+    * Note the reference INCLUDES each bucket (it is the corpus
+    * marginal) — the standard dashboard convention; exclude-self
+    * references need one frame per bucket, which is [[psi]] in a loop.
+    */
+  def psiTimeline(df: DataFrame, bucket: Column, v: Column, lo: Double,
+      hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"bad psi config: [$lo, $hi) / $nBins")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((v - lo) / width), lit(0)),
+      lit(nBins - 1)).cast("bigint")
+    val counts = df.filter(v.isNotNull)
+      .groupBy(bucket.as("bucket"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val ref = counts.groupBy("bin").agg(sum(col("cnt")).as("cnt_ref"))
+    val nRef = ref.agg(sum(col("cnt_ref")).as("n_ref")).select(col("n_ref"))
+    // the per-bucket spine is dense over the nBins reference rows so
+    // empty bins still contribute their smoothed term
+    val spine = counts.select(col("bucket")).distinct()
+      .crossJoin(broadcast(ref))
+      .join(counts, Seq("bucket", "bin"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val perBucket = Window.partitionBy(col("bucket"))
+    val nCur = sum(col("cnt")).over(perBucket)
+    val pr = (col("cnt_ref") + 0.5) / (col("n_ref") + 0.5 * nBins)
+    val pc = (col("cnt") + 0.5) / (nCur + 0.5 * nBins)
+    spine.crossJoin(broadcast(nRef))
+      .select(col("bucket"), col("cnt"),
+        r12((pc - pr) * log(pc / pr)).as("term"))
+      .groupBy("bucket")
+      .agg(sum(col("cnt")).as("n"),
+        r6(sum(col("term").cast("decimal(24,12)")).cast("double")).as("psi"))
   }
 
   /** Row-level diff of two keyed snapshots: one `full_outer` join on

@@ -138,6 +138,69 @@ object Sampling {
       .drop("__n", "__rk")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws a content-keyed uniform u ∈ (0, 1)
+    * from six md5 hex chars ((v + 0.5)/2²⁴ — the +0.5 keeps u strictly
+    * positive so the log is finite) and is ranked by the exponential
+    * key −ln(u)/w; the k SMALLEST keys are the weighted sample. This
+    * is the one-pass weighted-without-replacement scheme (a weight-
+    * proportional Bernoulli pass can't hit an exact k; with-replacement
+    * sampling duplicates heavy rows): P(row in sample) is proportional
+    * to weight in the ES sense, reproducible across engines, runs and
+    * partitionings (same md5 contract as [[uniformSample]]).
+    *
+    * Plans as TakeOrderedAndProject — per-partition k-heaps, never a
+    * corpus sort. Rows with weight ≤ 0 or null are excluded (zero
+    * weight means "never sample"; −ln(u)/0 is not a rank). The ES key
+    * is pure IEEE arithmetic from an integer, so both engines order
+    * identically; `tie` must be unique for a deterministic cut.
+    */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column, k: Int,
+      tie: Column, keyOut: String = "es_key"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (conv(substring(coalesce(md5(key), lit("")), 1, 6), 16, 10)
+      .cast("double") + 0.5) / lit(16777216.0)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn(keyOut, -log(u) / weight.cast("double"))
+      .orderBy(col(keyOut), tie)
+      .limit(k)
+  }
+
+  /** Temperature-based mixture reweighting (the multilingual /
+    * multi-domain sampling-rate step): for per-group shares p_g =
+    * n_g / N, the α-temperature weight is w_g ∝ p_g^α, normalized to
+    * sum 1. α = 1 keeps natural proportions; α → 0 flattens toward
+    * uniform — the published recipe for keeping low-resource groups
+    * from vanishing. Output per group: n, p (natural share), weight
+    * (the α-tempered sampling share), and boost = weight / p (> 1 ⇔
+    * the group is upsampled).
+    *
+    * One partial-aggregated shuffle builds the group counts; the
+    * normalization rides the bounded per-group frame via one-row
+    * broadcast totals. p^α goes through exp(α·ln p) — written the same
+    * way in the oracle so doubles match bit for bit — and the shares
+    * floor-round at 6 decimals.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__N")).select(col("__N"))
+    val tempered = counts.crossJoin(broadcast(totals))
+      .withColumn("__p", col("n").cast("double") / col("__N"))
+      .withColumn("__t", exp(lit(alpha) * log(col("__p"))))
+    val z = tempered.agg(
+        sum(col("__t").cast("decimal(27,17)")).as("__Z"))
+      .select(col("__Z").cast("double").as("__Z"))
+    tempered.crossJoin(broadcast(z))
+      .select(col("group"), col("n"),
+        (floor(col("__p") * 1e6 + 0.5) / 1e6).as("p"),
+        (floor(col("__t") / col("__Z") * 1e6 + 0.5) / 1e6).as("weight"),
+        (floor(col("__t") / col("__Z") / col("__p") * 1e6 + 0.5) / 1e6)
+          .as("boost"))
+  }
+
   /** Per-group quota sampling: keep the top `n` rows of each group
     * ranked by `orderCols` (make the last order column a unique key so
     * the cut is deterministic) — the domain-cap curation primitive

@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontaminate, Dedup, Drift, Temporal, TextAnalysis}
+import graft.operators.{Association, Decontaminate, Dedup, Drift, Sampling,
+  Temporal, TextAnalysis}
 
 /** Round-6 curation + monitoring surface (SURVEY.md §2.10
   * continuation): rule-based quality gating (Gopher heuristics), PMI
@@ -412,6 +413,323 @@ object CurationQueries {
         TextAnalysis.domainRollup(
             t(s, dir, "documents").select(host.as("host")), col("host"))
           .orderBy("level", "prefix")
+      }),
+
+    // Market-basket association rules over order line items: pairs of
+    // parts co-purchased in ≥ 2 orders, with support / confidence /
+    // lift. The quadratic step is bounded by the largest basket (13
+    // items in this data), never the corpus; item counts are
+    // vocabulary-sized; totals broadcast.
+    Query("q145_basket_pairs", Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |            FROM lineitem),
+        |ic AS (SELECT it, COUNT(*) AS n FROM li GROUP BY 1),
+        |nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM li),
+        |p AS (SELECT a.it AS a, b.it AS b, COUNT(*) AS n_ab
+        |      FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT a, b, n_ab, ia.n AS n_a, ib.n AS n_b,
+        |  FLOOR(CAST(n_ab AS DOUBLE) / n_baskets * 1e6 + 0.5) / 1e6
+        |    AS support,
+        |  FLOOR(CAST(n_ab AS DOUBLE) / ia.n * 1e6 + 0.5) / 1e6
+        |    AS confidence,
+        |  FLOOR(CAST(n_ab AS DOUBLE) * n_baskets
+        |    / (CAST(ia.n AS DOUBLE) * ib.n) * 1e6 + 0.5) / 1e6 AS lift
+        |FROM p JOIN ic ia ON ia.it = p.a JOIN ic ib ON ib.it = p.b
+        |CROSS JOIN nb ORDER BY a, b""".stripMargin))(
+      (s, dir) =>
+        Association.basketPairs(
+            t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", minSupport = 2)
+          .orderBy("a", "b")),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    // 100 documents drawn with probability ∝ n_chars via the
+    // content-keyed exponential key −ln(u)/w — deterministic,
+    // engine-portable, and planned as TakeOrderedAndProject (never a
+    // corpus sort). The oracle replays the identical IEEE arithmetic.
+    Query("q146_weighted_sample", Some(
+      """SELECT doc_id, source,
+        |  FLOOR(es * 1e6 + 0.5) / 1e6 AS es_key
+        |FROM (
+        |  SELECT doc_id, source,
+        |    -LN((('0x' || substr(md5(text), 1, 6))::BIGINT + 0.5)
+        |        / 16777216.0) / n_chars AS es
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+        |  ORDER BY es, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        Sampling.weightedTopK(
+            t(s, dir, "documents").filter(col("text").isNotNull),
+            col("text"), col("n_chars"), k = 100, tie = col("doc_id"))
+          .select(col("doc_id"), col("source"),
+            r6(col("es_key")).as("es_key"))
+          .orderBy("doc_id")),
+
+    // Temperature-based mixture reweighting (α = 0.5): per-source
+    // sampling shares ∝ p^α — the multilingual/multi-domain recipe
+    // that keeps low-resource sources from vanishing. Counts are one
+    // partial-aggregated shuffle; normalization rides the bounded
+    // per-source frame with broadcast totals.
+    Query("q147_mixture_weights", Some(
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+        |           GROUP BY 1),
+        |t AS (SELECT source, n,
+        |        CAST(n AS DOUBLE) / SUM(n) OVER () AS p,
+        |        EXP(0.5 * LN(CAST(n AS DOUBLE) / SUM(n) OVER ())) AS tw
+        |      FROM c),
+        |z AS (SELECT CAST(SUM(CAST(tw AS DECIMAL(27,17))) AS DOUBLE) AS zz
+        |      FROM t)
+        |SELECT source, n, FLOOR(p * 1e6 + 0.5) / 1e6 AS p,
+        |  FLOOR(tw / zz * 1e6 + 0.5) / 1e6 AS weight,
+        |  FLOOR(tw / zz / p * 1e6 + 0.5) / 1e6 AS boost
+        |FROM t CROSS JOIN z ORDER BY source""".stripMargin))(
+      (s, dir) =>
+        Sampling.temperatureWeights(
+            t(s, dir, "documents"), col("source"), alpha = 0.5)
+          .withColumnRenamed("group", "source")
+          .orderBy("source")),
+
+    // Golden-record entity resolution over a dirty registry (part
+    // names + a pluralized variant for every 7th part — the classic
+    // near-duplicate-record shape): edit-distance-1 pairs (q113's
+    // definition) → numeric node ids (min registry id per name) →
+    // connected components → one survivorship row per entity (member
+    // counts, the elected representative's name, exact-decimal value
+    // total). The oracle rebuilds the same graph and closes it with a
+    // recursive CTE. (Customer names are deliberately NOT used here:
+    // their single-digit-serial pattern is transitively ed1-connected
+    // into one giant blob — a degenerate instance, not a resolution
+    // demo.)
+    Query("q148_golden_record", Some(
+      """WITH RECURSIVE
+        |reg AS (SELECT p_partkey AS rid, p_name AS name,
+        |          p_retailprice AS bal FROM part
+        |        UNION ALL
+        |        SELECT p_partkey + 1000000, p_name || 's', p_retailprice
+        |        FROM part WHERE p_partkey % 7 = 0),
+        |nm AS (SELECT name AS s, MIN(rid) AS nid FROM reg
+        |       WHERE name IS NOT NULL GROUP BY 1),
+        |pr AS (SELECT a.s AS sa, b.s AS sb
+        |       FROM (SELECT s FROM nm
+        |             WHERE length(s) BETWEEN 1 AND 64) a
+        |       JOIN (SELECT s FROM nm
+        |             WHERE length(s) BETWEEN 1 AND 64) b
+        |         ON a.s < b.s AND levenshtein(a.s, b.s) <= 1),
+        |e AS (SELECT na.nid AS x, nb.nid AS y FROM pr
+        |      JOIN nm na ON na.s = pr.sa JOIN nm nb ON nb.s = pr.sb),
+        |ed AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        |reach(id, r) AS (
+        |  SELECT nid, nid FROM nm
+        |  UNION
+        |  SELECT r.id, ed.y FROM reach r JOIN ed ON ed.x = r.r),
+        |comp AS (SELECT id, MIN(r) AS entity_id FROM reach GROUP BY id)
+        |SELECT c.entity_id,
+        |  COUNT(DISTINCT r.name) AS n_names,
+        |  COUNT(*) AS n_rows,
+        |  MAX(CASE WHEN nm.nid = c.entity_id THEN r.name END)
+        |    AS rep_name,
+        |  CAST(SUM(CAST(r.bal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM reg r JOIN nm ON nm.s = r.name
+        |JOIN comp c ON c.id = nm.nid
+        |GROUP BY 1 ORDER BY entity_id""".stripMargin))(
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val registry = part.select(col("p_partkey").as("rid"),
+            col("p_name").as("name"), col("p_retailprice").as("bal"))
+          .unionAll(part.filter(col("p_partkey") % 7 === 0)
+            .select((col("p_partkey") + 1000000L).as("rid"),
+              concat(col("p_name"), lit("s")).as("name"),
+              col("p_retailprice").as("bal")))
+        val pairs = Dedup.editDistanceOnePairs(
+          registry.select("name"), "name")
+        val clusters = Dedup.entityClusters(
+          registry, "rid", "name", pairs)
+        registry.join(clusters, "name")
+          .groupBy("entity_id")
+          .agg(count_distinct(col("name")).as("n_names"),
+            count(lit(1)).as("n_rows"),
+            max(when(col("is_rep"), col("name"))).as("rep_name"),
+            Query.dsum(col("bal")).as("total_bal"))
+          .orderBy("entity_id")
+      }),
+
+    // Mergeable-sketch rollup: per-(type, day) HLL sketches union to
+    // the per-type distinct-user estimate WITHOUT rescanning raw
+    // events — the two-level mergeability that makes sketch rollups
+    // work on 100 TB (daily sketches persist; weekly/monthly are
+    // unions). Contract oracle (q42 convention): exact distinct rides
+    // along, the estimate must land within 6%.
+    Query("q149_hll_rollup", Some(
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |dd AS (SELECT event_type, day, COUNT(DISTINCT user_id) AS du
+        |       FROM d GROUP BY 1, 2),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |       FROM d GROUP BY 1)
+        |SELECT dd.event_type, COUNT(*) AS n_days,
+        |  CAST(SUM(du) AS BIGINT) AS sum_daily_users,
+        |  ex.exact_users, true AS approx_ok
+        |FROM dd JOIN ex ON ex.event_type = dd.event_type
+        |GROUP BY dd.event_type, ex.exact_users
+        |ORDER BY dd.event_type""".stripMargin))(
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .select(col("event_type"), (tsUs.cast("long") / 86400000000L)
+            .cast("long").as("day"), col("user_id"))
+        val daily = d.groupBy("event_type", "day")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+            count_distinct(col("user_id")).as("du"))
+        val exact = d.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("du")).as("sum_daily_users"),
+            hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+              .as("__est"))
+          .join(exact, "event_type")
+          .select(col("event_type"), col("n_days"), col("sum_daily_users"),
+            col("exact_users"),
+            (abs(col("__est") - col("exact_users")).cast("double")
+              / col("exact_users") <= 0.06).as("approx_ok"))
+          .orderBy("event_type")
+      }),
+
+    // Pairwise Pearson correlation matrix (quantity, extendedprice,
+    // discount) per return flag: ONE scan accumulates every moment as
+    // an exact decimal sum, the three pair rows unfold from the
+    // bounded per-flag frame, and the closed form is pure IEEE — no
+    // corr() built-in, whose accumulation order is engine-specific.
+    Query("q150_corr_matrix", Some(
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS se,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sq2,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(38,8))) AS DOUBLE) AS se2,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sd2,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sqe,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sqd,
+        |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sed
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, pair, n,
+        |  FLOOR((n * sxy - sx * sy)
+        |    / SQRT((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+        |    * 1e6 + 0.5) / 1e6 AS corr
+        |FROM (
+        |  SELECT l_returnflag, n, 'qty_price' AS pair, sqe AS sxy,
+        |    sq AS sx, se AS sy, sq2 AS sx2, se2 AS sy2 FROM m
+        |  UNION ALL
+        |  SELECT l_returnflag, n, 'qty_disc', sqd, sq, sd, sq2, sd2 FROM m
+        |  UNION ALL
+        |  SELECT l_returnflag, n, 'price_disc', sed, se, sd, se2, sd2
+        |  FROM m)
+        |ORDER BY l_returnflag, pair""".stripMargin))(
+      (s, dir) => {
+        def ds6(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(18,6)")).cast("double")
+        def ds8(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,8)")).cast("double")
+        val li = t(s, dir, "lineitem")
+        val q = col("l_quantity"); val e = col("l_extendedprice")
+        val d = col("l_discount")
+        li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), ds6(q).as("sq"), ds6(e).as("se"),
+            ds6(d).as("sd"), ds8(q * q).as("sq2"), ds8(e * e).as("se2"),
+            ds8(d * d).as("sd2"), ds8(q * e).as("sqe"),
+            ds8(q * d).as("sqd"), ds8(e * d).as("sed"))
+          .select(col("l_returnflag"), col("n"), explode(array(
+            struct(lit("qty_price").as("pair"), col("sqe").as("sxy"),
+              col("sq").as("sx"), col("se").as("sy"),
+              col("sq2").as("sx2"), col("se2").as("sy2")),
+            struct(lit("qty_disc").as("pair"), col("sqd").as("sxy"),
+              col("sq").as("sx"), col("sd").as("sy"),
+              col("sq2").as("sx2"), col("sd2").as("sy2")),
+            struct(lit("price_disc").as("pair"), col("sed").as("sxy"),
+              col("se").as("sx"), col("sd").as("sy"),
+              col("se2").as("sx2"), col("sd2").as("sy2")))).as("p"))
+          .select(col("l_returnflag"), col("p.pair").as("pair"), col("n"),
+            r6((col("n") * col("p.sxy") - col("p.sx") * col("p.sy")) /
+              sqrt((col("n") * col("p.sx2") - col("p.sx") * col("p.sx")) *
+                (col("n") * col("p.sy2") - col("p.sy") * col("p.sy"))))
+              .as("corr"))
+          .orderBy("l_returnflag", "pair")
+      }),
+
+    // PSI drift timeline: every day's value distribution scored
+    // against the corpus reference in ONE pass — per-(day, bin)
+    // counts, reference histogram derived from that bounded frame
+    // (never a second fact scan), dense bin spine so empty bins still
+    // contribute their smoothed term.
+    Query("q151_psi_timeline", Some(
+      """WITH v AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |    CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS BIGINT)
+        |      AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bucket, bin, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        |r AS (SELECT bin, SUM(cnt) AS cnt_ref FROM c GROUP BY 1),
+        |nr AS (SELECT SUM(cnt_ref) AS n_ref FROM r),
+        |sp AS (SELECT b.bucket, r.bin, r.cnt_ref, COALESCE(c.cnt, 0) AS cnt
+        |       FROM (SELECT DISTINCT bucket FROM c) b CROSS JOIN r
+        |       LEFT JOIN c ON c.bucket = b.bucket AND c.bin = r.bin),
+        |p AS (SELECT bucket, cnt,
+        |        (cnt + 0.5)
+        |          / ((SUM(cnt) OVER (PARTITION BY bucket)) + 0.5 * 20)
+        |          AS pc,
+        |        (cnt_ref + 0.5) / (nr.n_ref + 0.5 * 20) AS pr
+        |      FROM sp CROSS JOIN nr)
+        |SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n,
+        |  FLOOR(CAST(SUM(CAST(FLOOR((pc - pr) * LN(pc / pr) * 1e12 + 0.5)
+        |      / 1e12 AS DECIMAL(24,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS psi
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin))(
+      (s, dir) =>
+        Drift.psiTimeline(
+            t(s, dir, "events")
+              .select((tsUs.cast("long") / 86400000000L).cast("long")
+                .as("day"), col("value")),
+            col("day"), col("value"), lo = 0.0, hi = 500.0, nBins = 20)
+          .withColumnRenamed("bucket", "bucket")
+          .orderBy("bucket")),
+
+    // Rank/min-max feature normalization per event type: percent_rank
+    // (identical (rank−1)/(n−1) definition in both engines) and the
+    // min-max scaling, null where the group is constant. One window
+    // shuffle on the group key.
+    Query("q152_percentile_norm", Some(
+      """SELECT event_id, event_type,
+        |  FLOOR(percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY value) * 1e6 + 0.5) / 1e6 AS pr,
+        |  CASE WHEN mx > mn THEN
+        |    FLOOR((value - mn) / (mx - mn) * 1e6 + 0.5) / 1e6 END AS mm
+        |FROM (SELECT event_id, event_type, value,
+        |        MIN(value) OVER (PARTITION BY event_type) AS mn,
+        |        MAX(value) OVER (PARTITION BY event_type) AS mx
+        |      FROM events WHERE value IS NOT NULL)
+        |ORDER BY event_id""".stripMargin))(
+      (s, dir) => {
+        val part = Window.partitionBy("event_type")
+        val w = part.orderBy("value")
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"),
+            min(col("value")).over(part).as("mn"),
+            max(col("value")).over(part).as("mx"),
+            percent_rank().over(w).as("__pr"))
+          .select(col("event_id"), col("event_type"),
+            r6(col("__pr")).as("pr"),
+            when(col("mx") > col("mn"),
+              r6((col("value") - col("mn")) / (col("mx") - col("mn"))))
+              .as("mm"))
+          .orderBy("event_id")
       })
   )
 }

@@ -19,6 +19,11 @@ class GraftSqlSpec extends SparkSpec {
     assert(sql1("SELECT pandas_title(\"o'neill\")") == "O'Neill")
   }
 
+  test("jaro_winkler resolves in SQL text with the calibrated value") {
+    assert(math.abs(sql1("SELECT jaro_winkler('martha', 'marhta')")
+      .asInstanceOf[Double] - 0.9611111111111111) < 1e-12)
+  }
+
   test("vector kernels resolve in SQL text") {
     assert(sql1("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       == 11.0)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AssociationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 baskets: {a,b} ×3, {a,c} ×1 — a in 4, b in 3, c in 1
+  private def baskets = Seq(
+    (1, "a"), (1, "b"),
+    (2, "a"), (2, "b"),
+    (3, "a"), (3, "b"),
+    (4, "a"), (4, "c")).toDF("bk", "it")
+
+  test("basketPairs: counts, support, confidence and lift match the " +
+      "hand-computed contingency") {
+    val r = Association.basketPairs(baskets, "bk", "it", minSupport = 1)
+      .collect()
+      .map(x => (x.getAs[String]("a"), x.getAs[String]("b")) -> x).toMap
+    val ab = r(("a", "b"))
+    assert(ab.getAs[Long]("n_ab") == 3L)
+    assert(ab.getAs[Long]("n_a") == 4L && ab.getAs[Long]("n_b") == 3L)
+    assert(ab.getAs[Double]("support") == 0.75)
+    assert(ab.getAs[Double]("confidence") == 0.75)   // 3/4, a→b
+    assert(ab.getAs[Double]("lift") == 1.0)          // 3·4/(4·3)
+    val ac = r(("a", "c"))
+    assert(ac.getAs[Long]("n_ab") == 1L)
+    assert(ac.getAs[Double]("confidence") == 0.25)
+    assert(ac.getAs[Double]("lift") == 1.0)          // 1·4/(4·1)
+    assert(!r.contains(("b", "c")))                  // never co-occur
+  }
+
+  test("basketPairs: duplicate (basket, item) rows collapse before " +
+      "counting; minSupport prunes") {
+    val dup = baskets.unionAll(Seq((1, "a"), (1, "a")).toDF("bk", "it"))
+    val r = Association.basketPairs(dup, "bk", "it", minSupport = 2)
+      .collect()
+    assert(r.length == 1) // only (a, b) reaches support 2; counts unchanged
+    assert(r.head.getAs[Long]("n_ab") == 3L)
+  }
+
+  test("basketPairs: baskets above maxBasketSize are excluded (declared " +
+      "quadratic cap)") {
+    val big = (1 to 20).map(i => (99, s"i$i")).toDF("bk", "it")
+      .unionAll(baskets)
+    val capped = Association.basketPairs(big, "bk", "it",
+      minSupport = 1, maxBasketSize = 10)
+    // basket 99 (20 items) is dropped: no i*-pairs survive
+    assert(!capped.collect().exists(_.getAs[String]("a").startsWith("i")))
+    // with the cap lifted its 190 pairs appear
+    val full = Association.basketPairs(big, "bk", "it",
+      minSupport = 1, maxBasketSize = 100)
+    assert(full.collect()
+      .count(_.getAs[String]("a").startsWith("i")) == 190)
+  }
+}

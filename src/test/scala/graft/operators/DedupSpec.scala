@@ -394,4 +394,35 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.triangles((cycle ++ spokes).toDF("id_a", "id_b"))
     assert(got.count() == n)
   }
+
+  test("entityClusters: string pairs cluster through min-id node " +
+      "mapping; representatives own the minimum id") {
+    val df = Seq(
+      (10L, "acme corp"), (11L, "acme corp"),    // same key, two rows
+      (12L, "acme corpx"),                       // pair-linked variant
+      (20L, "zeta ltd"),                         // singleton
+      (30L, "beta inc"), (31L, "beta incx")      // second cluster
+    ).toDF("rid", "name")
+    val pairs = Seq(("acme corp", "acme corpx"), ("beta inc", "beta incx"))
+      .toDF("s_a", "s_b")
+    val got = Dedup.entityClusters(df, "rid", "name", pairs)
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Long]("entity_id"), r.getAs[Boolean]("is_rep")))).toMap
+    assert(got("acme corp") == ((10L, true)))    // min id 10 elected
+    assert(got("acme corpx") == ((10L, false)))
+    assert(got("zeta ltd") == ((20L, true)))     // singleton is its own rep
+    assert(got("beta inc") == ((30L, true)))
+    assert(got("beta incx") == ((30L, false)))
+  }
+
+  test("entityClusters: pairs referencing unknown keys don't invent " +
+      "clusters; null keys drop") {
+    val df = Seq((1L, Option("a")), (2L, Option("b")),
+      (3L, Option.empty[String])).toDF("rid", "name")
+    val pairs = Seq(("a", "ghost")).toDF("s_a", "s_b")
+    val got = Dedup.entityClusters(df, "rid", "name", pairs).collect()
+    assert(got.length == 2) // a, b — the null key never enters the graph
+    assert(got.forall(_.getAs[Boolean]("is_rep")))
+  }
 }

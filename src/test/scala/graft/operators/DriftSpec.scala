@@ -73,4 +73,39 @@ class DriftSpec extends SparkSpec {
       r.getAs[String]("new_a") == "11.0")
     assert(r.getAs[String]("old_b") == "x" && r.getAs[String]("new_b") == "x")
   }
+
+  test("psiTimeline: a bucket matching the corpus scores ~0, a shifted " +
+      "bucket scores high, and n reconciles per bucket") {
+    // buckets 1 and 2 share the corpus shape; bucket 3 is concentrated
+    val rows = (1 to 100).map(i => (1L, (i % 10).toDouble)) ++
+      (1 to 100).map(i => (2L, (i % 10).toDouble)) ++
+      Seq.fill(100)((3L, 9.5))
+    val df = rows.toDF("b", "v")
+    val r = Drift.psiTimeline(df, col("b"), col("v"), 0.0, 10.0, 10)
+      .collect().map(x => x.getAs[Long]("bucket") -> x).toMap
+    assert(r.values.forall(_.getAs[Long]("n") == 100L))
+    // the reference is the corpus MARGINAL (includes bucket 3's spike),
+    // so even the uniform buckets drift a little — but identically,
+    // and far less than the concentrated bucket
+    assert(r(2L).getAs[Double]("psi") == r(1L).getAs[Double]("psi"))
+    assert(r(3L).getAs[Double]("psi") > 0.25)
+    assert(r(3L).getAs[Double]("psi") > 2 * r(1L).getAs[Double]("psi"))
+    // with a homogeneous corpus every bucket matches its reference: ~0
+    val homog = (1 to 100).map(i => (1L, (i % 10).toDouble)) ++
+      (1 to 100).map(i => (2L, (i % 10).toDouble))
+    val h = Drift.psiTimeline(homog.toDF("b", "v"), col("b"), col("v"),
+        0.0, 10.0, 10)
+      .collect().map(_.getAs[Double]("psi"))
+    assert(h.forall(p => math.abs(p) < 1e-9), h.toSeq.toString)
+  }
+
+  test("psiTimeline: empty bins contribute smoothed terms (no infinities)") {
+    val df = (Seq.fill(10)((1L, 1.0)) ++ Seq.fill(10)((2L, 8.0)))
+      .toDF("b", "v")
+    val r = Drift.psiTimeline(df, col("b"), col("v"), 0.0, 10.0, 5)
+      .collect()
+    assert(r.length == 2)
+    assert(r.forall(x => !x.getAs[Double]("psi").isInfinite &&
+      !x.getAs[Double]("psi").isNaN))
+  }
 }

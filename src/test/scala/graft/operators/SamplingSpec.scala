@@ -146,4 +146,49 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
     assert(a.size == 125) // 5 strata × ceil(100 × 25%)
   }
+
+  test("weightedTopK: deterministic, partitioning-invariant, and " +
+      "weight-monotone in expectation") {
+    val df = (0 until 400).map(i =>
+      (s"doc $i", if (i < 200) 1.0 else 100.0)).toDF("id", "w")
+    val a = Sampling.weightedTopK(df, col("id"), col("w"), 50, col("id"))
+      .select("id").as[String].collect().toSeq
+    val b = Sampling.weightedTopK(df.repartition(13), col("id"), col("w"),
+      50, col("id")).select("id").as[String].collect().toSeq
+    assert(a == b) // same rows, same order
+    // heavy rows (w=100, half the corpus) should dominate the sample
+    val heavy = a.count(_.stripPrefix("doc ").toInt >= 200)
+    assert(heavy > 40, s"heavy=$heavy of 50")
+  }
+
+  test("weightedTopK: zero/negative/null weights are never sampled; " +
+      "es_key column is exposed and ascending") {
+    val df = Seq(("a", 1.0), ("b", 0.0), ("c", -1.0))
+      .toDF("id", "w")
+      .unionAll(Seq(("d", Option.empty[Double])).toDF("id", "w"))
+    val got = Sampling.weightedTopK(df, col("id"), col("w"), 10, col("id"))
+    assert(got.select("id").as[String].collect().toSeq == Seq("a"))
+    val keys = Sampling.weightedTopK(
+        (0 until 50).map(i => (s"x$i", 2.0)).toDF("id", "w"),
+        col("id"), col("w"), 20, col("id"))
+      .select("es_key").as[Double].collect().toSeq
+    assert(keys == keys.sorted && keys.forall(_ > 0))
+  }
+
+  test("temperatureWeights: alpha=1 is the natural distribution; " +
+      "alpha<1 boosts small groups and sums to 1") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("g")
+    val nat = Sampling.temperatureWeights(df, col("g"), 1.0)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(nat("big").getAs[Double]("weight") == 0.9)
+    assert(nat("small").getAs[Double]("weight") == 0.1)
+    assert(nat("big").getAs[Double]("boost") == 1.0)
+    val cool = Sampling.temperatureWeights(df, col("g"), 0.5)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    // p^0.5 normalized: big 3/4, small 1/4
+    assert(cool("big").getAs[Double]("weight") == 0.75)
+    assert(cool("small").getAs[Double]("weight") == 0.25)
+    assert(cool("small").getAs[Double]("boost") == 2.5)  // 0.25 / 0.1
+    assert(cool("big").getAs[Double]("boost") < 1.0)
+  }
 }
