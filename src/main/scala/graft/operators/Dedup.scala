@@ -788,6 +788,81 @@ object Dedup {
         col("t")(2).as("id_c"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs / SSJoin family — Bayardo et al. WWW'07, Chaudhuri et
+    * al. ICDE'06): every document pair whose distinct-token Jaccard
+    * is ≥ num/den, with NO false negatives — the deterministic
+    * complement to the probabilistic MinHash path. The threshold is a
+    * RATIONAL (num/den), so both the prefix length and the final
+    * test are exact integer arithmetic — a float `ceil(τ·|s|)`
+    * mis-rounds at representable boundaries and silently breaks the
+    * completeness proof.
+    *
+    * How it scales: each doc's token set is ordered RAREST-FIRST by
+    * global frequency and only its PREFIX (|s| − ⌈τ·|s|⌉ + 1 tokens —
+    * the pigeonhole bound: two sets with J ≥ τ must collide inside
+    * their prefixes) enters the candidate join, so candidates are
+    * generated on the rarest tokens a doc has, exactly where postings
+    * are short. A declared `maxTokenBucket` cap bounds the worst-case
+    * posting (the standard completeness trade, documented like every
+    * pairing cap here); the final verify touches candidates only,
+    * comparing inter·den ≥ num·union in integers.
+    */
+  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int, n: Int = 3, maxTokenBucket: Int = 10000)
+      : DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a rational in (0, 1]: $num/$den")
+    // n-gram shingle sets (n = 1 degrades to word tokens). Shingles,
+    // not unigrams, are the default deliberately: a small vocabulary
+    // makes every unigram posting corpus-sized and NO prefix filter
+    // can help (the candidate set is quadratic by construction);
+    // n-gram space grows as vocab^n, so postings stay short exactly
+    // where the filter needs them to.
+    val toks = shingleFrame(df, idCol, textCol, n)
+      .select(col(idCol).as("id"), explode_outer(col("sh")).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .distinct()
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__f"))
+    // per-doc token array, rarest-first (global freq, then token —
+    // array_sort on (f, tok) structs is the deterministic order both
+    // the prefix and the verify share)
+    val sets = persistHeavy(toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__f"), col("tok")))),
+        s => s.getField("tok")).as("ts"))
+      .select(col("id"), col("ts"), size(col("ts")).as("sz")))
+    // prefix length: sz − ceil(sz·num/den) + 1, integer ceil
+    val p = col("sz") - floor((col("sz") * num + (den - 1)) / lit(den))
+      .cast("int") + 1
+    val prefixes = sets.select(col("id"), col("sz"),
+        explode(slice(col("ts"), lit(1), p)).as("tok"))
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy("tok")))
+      .filter(col("__bsz") <= maxTokenBucket)
+    // candidates: prefix collision + the size pigeonhole (J ≥ τ ⇒
+    // τ·|a| ≤ |b| for |a| ≥ |b| — integer form, a necessary condition)
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("a.sz") * num <= col("b.sz") * den &&
+        col("b.sz") * num <= col("a.sz") * den)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("ts").as("ta"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ts").as("tb"),
+        col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("inter"),
+        (col("sz_a") + col("sz_b") - inter).as("un"))
+      .filter(col("inter") * den >= col("un") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+        (floor(col("inter").cast("double") / col("un") * 1e6 + 0.5) / 1e6)
+          .as("jac"))
+  }
+
   /** Entity-resolution clustering: given STRING-keyed match pairs
     * (e.g. [[editDistanceOnePairs]] output), label every key with its
     * entity cluster so survivorship rules can build one golden record

@@ -134,9 +134,13 @@ object Drift {
     val width = (hi - lo) / nBins
     val bin = least(greatest(floor((v - lo) / width), lit(0)),
       lit(nBins - 1)).cast("bigint")
-    val counts = df.filter(v.isNotNull)
+    // persisted: the (bucket, bin) frame feeds the bucket spine, the
+    // reference rollup, n_ref AND the left join — unpersisted, each
+    // consumer re-scans the FACT data (measured: 4 scans in the plan),
+    // which is exactly what this operator exists to avoid
+    val counts = graft.HeavyPersist(df.filter(v.isNotNull)
       .groupBy(bucket.as("bucket"), bin.as("bin"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val ref = counts.groupBy("bin").agg(sum(col("cnt")).as("cnt_ref"))
     val nRef = ref.agg(sum(col("cnt_ref")).as("n_ref")).select(col("n_ref"))
     // the per-bucket spine is dense over the nBins reference rows so

@@ -730,6 +730,94 @@ object CurationQueries {
               r6((col("value") - col("mn")) / (col("mx") - col("mn"))))
               .as("mm"))
           .orderBy("event_id")
+      }),
+
+    // EXACT set-similarity self-join (prefix-filtered AllPairs):
+    // every doc pair with distinct-3-gram-shingle Jaccard ≥ 4/5, NO
+    // false negatives — the deterministic complement to MinHash
+    // (q31/q32). The oracle is the brute-force all-pairs definition;
+    // the engine must reproduce it exactly through the rarest-first
+    // prefix filter, which is the completeness proof under test.
+    Query("q153_set_similarity", Some(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |tk AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1),
+        |ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         COUNT(*) AS inter
+        |       FROM tk a JOIN tk b ON a.tok = b.tok
+        |         AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter,
+        |  CAST(sa.n + sb.n - inter AS BIGINT) AS un,
+        |  FLOOR(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+        |    * 1e6 + 0.5) / 1e6 AS jac
+        |FROM ix JOIN sz sa ON sa.doc_id = ix.id_a
+        |JOIN sz sb ON sb.doc_id = ix.id_b
+        |WHERE inter * 5 >= 4 * (sa.n + sb.n - inter)
+        |ORDER BY id_a, id_b""".stripMargin))(
+      (s, dir) =>
+        Dedup.setSimilarityJoin(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", num = 4, den = 5, n = 3)
+          .select(col("id_a"), col("id_b"), col("inter"),
+            col("un").cast("bigint").as("un"), col("jac"))
+          .orderBy("id_a", "id_b")),
+
+    // Hybrid retrieval with reciprocal-rank fusion: a lexical ranker
+    // (query-term tf) and a semantic ranker (cosine to the query
+    // vector) each rank all docs; RRF = Σ 1/(60 + rank) fuses them —
+    // the standard BM25+vector ensembling. Both rank lists are
+    // TakeOrdered-friendly; the fusion join is doc-keyed.
+    Query("q154_hybrid_rrf", Some(
+      """WITH lex AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        t -> t IN ('spark', 'shuffle', 'join'))) AS hits
+        |  FROM documents),
+        |lr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id) AS rl
+        |  FROM lex),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |sem AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qv.q AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN qv),
+        |sr AS (SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY ROUND(cos, 6) DESC, doc_id) AS rs FROM sem)
+        |SELECT lr.doc_id, lr.rl, sr.rs,
+        |  FLOOR((1.0 / (60 + lr.rl) + 1.0 / (60 + sr.rs)) * 1e6 + 0.5)
+        |    / 1e6 AS rrf
+        |FROM lr JOIN sr ON sr.doc_id = lr.doc_id
+        |ORDER BY rrf DESC, lr.doc_id LIMIT 20""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lex = docs.select(col("doc_id"),
+          size(filter(TextAnalysis.wsTokens(lower(col("text"))),
+            tk => tk === "spark" || tk === "shuffle" || tk === "join"))
+            .as("hits"))
+        val lr = lex.select(col("doc_id"), row_number().over(
+          Window.orderBy(col("hits").desc, col("doc_id"))).as("rl"))
+        val emb = t(s, dir, "embeddings")
+        val qv = broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q")))
+        val sr = emb.crossJoin(qv)
+          .select(col("vec_id").as("doc_id"),
+            round(graft.operators.Similarity.cosine(
+              col("embedding"), col("q")), 6).as("cos"))
+          .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("cos").desc, col("doc_id"))).as("rs"))
+        lr.join(sr, "doc_id")
+          .select(col("doc_id"), col("rl"), col("rs"),
+            r6(lit(1.0) / (col("rl") + 60) + lit(1.0) / (col("rs") + 60))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+          .orderBy(col("rrf").desc, col("doc_id"))
       })
   )
 }

@@ -34,6 +34,46 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_val"))
 
+  /** STREAMING drift monitor: per-tumbling-window PSI of `valueCol`
+    * against a STATIC reference histogram — the online twin of
+    * [[graft.operators.Drift.psiTimeline]], for "did this hour's
+    * traffic shift?" alerts without a batch job. The reference
+    * (`refHist`, one count per bin over [lo, hi)) is bounded driver
+    * metadata — nBins longs, typically from
+    * `Profiling.histogram(ref, ...)` — baked into the projection as
+    * literals, so the stream needs ONE windowed aggregation: per-bin
+    * conditional counts roll up map-side into a single row per
+    * window (append-mode legal — a bin-then-total plan would need a
+    * second agg over an agg, which streaming forbids), and the PSI
+    * closed form (same Laplace smoothing and FLOOR rounding as the
+    * batch operator) is a per-row projection on that bounded result.
+    * Watermark bounds window state.
+    */
+  def streamingPsi(events: DataFrame, valueCol: String,
+      refHist: Seq[Long], lo: Double, hi: Double,
+      window_ : String = "1 hour", watermark: String = "2 hours")
+      : DataFrame = {
+    val nBins = refHist.size
+    require(nBins > 0 && hi > lo, s"bad psi config: [$lo, $hi) / $nBins")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol) - lo) / width), lit(0)),
+      lit(nBins - 1)).cast("int")
+    val nRef = refHist.sum
+    val binned = events.withWatermark("ts", watermark)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n"),
+        (0 until nBins).map(i =>
+          sum(when(bin === i, 1L).otherwise(0L)).as(s"__c$i")): _*)
+    val terms = (0 until nBins).map { i =>
+      val pr = (refHist(i) + 0.5) / (nRef + 0.5 * nBins)
+      val pc = (col(s"__c$i") + 0.5) / (col("n") + 0.5 * nBins)
+      floor((pc - lit(pr)) * log(pc / lit(pr)) * 1e12 + 0.5) / 1e12
+    }
+    binned.select(col("window.start").as("win_start"), col("n"),
+      (floor(terms.reduce(_ + _) * 1e6 + 0.5) / 1e6).as("psi"))
+  }
+
   /** Streaming exact dedup: drop events whose key was already seen,
     * with state bounded by the watermark (the streaming twin of
     * `Dedup.exact` — an unbounded-state dedup is impossible on an

@@ -395,6 +395,50 @@ class DedupSpec extends SparkSpec {
     assert(got.count() == n)
   }
 
+  test("setSimilarityJoin: exact — equals the brute-force all-pairs " +
+      "Jaccard at every threshold (prefix filter drops nothing)") {
+    // word-salad docs with two planted near-dup pairs and decoys
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"),                       // high-Jaccard twin of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "one two three four five six seven eight nine ten"),  // exact dup
+      (6L, "totally different words in this row here now yes ok")
+    ).toDF("doc_id", "text")
+    def brute(num: Int, den: Int): Set[(Long, Long, Int, Int)] = {
+      val sh = docs.collect().map { r =>
+        val t = r.getString(1).trim.split("\\s+")
+        r.getLong(0) -> t.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        i = (sh(a) & sh(b)).size; u = (sh(a) | sh(b)).size
+        if i * den >= u * num && u > 0
+      } yield (a, b, i, u)).toSet
+    }
+    for ((num, den) <- Seq((4, 5), (1, 2), (1, 10))) {
+      val got = Dedup.setSimilarityJoin(docs, "doc_id", "text", num, den)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Int]("inter"), r.getAs[Int]("un"))).toSet
+      assert(got == brute(num, den), s"threshold $num/$den")
+    }
+  }
+
+  test("setSimilarityJoin: exact duplicates score jac 1.0; the " +
+      "maxTokenBucket cap is a declared completeness trade") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = Dedup.setSimilarityJoin(docs, "doc_id", "text", 9, 10).head()
+    assert(r.getAs[Double]("jac") == 1.0)
+    // cap = 1: both docs' identical shingles exceed every posting →
+    // no candidates survive (documented trade, not silent truncation)
+    assert(Dedup.setSimilarityJoin(docs, "doc_id", "text", 9, 10,
+      maxTokenBucket = 1).count() == 0)
+  }
+
   test("entityClusters: string pairs cluster through min-id node " +
       "mapping; representatives own the minimum id") {
     val df = Seq(

@@ -266,6 +266,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), p.take(2000))
   }
 
+  test("weighted sampling plans as TakeOrderedAndProject, not a " +
+      "corpus sort (q146)") {
+    val p = plan("q146_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("basket pair counts aggregate partially before the pair " +
+      "shuffle (q145)") {
+    val p = plan("q145_basket_pairs")
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("PSI timeline scans the fact table once — every consumer of " +
+      "the (bucket, bin) frame reads the cache (q151)") {
+    val p = plan("q151_psi_timeline")
+    // the spine, the join side, the reference rollup and n_ref all hit
+    // InMemoryTableScan (the printed FileScan under each InMemoryRelation
+    // is the cached frame's plan, materialized once)
+    val cached = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cached >= 3, s"expected >= 3 cached reads, got $cached\n" +
+      p.take(1200))
+    val uncachedScan = p.linesIterator.exists(l =>
+      l.contains("Scan parquet") && !p.contains("InMemoryRelation"))
+    assert(!uncachedScan, p.take(1200))
+  }
+
+  test("set-similarity join reuses the persisted token-set frame " +
+      "across prefix and verify (q153)") {
+    val p = plan("q153_set_similarity")
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString

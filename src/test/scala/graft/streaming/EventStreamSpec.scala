@@ -46,6 +46,45 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPsi scores each window against the static reference " +
+      "and agrees with the batch Drift.psi twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference: uniform over 5 bins of [0, 10)
+    val refHist = Seq(20L, 20L, 20L, 20L, 20L)
+    // window 0: uniform (should match the reference, PSI ≈ 0);
+    // window 1: all mass in the top bin (strong drift)
+    val w0 = (0 until 50).map(i =>
+      Event(i, ts(i % 50), 1, "e", (i % 5) * 2.0 + 0.5))
+    val w1 = (0 until 50).map(i =>
+      Event(100 + i, ts(60 + (i % 50)), 1, "e", 9.5))
+    val mem = MemoryStream[Event]
+    val q = streamingPsi(mem.toDF(), "value", refHist, 0.0, 10.0,
+        "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(w0 ++ w1: _*)
+      q.processAllAvailable()
+      val got = spark.table("psi_out")
+        .as[(Timestamp, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(ts(0))._1 == 50L && got(ts(60))._1 == 50L)
+      assert(math.abs(got(ts(0))._2) < 0.01)
+      assert(got(ts(60))._2 > 0.25)
+      // batch twin: Drift.psi of a synthetic ref frame vs each window
+      val ref = (0 until 100).map(i => (i % 5) * 2.0 + 0.5).toDF("v")
+      Seq(ts(0) -> w0, ts(60) -> w1).foreach { case (w, evs) =>
+        val batch = graft.operators.Drift.psi(
+            ref, evs.map(_.value).toDF("v"),
+            org.apache.spark.sql.functions.col("v"), 0.0, 10.0, 5)
+          .head().getAs[Double]("psi")
+        assert(math.abs(batch - got(w)._2) < 1e-6,
+          s"window $w: stream ${got(w)._2} vs batch $batch")
+      }
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on inactivity gap as watermark advances") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
