@@ -1,0 +1,169 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenization (Sennrich et al. ACL'16) —
+  * the real merge-table upgrade of [[TextAnalysis.bpeIshTokens]]'s
+  * regex approximation and the subword counterpart of the word-level
+  * [[TextAnalysis.buildVocab]]/`encodeIds` pair.
+  *
+  * Scale shape — the whole point of this implementation:
+  *
+  *  - TRAINING never iterates over the corpus. One corpus scan builds
+  *    the distinct-word census (word, count) — the standard BPE
+  *    trainer's first move, because every occurrence of a word merges
+  *    identically — and all `numMerges` rounds run against that
+  *    census frame, whose size is the VOCABULARY, not the corpus.
+  *    Each round is one partial-aggregated pair-count shuffle plus a
+  *    bounded `limit(1)` argmax (TakeOrderedAndProject — per-partition
+  *    heaps, never a global sort). At 100 TB the corpus is scanned
+  *    once; 1000 merges touch only the census.
+  *  - ENCODING runs the per-word greedy merge loop once per DISTINCT
+  *    word (census-bounded work, the only imperative step), then
+  *    reaches the corpus as a plain equi-join of the exploded token
+  *    stream against that word→subwords dictionary — AQE picks
+  *    broadcast vs shuffle by the dictionary's real size — and one
+  *    per-document regroup. The corpus-scale path is entirely native
+  *    operators (explode / join / groupBy); no per-corpus-row UDF.
+  *
+  * Determinism: merge selection breaks count ties on (a, b)
+  * lexicographic order, so the learned table is reproducible on any
+  * engine and partitioning (pair counts are exact integer sums).
+  */
+object Bpe {
+
+  /** One merge of `(a, b) → ab` applied left-to-right over a symbol
+    * sequence — the census update during training. Non-overlapping
+    * leftmost-first scan: `a a a` under merge (a,a) becomes `aa a`.
+    */
+  private[operators] def mergeOnce(syms: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Segment one word with a learned rank table: repeatedly merge the
+    * lowest-rank (leftmost on rank ties) adjacent pair until no pair
+    * is mergeable — the canonical BPE encode, equivalent to replaying
+    * the merges in training order (the BpeSpec pins this equivalence
+    * against the census's own final symbols).
+    */
+  private[operators] def segment(word: String,
+      rank: Map[(String, String), Int]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; at = i }
+        i += 1
+      }
+      if (at < 0) done = true
+      else syms = syms.patch(at, Seq(syms(at) + syms(at + 1)), 2)
+    }
+    syms
+  }
+
+  /** Whitespace word census of a text column: (w, cnt), one corpus
+    * scan, partial-aggregated.
+    */
+  private def wordCensus(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent symbol pairs of an array column as (a, b) structs. */
+  private def adjacentPairs(sym: Column): Column =
+    zip_with(slice(sym, lit(1), size(sym) - 1),
+      slice(sym, lit(2), size(sym) - 1),
+      (x, y) => struct(x.as("a"), y.as("b")))
+
+  /** Learn `numMerges` merges from the corpus. Returns the ranked
+    * merge table (bounded driver metadata, like the IVF/PQ codebooks).
+    * Stops early if no adjacent pair reaches `minCount` — merging
+    * hapax pairs only memorizes noise. Each round's census is
+    * `localCheckpoint`ed and the superseded round's blocks released
+    * (the connectedComponents loop convention) so lineage stays flat
+    * and the corpus scan never re-runs.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val mergeUdf = udf(
+      (syms: Seq[String], a: String, b: String) => mergeOnce(syms, a, b))
+    var census = wordCensus(df, textCol)
+      .select(split(col("w"), "").as("sym"), col("cnt"))
+      .localCheckpoint(false)
+    // the superseded round's checkpoint blocks are released only AFTER
+    // the argmax action has materialized its successor — the lazy
+    // checkpoint still reads the parent's blocks until then
+    var prior: Option[DataFrame] = None
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(df)
+    val merges = ArrayBuffer.empty[(String, String)]
+    var r = 0
+    while (r < numMerges) {
+      val top = census
+        .select(explode(adjacentPairs(col("sym"))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .filter(col("c") >= minCount)
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      prior.foreach(release)
+      if (top.isEmpty) { prior = None; r = numMerges }
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = census
+          .select(mergeUdf(col("sym"), lit(a), lit(b)).as("sym"),
+            col("cnt"))
+          .localCheckpoint(false)
+        prior = Some(census)
+        census = next
+        r += 1
+      }
+    }
+    prior.foreach(release)
+    release(census)
+    merges.toSeq
+  }
+
+  /** Tokenize every document with a learned merge table:
+    * (id, n_words, n_tokens, `outCol` = the subword sequence in
+    * document order). The greedy merge loop runs once per DISTINCT
+    * word; the corpus path is explode → dictionary join → one
+    * per-document regroup (order restored by sorting (pos, subs)
+    * structs, not by trusting collect_list).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], outCol: String = "toks")
+      : DataFrame = {
+    val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val seg = udf((w: String) => segment(w, rank))
+    val words = df.select(col(idCol),
+      posexplode(TextAnalysis.wsTokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val dict = words.select("w").distinct()
+      .withColumn("subs", seg(col("w")))
+    words.join(dict, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("subs"))).as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("subs")))),
+          s => s.getField("subs"))).as(outCol))
+  }
+}

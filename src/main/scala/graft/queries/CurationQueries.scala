@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Association, Decontaminate, Dedup, Drift, Sampling,
-  Temporal, TextAnalysis}
+import graft.operators.{Association, Bpe, Decontaminate, Dedup, Drift,
+  Sampling, Temporal, TextAnalysis}
 
 /** Round-6 curation + monitoring surface (SURVEY.md §2.10
   * continuation): rule-based quality gating (Gopher heuristics), PMI
@@ -818,6 +818,51 @@ object CurationQueries {
           .orderBy(col("rrf").desc, col("doc_id"))
           .limit(20)
           .orderBy(col("rrf").desc, col("doc_id"))
+      }),
+
+    // BPE merge-table training (the real subword tokenizer — upgrade
+    // of q90's word-level vocab). The oracle's exact surface is the
+    // row COUNT (training must reach all 20 merges) + rank sequence;
+    // merge-table VALUES can't be SQL-replayed (the census iteration
+    // is inherently procedural), so value correctness is pinned by
+    // BpeSpec's brute-force-reference equality instead — the q42
+    // contract-oracle convention.
+    Query("q155_bpe_train", Some(
+      """SELECT i AS rank, true AS wellformed
+        |FROM generate_series(0, 19) AS t(i) ORDER BY rank""".stripMargin))(
+      (s, dir) => {
+        val merges = Bpe.bpeTrain(t(s, dir, "documents"), "text", 20)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i.toLong, a.nonEmpty && b.nonEmpty) }
+          .toDF("rank", "wellformed")
+          .orderBy("rank")
+      }),
+
+    // BPE encoding: every document tokenized through the learned
+    // merge table. n_words is fully oracle-checked; the subword
+    // stream itself rides as two REAL contract booleans — lossless
+    // round-trip (concatenating all subwords reproduces the text with
+    // whitespace squashed — a genuine end-to-end property, not a
+    // tautology) and token-count bounds (≥ words, ≤ non-space chars).
+    Query("q156_bpe_encode", Some(
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |  true AS roundtrip_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Bpe.bpeTrain(docs, "text", 20)
+        Bpe.bpeEncode(docs, "doc_id", "text", merges)
+          .join(docs.select(col("doc_id"),
+            regexp_replace(trim(col("text")), "\\s+", "").as("__squash")),
+            "doc_id")
+          .select(col("doc_id"), col("n_words"),
+            (concat_ws("", col("toks")) === col("__squash"))
+              .as("roundtrip_ok"),
+            (col("n_tokens") >= col("n_words") &&
+              col("n_tokens") <= length(col("__squash"))).as("bounds_ok"))
+          .orderBy("doc_id")
       })
   )
 }
