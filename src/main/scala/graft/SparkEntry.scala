@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries,
-  ExtendedQueries, Query, TemporalQueries, TrainingQueries}
+  ExtendedQueries, Query, SelectionQueries, TemporalQueries,
+  TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +16,8 @@ object SparkEntry {
     */
   val allQueries: Seq[Query] = {
     val qs = CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all ++
-      TemporalQueries.all ++ AnalyticsQueries.all ++ CurationQueries.all
+      TemporalQueries.all ++ AnalyticsQueries.all ++ CurationQueries.all ++
+      SelectionQueries.all
     val dups = qs.groupBy(_.name).filter(_._2.sizeIs > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs

@@ -899,4 +899,57 @@ object Dedup {
       .select(col(keyCol), col("entity_id"),
         (col("__nid") === col("entity_id")).as("is_rep"))
   }
+
+  /** Synchronous label propagation for community detection: every
+    * node starts as its own label; each round every node SIMULTANEOUSLY
+    * adopts its neighbors' most frequent label (ties → smallest label;
+    * isolated nodes keep their own). Fixed `iterations`, so the result
+    * is a pure function of the graph — fully engine-replayable (async
+    * LPA's order-dependence is exactly what this variant removes).
+    * Communities are finer than connected components: a bridge edge
+    * joins components but rarely flips a majority.
+    *
+    * Scale shape mirrors [[connectedComponents]]: the symmetric edge
+    * list is hash-partitioned + persisted ONCE (each round's join
+    * reads co-located partitions); per round one (node, label) count
+    * agg + one bounded per-node window argmax; labels checkpoint and
+    * the superseded round's blocks release after materialization, so
+    * lineage stays flat and nothing recomputes across rounds.
+    * Output: (id, lab).
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val sym = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionAll(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+      .repartition(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def materialize(df: DataFrame): Unit = df.count(): Unit
+      var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lab"))
+        .localCheckpoint(false)
+      materialize(labels)
+      var i = 0
+      while (i < iterations) {
+        val nbrTop = sym
+          .join(labels.select(col("id").as("b"), col("lab").as("nl")), "b")
+          .groupBy(col("a"), col("nl")).agg(count(lit(1)).as("c"))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("a")
+              .orderBy(col("c").desc, col("nl"))))
+          .filter(col("__rn") === 1)
+          .select(col("a").as("id"), col("nl"))
+        val next = labels
+          .join(nbrTop, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
+          .localCheckpoint(false)
+        materialize(next)
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(labels)
+        labels = next
+        i += 1
+      }
+      labels
+    } finally sym.unpersist(blocking = false)
+  }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-SELECTION operators for training-data pipelines (extended
+  * surface beyond the reference, like [[Sampling]] and [[Dedup]]):
+  * hashed-n-gram importance reweighting (the DSIR recipe, Xie et al.
+  * NeurIPS'23), deterministic fill-in-the-middle splits (Bavarian et
+  * al. '22), and deterministic MLM-style token masking. Everything is
+  * keyed on md5 of row content — the [[Sampling]] determinism
+  * contract: reproducible across runs, executors, partitionings, and
+  * engines (the DuckDB oracle replays the exact same decisions).
+  *
+  * Float portability: importance weights are quantized to integer
+  * micro-units IN THE BOUNDED WEIGHT TABLE (256 rows), and per-doc
+  * scores are integer sums of those micro-units — summation order can
+  * never change the result, in either engine.
+  */
+object Selection {
+
+  /** DSIR-style hashed importance weights: score every document by
+    * how target-like its hashed unigram distribution is.
+    *
+    * Features are words hashed to 256 buckets (md5, engine-portable);
+    * the per-bucket importance is the smoothed log-likelihood ratio
+    *   λ_b = ln((t_b + ½)/(T + B/2)) − ln((r_b + ½)/(R + B/2))
+    * between the target slice (`isTarget`) and the rest of the corpus,
+    * and a document's score is the MEAN λ of its tokens — the
+    * importance-sampling log-weight a selection pass ranks by.
+    *
+    * Scale shape: one corpus token scan partial-aggregates into the
+    * 256-row bucket frame (never wider); λ is quantized there to
+    * integer micro-units (`lam6`), so the per-doc score is an exact
+    * integer sum — one map-side-combined shuffle on doc id. The
+    * weight table reaches the token stream as a broadcast join. No
+    * step is wider than (distinct buckets) except the per-doc agg.
+    *
+    * Output: (id, n_toks, score) with score floor-rounded at 6
+    * decimals, plus the raw `lam6` sum for exact downstream cuts.
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = df
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col(idCol), col("__tgt"),
+        Sampling.md5Bucket256(col("w"), 1).as("b"))
+    val buckets = toks
+      .groupBy("b")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("t"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("r"))
+    val totals = buckets.agg(sum(col("t")).as("__T"), sum(col("r")).as("__R"))
+    val lam = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log((col("t") + 0.5) / (col("__T") + 128.0)) -
+          log((col("r") + 0.5) / (col("__R") + 128.0))) * 1e6 + 0.5)
+          .cast("long").as("lam6"))
+    toks.join(broadcast(lam), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lam6")).as("lam6_sum"))
+      .select(col(idCol), col("n_toks"), col("lam6_sum"),
+        (floor(col("lam6_sum").cast("double") / col("n_toks") + 0.5) / 1e6)
+          .as("score"))
+  }
+
+  /** Four md5 hex chars of `key` starting at 1-based `off` as an
+    * integer 0..65535 — the 16-bit sibling of
+    * [[Sampling.md5Bucket256]], for decisions that need finer grain
+    * than 256ths (e.g. a cut point modulo a document length).
+    */
+  def md5Bucket65536(key: Column, off: Int = 1): Column = {
+    require(off >= 1 && off <= 29, s"off must leave four hex chars, got $off")
+    conv(substring(md5(key), off, 4), 16, 10).cast("long")
+  }
+
+  /** Deterministic fill-in-the-middle split: two content-keyed cut
+    * points c₁, c₂ ∈ [0, n] (16-bit md5 draws mod n+1) partition each
+    * document's character range into prefix |middle| suffix — the FIM
+    * data transform, reproducible across engines and re-ingestion.
+    * Narrow (zero shuffle): every output is arithmetic on the row.
+    * Output: (id, prefix_len, middle_len, suffix_len).
+    */
+  def fimSplit(df: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
+    val key = col(idCol).cast("string")
+    val c1 = md5Bucket65536(key, 1) % (col(nCharsCol) + 1L)
+    val c2 = md5Bucket65536(key, 5) % (col(nCharsCol) + 1L)
+    df.select(col(idCol),
+      least(c1, c2).as("prefix_len"),
+      (greatest(c1, c2) - least(c1, c2)).as("middle_len"),
+      (col(nCharsCol) - greatest(c1, c2)).as("suffix_len"))
+  }
+
+  /** Greedy token-budget fill (the curriculum/mixture admission step):
+    * rank groups by a quality score — mean chars per document, held as
+    * EXACT integer micro-units (sum·10⁶ div n) so both engines rank
+    * identically with no float ties — and admit whole groups in rank
+    * order while the running token total before the group stays under
+    * `budget`. One group-level agg (map-side combined), then windows
+    * over the bounded per-group frame. Output:
+    * (group, rank, toks, cum_toks, selected).
+    */
+  def budgetFill(df: DataFrame, groupCol: Column, textCol: String,
+      nCharsCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val per = df
+      .select(groupCol.as("group"), col(nCharsCol),
+        size(TextAnalysis.wsTokens(col(textCol))).as("__nt"))
+      .groupBy("group")
+      .agg(sum(col("__nt")).as("toks"), count(lit(1)).as("n"),
+        sum(col(nCharsCol)).as("__chars"))
+      .withColumn("__score",
+        expr("(__chars * 1000000) div n"))
+    val order = Window.orderBy(col("__score").desc, col("group"))
+    per
+      .withColumn("rank", row_number().over(order))
+      .withColumn("cum_toks", sum(col("toks")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("selected", col("cum_toks") - col("toks") < budget)
+      .select(col("group"), col("rank"), col("toks"), col("cum_toks"),
+        col("selected"))
+  }
+
+  /** Deterministic MLM-style masking plan: token at position p of
+    * document d is masked iff md5(d#p) falls under `rate256`/256
+    * (default 38 ≈ the BERT 15%). Per-document mask counts come back
+    * from one map-side-combined agg over the exploded token stream;
+    * the mask decision itself is positional content hashing, so the
+    * same document always yields the same mask — reproducible
+    * pre-training data, and the oracle replays every decision.
+    * Output: (id, n_tokens, n_masked, mask_ratio).
+    */
+  def maskPlan(df: DataFrame, idCol: String, textCol: String,
+      rate256: Int = 38): DataFrame = {
+    require(rate256 >= 0 && rate256 <= 256, s"rate256 out of range: $rate256")
+    val masked = Sampling.md5Bucket256(
+      concat(col(idCol).cast("string"), lit("#"), col("pos").cast("string")),
+      1) < rate256
+    df.select(col(idCol),
+        posexplode(TextAnalysis.wsTokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(masked, 1L).otherwise(0L)).as("n_masked"))
+      .select(col(idCol), col("n_tokens"), col("n_masked"),
+        (floor(col("n_masked").cast("double") / col("n_tokens") * 1e6 + 0.5)
+          / 1e6).as("mask_ratio"))
+  }
+}

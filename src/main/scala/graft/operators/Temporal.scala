@@ -318,4 +318,91 @@ object Temporal {
             / sum(col("__w")).cast("double") * 1e6 + 0.5) / 1e6)
           .as("twap"))
   }
+
+  /** Exponentially time-decayed aggregate per key: each observation
+    * weighs exp(−ln2 · (horizon − t)/halfLifeUs) — half its weight
+    * every half-life back from the global horizon (max time) — and the
+    * decayed sum/count are the recency-weighted engagement features.
+    * Each term quantizes to integer micro-units BEFORE the keyed sum,
+    * so partial-agg order can't drift the total (float sums are not
+    * associative) and the oracle sums identical integers. One agg for
+    * the horizon (broadcast), one map-side-combined keyed agg.
+    * Output: (key, n_events, decayed_sum, decayed_n).
+    */
+  def decayAgg(df: DataFrame, keyCol: String, tCol: String, vCol: String,
+      halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive: $halfLifeUs")
+    val horizon = df.agg(max(col(tCol)).as("__hz"))
+    val w = exp(lit(-math.log(2.0)) *
+      ((col("__hz") - col(tCol)).cast("double") / halfLifeUs.toDouble))
+    df.crossJoin(broadcast(horizon))
+      .select(col(keyCol),
+        floor(col(vCol) * w * 1e6 + 0.5).cast("long").as("__v6"),
+        floor(w * 1e6 + 0.5).cast("long").as("__w6"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("__v6")).cast("double") / 1e6).as("decayed_sum"),
+        (sum(col("__w6")).cast("double") / 1e6).as("decayed_n"))
+  }
+
+  /** Kaplan–Meier survival estimate over per-key activity spans: a
+    * key's duration is `floor((last − first) / widthUs)` duration
+    * units, and the key is an OBSERVED churn iff its last event
+    * precedes the corpus horizon (global max time) by more than
+    * `censorUs` — later keys are right-censored (still alive at the
+    * horizon), the standard churn/survival setup.
+    *
+    * Output, one row per observed-churn duration t (ascending):
+    * `(t, at_risk, churned, surv)` where at_risk counts keys with
+    * duration ≥ t and surv is the KM product Π_{t'≤t} (1 − d/n) —
+    * computed as exp of a CUMULATIVE SUM of nano-quantized ln terms,
+    * so both engines sum identical integers (float products are not
+    * associative; quantized log-sums are). If every at-risk key
+    * churns at some t (only possible at the maximum), survival is
+    * exactly 0 from that point — flagged explicitly rather than
+    * passing −∞ through exp.
+    *
+    * Scale shape: one keyed agg builds the per-key span frame; the
+    * duration histogram is duration-cardinality (bounded), and the
+    * reverse-cumulative at-risk counts + KM product ride single
+    * windows over that bounded frame — the event log is scanned once.
+    */
+  def kaplanMeier(df: DataFrame, keyCol: String, tCol: String,
+      widthUs: Long, censorUs: Long): DataFrame = {
+    require(widthUs > 0 && censorUs >= 0,
+      s"invalid widths: width=$widthUs censor=$censorUs")
+    val spans = df.groupBy(keyCol)
+      .agg(min(col(tCol)).as("__first"), max(col(tCol)).as("__last"))
+    val horizon = spans.agg(max(col("__last")).as("__hz"))
+    // exact integer floor-div: subtract the long remainder first, so
+    // the double division is of an exact multiple (a/b double-divide
+    // + cast can round UP at near-integer quotients)
+    val diff = col("__last") - col("__first")
+    val durs = spans.crossJoin(broadcast(horizon))
+      .select(
+        ((diff - diff % widthUs) / widthUs).cast("long").as("t"),
+        (col("__last") < col("__hz") - censorUs).as("__obs"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__obs"), 1L).otherwise(0L)).as("churned"))
+    val order = Window.orderBy(col("t"))
+    val atRisk = sum(col("n")).over(
+      order.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val withRisk = durs.withColumn("at_risk", atRisk)
+    val q9 = when(col("churned") < col("at_risk"),
+      floor(log(lit(1.0) - col("churned").cast("double") / col("at_risk"))
+        * 1e9 + 0.5).cast("long")).otherwise(lit(0L))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withRisk
+      .withColumn("__q9s", sum(q9).over(cum))
+      .withColumn("__dead",
+        max(when(col("churned") === col("at_risk"), 1).otherwise(0))
+          .over(cum))
+      .filter(col("churned") > 0)
+      .select(col("t"), col("at_risk"), col("churned"),
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(
+            floor(exp(col("__q9s").cast("double") / 1e9) * 1e6 + 0.5) / 1e6)
+          .as("surv"))
+  }
 }

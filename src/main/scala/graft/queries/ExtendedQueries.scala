@@ -711,6 +711,79 @@ object ExtendedQueries {
             (col("id") === col("comp")).as("keep"))
           .orderBy("vec_id")),
 
+    // Dedup-impact report off the same near-dup component labels: the
+    // cluster-size histogram and per-size removable-row counts — the
+    // "how much does near-dup dedup save" planning artifact, riding
+    // the bounded component frame (no second corpus pass).
+    Query("q165_dedup_report", Some(componentsCte +
+      """,
+        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |cs AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY 1)
+        |SELECT sz, COUNT(*) AS n_clusters,
+        |  CAST(SUM(sz - 1) AS BIGINT) AS removable
+        |FROM cs GROUP BY sz ORDER BY sz""".stripMargin))(
+      (s, dir) =>
+        Dedup.connectedComponents(
+            t(s, dir, "embeddings").select("vec_id"), "vec_id",
+            nearDupPairs(s, dir).select("id_a", "id_b"))
+          .groupBy("comp").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz") - 1).as("removable"))
+          .orderBy("sz")),
+
+    // Synchronous label-propagation communities over the same
+    // near-dup graph (5 fixed rounds, most-frequent neighbor label,
+    // ties → min). The oracle unrolls the five synchronous rounds as
+    // chained CTEs — fully deterministic, unlike async LPA. Reuses
+    // componentsCte only for its `edges` sub-CTE (the recursive
+    // `reach` is simply never referenced).
+    Query("q170_label_prop", Some(componentsCte +
+      """,
+        |l0 AS (SELECT vec_id AS id, vec_id AS lab FROM embeddings),
+        |n1 AS (SELECT e.a AS id, p.lab, COUNT(*) AS c FROM edges e
+        |       JOIN l0 p ON p.id = e.b GROUP BY 1, 2),
+        |w1 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |       PARTITION BY id ORDER BY c DESC, lab) AS rn FROM n1)
+        |       WHERE rn = 1),
+        |l1 AS (SELECT l.id, COALESCE(w.lab, l.lab) AS lab FROM l0 l
+        |       LEFT JOIN w1 w USING (id)),
+        |n2 AS (SELECT e.a AS id, p.lab, COUNT(*) AS c FROM edges e
+        |       JOIN l1 p ON p.id = e.b GROUP BY 1, 2),
+        |w2 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |       PARTITION BY id ORDER BY c DESC, lab) AS rn FROM n2)
+        |       WHERE rn = 1),
+        |l2 AS (SELECT l.id, COALESCE(w.lab, l.lab) AS lab FROM l1 l
+        |       LEFT JOIN w2 w USING (id)),
+        |n3 AS (SELECT e.a AS id, p.lab, COUNT(*) AS c FROM edges e
+        |       JOIN l2 p ON p.id = e.b GROUP BY 1, 2),
+        |w3 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |       PARTITION BY id ORDER BY c DESC, lab) AS rn FROM n3)
+        |       WHERE rn = 1),
+        |l3 AS (SELECT l.id, COALESCE(w.lab, l.lab) AS lab FROM l2 l
+        |       LEFT JOIN w3 w USING (id)),
+        |n4 AS (SELECT e.a AS id, p.lab, COUNT(*) AS c FROM edges e
+        |       JOIN l3 p ON p.id = e.b GROUP BY 1, 2),
+        |w4 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |       PARTITION BY id ORDER BY c DESC, lab) AS rn FROM n4)
+        |       WHERE rn = 1),
+        |l4 AS (SELECT l.id, COALESCE(w.lab, l.lab) AS lab FROM l3 l
+        |       LEFT JOIN w4 w USING (id)),
+        |n5 AS (SELECT e.a AS id, p.lab, COUNT(*) AS c FROM edges e
+        |       JOIN l4 p ON p.id = e.b GROUP BY 1, 2),
+        |w5 AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (
+        |       PARTITION BY id ORDER BY c DESC, lab) AS rn FROM n5)
+        |       WHERE rn = 1),
+        |l5 AS (SELECT l.id, COALESCE(w.lab, l.lab) AS lab FROM l4 l
+        |       LEFT JOIN w5 w USING (id))
+        |SELECT id AS vec_id, lab AS community FROM l5
+        |ORDER BY vec_id""".stripMargin))(
+      (s, dir) =>
+        Dedup.labelPropagation(
+            t(s, dir, "embeddings").select("vec_id"), "vec_id",
+            nearDupPairs(s, dir).select("id_a", "id_b"))
+          .select(col("id").as("vec_id"), col("lab").as("community"))
+          .orderBy("vec_id")),
+
     // Per-label embedding centroids via the mergeable vector-mean
     // aggregate (VecAggs.vecAvg): map-side partial sums, one
     // (dims+1)-double buffer per (partition, label) into the shuffle —

@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{CorpusStats, Selection, Temporal}
+
+/** Round-6 data-selection + corpus-health surface (SURVEY.md §2.10
+  * continuation): DSIR hashed-importance scoring, per-source KL
+  * divergence over the word distribution, distinct-n diversity, Zipf
+  * rank-frequency slopes, deterministic fill-in-the-middle splits, and
+  * deterministic MLM mask planning. All FULL DuckDB oracles; every
+  * float goes through integer-quantized sums or the portable
+  * FLOOR(x·1e6 + 0.5)/1e6 rounding (house convention).
+  */
+object SelectionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val all: Seq[Query] = Seq(
+
+    // DSIR-style hashed-n-gram importance scores: every document
+    // scored by the smoothed log-likelihood ratio of its hashed
+    // unigram distribution, target slice (src1-src3) vs the rest.
+    // The 256-bucket weight table quantizes λ to micro-units, so the
+    // per-doc score is an exact integer sum — both engines sum the
+    // same integers in any order.
+    Query("q157_dsir", Some(
+      """WITH tok AS (
+        |  SELECT doc_id, source IN ('src1','src2','src3') AS tgt,
+        |    ('0x' || substr(md5(unnest(
+        |       string_split_regex(trim(text), '\s+'))), 1, 2))::BIGINT AS b
+        |  FROM documents),
+        |tb AS (
+        |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS t,
+        |         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS r
+        |  FROM tok GROUP BY 1),
+        |tt AS (SELECT SUM(t) AS tot_t, SUM(r) AS tot_r FROM tb),
+        |lam AS (
+        |  SELECT b, CAST(FLOOR((LN((t + 0.5) / (tot_t + 128.0)) -
+        |      LN((r + 0.5) / (tot_r + 128.0))) * 1e6 + 0.5) AS BIGINT)
+        |    AS lam6
+        |  FROM tb, tt)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  CAST(SUM(lam6) AS BIGINT) AS lam6_sum,
+        |  FLOOR(CAST(SUM(lam6) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS score
+        |FROM tok JOIN lam USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Selection.dsirScores(docs, "doc_id", "text",
+            col("source").isin("src1", "src2", "src3"))
+          .orderBy("doc_id")
+      }),
+
+    // Smoothed KL divergence of each source's word distribution vs
+    // the corpus — the off-distribution screen. Terms quantize to
+    // nano-units before the vocab-wide sum.
+    Query("q158_kl_divergence", Some(
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |gw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM gw
+        |          GROUP BY 1),
+        |grp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ng FROM gw
+        |        GROUP BY 1),
+        |corpus AS (SELECT CAST(SUM(cw) AS BIGINT) AS nn,
+        |             COUNT(*) AS vv FROM vocab),
+        |spine AS (
+        |  SELECT g.source, g.ng, v.cw, COALESCE(x.c, 0) AS c, nn, vv
+        |  FROM grp g CROSS JOIN vocab v
+        |  LEFT JOIN gw x ON x.source = g.source AND x.w = v.w
+        |  CROSS JOIN corpus)
+        |SELECT source AS "group", ng AS n_tokens,
+        |  FLOOR(CAST(SUM(CAST(FLOOR(
+        |      ((c + 0.5) / (ng + vv / 2.0)) *
+        |      (LN((c + 0.5) / (ng + vv / 2.0)) -
+        |       LN((cw + 0.5) / (nn + vv / 2.0))) * 1e9 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / 1e3 + 0.5) / 1e6 AS kl
+        |FROM spine GROUP BY 1, 2 ORDER BY "group"""".stripMargin))(
+      (s, dir) =>
+        CorpusStats.klVsCorpus(t(s, dir, "documents"), col("source"), "text")
+          .orderBy("group")),
+
+    // Distinct-n lexical diversity per source (n = 1, 2, 3): type/
+    // token ratios over word n-grams — the repetitiveness screen.
+    Query("q159_distinct_n", Some(
+      """WITH tk AS (SELECT source,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(toks) AS gram FROM tk
+        |  UNION ALL
+        |  SELECT source, 2 AS n, unnest(
+        |    [toks[i] || ' ' || toks[i+1]
+        |     FOR i IN generate_series(1, len(toks) - 1)]) AS gram FROM tk
+        |  UNION ALL
+        |  SELECT source, 3 AS n, unnest(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     FOR i IN generate_series(1, len(toks) - 2)]) AS gram FROM tk)
+        |SELECT source AS "group", n,
+        |  COUNT(DISTINCT gram) AS types, COUNT(*) AS grams,
+        |  FLOOR(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) * 1e6
+        |    + 0.5) / 1e6 AS ratio
+        |FROM g GROUP BY 1, 2 ORDER BY "group", n""".stripMargin))(
+      (s, dir) =>
+        CorpusStats.distinctN(t(s, dir, "documents"), col("source"), "text")
+          .orderBy("group", "n")),
+
+    // Zipf rank-frequency slope per source: OLS of ln(freq) on
+    // ln(rank) over the top-100 words, all five regression sums exact
+    // integer sums of micro-quantized logs.
+    Query("q160_zipf_slope", Some(
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, c, w, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY c DESC, w) AS rank FROM c),
+        |q AS (SELECT source,
+        |    CAST(FLOOR(LN(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS x,
+        |    CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+        |  FROM r WHERE rank <= 100),
+        |s AS (SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM q GROUP BY 1)
+        |SELECT source AS "group", n AS n_top,
+        |  FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS slope
+        |FROM s ORDER BY "group"""".stripMargin))(
+      (s, dir) =>
+        CorpusStats.zipfSlope(t(s, dir, "documents"), col("source"), "text")
+          .orderBy("group")),
+
+    // Deterministic fill-in-the-middle split plan: two 16-bit md5
+    // draws mod (n_chars + 1) cut each document into
+    // prefix | middle | suffix. Pure integer arithmetic — the oracle
+    // replays every cut exactly.
+    Query("q161_fim_split", Some(
+      """SELECT doc_id,
+        |  LEAST(c1, c2) AS prefix_len,
+        |  GREATEST(c1, c2) - LEAST(c1, c2) AS middle_len,
+        |  n_chars - GREATEST(c1, c2) AS suffix_len
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % (n_chars + 1) AS c1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::BIGINT
+        |      % (n_chars + 1) AS c2
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        Selection.fimSplit(t(s, dir, "documents"), "doc_id", "n_chars")
+          .orderBy("doc_id")),
+
+    // Deterministic MLM mask plan at 38/256 ≈ 15%: token (d, p) is
+    // masked iff md5(d#p) falls under the rate — reproducible masks,
+    // every decision replayed by the oracle.
+    Query("q162_mask_plan", Some(
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(toks) - 1)) AS pos FROM t)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN ('0x' || substr(
+        |      md5(doc_id || '#' || pos), 1, 2))::BIGINT < 38
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  FLOOR(CAST(SUM(CASE WHEN ('0x' || substr(
+        |      md5(doc_id || '#' || pos), 1, 2))::BIGINT < 38
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+        |    AS mask_ratio
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        Selection.maskPlan(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // Vocabulary-overlap Jaccard between every source pair — the
+    // corpus-mix overlap matrix. Pair fan-out is bounded by the
+    // (small) number of sources, never corpus × corpus.
+    Query("q163_vocab_overlap", Some(
+      """WITH gw AS (SELECT DISTINCT g, w FROM (
+        |    SELECT source AS g,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)),
+        |sz AS (SELECT g, COUNT(*) AS v FROM gw GROUP BY 1),
+        |pr AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS shared
+        |       FROM gw a JOIN gw b USING (w) WHERE a.g < b.g
+        |       GROUP BY 1, 2)
+        |SELECT g_a, g_b, shared,
+        |  FLOOR(CAST(shared AS DOUBLE) / (sa.v + sb.v - shared) * 1e6
+        |    + 0.5) / 1e6 AS jaccard
+        |FROM pr JOIN sz sa ON sa.g = pr.g_a
+        |JOIN sz sb ON sb.g = pr.g_b
+        |ORDER BY g_a, g_b""".stripMargin))(
+      (s, dir) =>
+        CorpusStats.vocabOverlap(t(s, dir, "documents"), col("source"),
+            "text")
+          .orderBy("g_a", "g_b")),
+
+    // Kaplan-Meier churn/survival over per-user activity spans
+    // (1-hour duration units, 24-hour right-censor horizon). The KM
+    // product is a cumulative sum of nano-quantized ln terms — exact
+    // integer sums in both engines.
+    Query("q164_kaplan_meier", Some(
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS f,
+        |    max(epoch_us(ts)) AS l FROM events GROUP BY 1),
+        |hz AS (SELECT max(l) AS hz FROM s),
+        |d AS (SELECT (l - f) // 3600000000 AS t,
+        |        l < hz - 86400000000 AS obs FROM s, hz),
+        |g AS (SELECT t, COUNT(*) AS n,
+        |        SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS churned
+        |      FROM d GROUP BY 1),
+        |w AS (SELECT t, n, churned, SUM(n) OVER (ORDER BY t
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |        AS at_risk FROM g),
+        |x AS (SELECT t, at_risk, churned,
+        |        SUM(CASE WHEN churned < at_risk THEN CAST(FLOOR(
+        |            LN(1.0 - CAST(churned AS DOUBLE) / at_risk) * 1e9
+        |            + 0.5) AS BIGINT) ELSE 0 END)
+        |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS q9s,
+        |        MAX(CASE WHEN churned = at_risk THEN 1 ELSE 0 END)
+        |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS dead
+        |      FROM w)
+        |SELECT t, CAST(at_risk AS BIGINT) AS at_risk,
+        |  CAST(churned AS BIGINT) AS churned,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE FLOOR(EXP(CAST(q9s AS DOUBLE) / 1e9) * 1e6 + 0.5)
+        |         / 1e6 END AS surv
+        |FROM x WHERE churned > 0 ORDER BY t""".stripMargin))(
+      (s, dir) =>
+        Temporal.kaplanMeier(
+            t(s, dir, "events")
+              .select(col("user_id"), expr("ts div 1000").as("tus")),
+            "user_id", "tus", 3600000000L, 86400000000L)
+          .orderBy("t")),
+
+    // Greedy token-budget curriculum fill: sources ranked by exact
+    // integer mean-chars-per-doc, admitted while the running token
+    // total before the source stays under 30k tokens.
+    Query("q166_budget_fill", Some(
+      """WITH per AS (
+        |  SELECT source AS "group",
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS toks,
+        |    COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT "group", toks, (chars * 1000000) // n AS score
+        |      FROM per),
+        |w AS (SELECT "group", toks,
+        |        ROW_NUMBER() OVER (ORDER BY score DESC, "group") AS rank,
+        |        CAST(SUM(toks) OVER (ORDER BY score DESC, "group"
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_toks
+        |      FROM r)
+        |SELECT "group", rank, toks, cum_toks,
+        |  cum_toks - toks < 30000 AS selected
+        |FROM w ORDER BY "group"""".stripMargin))(
+      (s, dir) =>
+        Selection.budgetFill(t(s, dir, "documents"), col("source"),
+            "text", "n_chars", 30000L)
+          .select(col("group"), col("rank").cast("long").as("rank"),
+            col("toks"), col("cum_toks"), col("selected"))
+          .orderBy("group")),
+
+    // Vocabulary coverage curve (top 200 ranks): cumulative token
+    // mass by census rank — "how small can the vocab be and still
+    // cover 90%". Integer share arithmetic; covers90 compares
+    // integers, not the rounded double.
+    Query("q167_vocab_coverage", Some(
+      """WITH c AS (SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w)
+        |        AS rank,
+        |        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, cnt,
+        |  FLOOR(CAST(cum AS DOUBLE) / tot * 1e6 + 0.5) / 1e6
+        |    AS cum_share,
+        |  cum * 10 >= tot * 9 AS covers90
+        |FROM r, t WHERE rank <= 200 ORDER BY rank""".stripMargin))(
+      (s, dir) =>
+        CorpusStats.vocabCoverage(t(s, dir, "documents"), "text")
+          .orderBy("rank")),
+
+    // Exponentially time-decayed engagement per user (6 h half-life
+    // from the corpus horizon): recency-weighted sums with per-event
+    // integer quantization, so both engines sum identical integers.
+    Query("q168_decay_agg", Some(
+      """WITH hz AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+        |q AS (SELECT user_id,
+        |    CAST(FLOOR(value * EXP(-LN(2.0) *
+        |        (CAST(hz - epoch_us(ts) AS DOUBLE) / 21600000000.0))
+        |      * 1e6 + 0.5) AS BIGINT) AS v6,
+        |    CAST(FLOOR(EXP(-LN(2.0) *
+        |        (CAST(hz - epoch_us(ts) AS DOUBLE) / 21600000000.0))
+        |      * 1e6 + 0.5) AS BIGINT) AS w6
+        |  FROM events, hz)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(v6) AS BIGINT) / 1e6 AS decayed_sum,
+        |  CAST(SUM(w6) AS BIGINT) / 1e6 AS decayed_n
+        |FROM q GROUP BY 1 ORDER BY user_id""".stripMargin))(
+      (s, dir) =>
+        Temporal.decayAgg(
+            t(s, dir, "events")
+              .select(col("user_id"), expr("ts div 1000").as("tus"),
+                col("value")),
+            "user_id", "tus", "value", 21600000000L)
+          .orderBy("user_id")),
+
+    // Semi-structured extraction: JSON props field pulled per event
+    // (codegen'd get_json_object, no UDF), grouped stats per k —
+    // money-style exact decimal sums.
+    Query("q169_json_props", Some(
+      """WITH e AS (SELECT
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    value FROM events)
+        |SELECT k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_value
+        |FROM e GROUP BY 1 ORDER BY k""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+            col("value"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"),
+            Query.dsum(col("value")).as("total_value"))
+          .select(col("k"), col("n"), col("total_value"),
+            (floor(col("total_value") / col("n") * 1e6 + 0.5) / 1e6)
+              .as("avg_value"))
+          .orderBy("k"))
+  )
+}

@@ -469,4 +469,62 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 2) // a, b — the null key never enters the graph
     assert(got.forall(_.getAs[Boolean]("is_rep")))
   }
+
+  // ---- labelPropagation ---------------------------------------------
+
+  /** Straight-line synchronous LPA: the definition the distributed
+    * operator must reproduce round-for-round.
+    */
+  private def refLpa(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lab = nodes.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      val prev = lab
+      lab = nodes.map { n =>
+        val counts = nbrs.getOrElse(n, Nil).map(prev).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        n -> (if (counts.isEmpty) prev(n)
+              else counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+    }
+    lab
+  }
+
+  private def runLpa(nodes: Seq[Long], edges: Seq[(Long, Long)]) =
+    Dedup.labelPropagation(nodes.toDF("id"), "id",
+        edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation reproduces the synchronous reference " +
+      "round-for-round") {
+    val nodes = (1L to 10L).toSeq
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L), (7L, 8L), (8L, 9L))
+    assert(runLpa(nodes, edges) == refLpa(nodes, edges, 5))
+  }
+
+  test("labelPropagation keeps bridged triangles in separate " +
+      "communities where components would merge them") {
+    val nodes = (1L to 6L).toSeq
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)) // two triangles + one bridge
+    val lab = runLpa(nodes, edges)
+    assert(lab(1L) == lab(2L) && lab(2L) == lab(3L))
+    assert(lab(4L) == lab(5L) && lab(5L) == lab(6L))
+    assert(lab(1L) != lab(4L))
+    val comp = Dedup.connectedComponents(nodes.toDF("id"), "id",
+        edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet.size == 1) // components DO merge them
+  }
+
+  test("labelPropagation: isolated nodes keep their own label") {
+    val lab = runLpa(Seq(1L, 2L, 9L), Seq((1L, 2L)))
+    assert(lab(9L) == 9L)
+    // the connected pair follows the synchronous definition exactly
+    // (a 2-cycle oscillates under sync LPA; that IS the contract)
+    assert(lab == refLpa(Seq(1L, 2L, 9L), Seq((1L, 2L)), 5))
+  }
 }

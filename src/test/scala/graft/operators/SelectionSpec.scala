@@ -1,0 +1,129 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def bucket256(s: String, off: Int): Int =
+    Integer.parseInt(md5hex(s).substring(off - 1, off + 1), 16)
+
+  private def bucket65536(s: String, off: Int): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(off - 1, off + 3), 16)
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "wiki"),
+    (2L, "the sly brown fox naps under the old dog", "wiki"),
+    (3L, "buy cheap pills now best price buy now", "spam"),
+    (4L, "cheap cheap pills best pills now now now", "spam"),
+    (5L, "the fox and the dog share a quiet field", "wiki")
+  )
+
+  /** Straight-line DSIR reference: hash words to 256 buckets, smoothed
+    * log-ratio per bucket quantized to micro-units, per-doc mean.
+    */
+  private def refDsir(rows: Seq[(Long, String, String)],
+      target: String => Boolean): Map[Long, (Long, Long, Double)] = {
+    val toks = rows.flatMap { case (id, text, src) =>
+      text.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => (id, target(src), bucket256(w, 1)))
+    }
+    val t = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val r = toks.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong)
+      .toMap
+    val (tt, rr) = (t.values.sum, r.values.sum)
+    val lam6 = (t.keySet ++ r.keySet).map { b =>
+      val lam = math.log((t.getOrElse(b, 0L) + 0.5) / (tt + 128.0)) -
+        math.log((r.getOrElse(b, 0L) + 0.5) / (rr + 128.0))
+      b -> math.floor(lam * 1e6 + 0.5).toLong
+    }.toMap
+    toks.groupBy(_._1).map { case (id, ts) =>
+      val s = ts.map(x => lam6(x._3)).sum
+      id -> (ts.size.toLong, s,
+        math.floor(s.toDouble / ts.size + 0.5) / 1e6)
+    }
+  }
+
+  test("dsirScores reproduces the brute-force reference per document") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val got = Selection.dsirScores(df, "doc_id", "text",
+        col("source") === "wiki")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == refDsir(corpus, _ == "wiki"))
+  }
+
+  test("dsirScores ranks target-like documents above off-target ones") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val scores = Selection.dsirScores(df, "doc_id", "text",
+        col("source") === "wiki")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // a held-out wiki-like doc (5) must outscore both spam docs
+    assert(scores(5L) > scores(3L) && scores(5L) > scores(4L))
+  }
+
+  test("fimSplit partitions exactly and matches the md5 arithmetic") {
+    val df = Seq((7L, 100L), (8L, 1L), (9L, 0L)).toDF("doc_id", "n_chars")
+    val got = Selection.fimSplit(df, "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.foreach { case (id, p, m, s) =>
+      val n = Map(7L -> 100L, 8L -> 1L, 9L -> 0L)(id)
+      assert(p >= 0 && m >= 0 && s >= 0 && p + m + s == n, s"doc $id")
+      val c1 = bucket65536(id.toString, 1) % (n + 1)
+      val c2 = bucket65536(id.toString, 5) % (n + 1)
+      assert(p == math.min(c1, c2) && s == n - math.max(c1, c2), s"doc $id")
+    }
+    // n_chars = 0 degenerates to an all-empty split, never negative
+    assert(got.find(_._1 == 9L).get == ((9L, 0L, 0L, 0L)))
+  }
+
+  test("budgetFill admits whole groups in score order until the budget") {
+    // scores (mean chars·1e6 div n): g1 = 9e6, g2 = 5e6, g3 = 2e6
+    val df = Seq(
+      (1L, "a b c", "g1", 9L), (2L, "d e f g", "g1", 9L),
+      (3L, "h i", "g2", 5L), (4L, "j k l", "g2", 5L),
+      (5L, "m n o p q", "g3", 2L)
+    ).toDF("doc_id", "text", "g", "nc")
+    def run(budget: Long) = Selection.budgetFill(df, col("g"), "text",
+        "nc", budget)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // g1 7 toks, g2 5 toks, g3 5 toks in rank order
+    val tight = run(8L)
+    assert(tight("g1") == ((1, 7L, 7L, true)))   // 0 < 8 before g1
+    assert(tight("g2") == ((2, 5L, 12L, true)))  // 7 < 8 before g2
+    assert(tight("g3") == ((3, 5L, 17L, false))) // 12 >= 8 before g3
+    // boundary: budget exactly consumed before a group excludes it
+    assert(!run(7L)("g2")._4 && run(7L)("g1")._4)
+    assert(run(100L).values.forall(_._4))
+  }
+
+  test("maskPlan replays the positional hash and hits ~15% in bulk") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val got = Selection.maskPlan(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    corpus.foreach { case (id, text, _) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val masked = toks.indices.count(p => bucket256(s"$id#$p", 1) < 38)
+      assert(got(id) == ((toks.length.toLong, masked.toLong,
+        math.floor(masked.toDouble / toks.length * 1e6 + 0.5) / 1e6)),
+        s"doc $id")
+    }
+    // in bulk the rate concentrates near 38/256 ≈ 14.8%
+    val docs = graft.Tables(spark, sf, "documents")
+    val bulk = Selection.maskPlan(docs, "doc_id", "text")
+      .agg(sum("n_masked").cast("double") / sum("n_tokens")).head.getDouble(0)
+    assert(bulk > 0.10 && bulk < 0.20, s"bulk mask rate $bulk")
+  }
+}

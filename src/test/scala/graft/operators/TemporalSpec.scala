@@ -289,4 +289,73 @@ class TemporalSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("span_us") == 10L)
     assert(out(2L).getAs[Double]("twap") == 7.0)
   }
+
+  // ---- decayAgg -----------------------------------------------------
+
+  test("decayAgg: per-event quantized exponential weights from the " +
+      "global horizon") {
+    // horizon 100, half-life 10: weights exp(-ln2·Δ/10)
+    val ev = Seq((1L, 100L, 2.0), (1L, 90L, 4.0), (2L, 80L, 10.0))
+      .toDF("k", "t", "v")
+    def w(d: Long) = math.exp(-math.log(2.0) * (d.toDouble / 10.0))
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val out = Temporal.decayAgg(ev, "k", "t", "v", 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // key 1: 2.0·w(0) + 4.0·w(10); key 2: 10.0·w(20)
+    assert(out(1L) == ((2L,
+      (q6(2.0 * w(0)) + q6(4.0 * w(10))) / 1e6,
+      (q6(w(0)) + q6(w(10))) / 1e6)))
+    assert(out(2L) == ((1L, q6(10.0 * w(20)) / 1e6, q6(w(20)) / 1e6)))
+    // the at-horizon event carries full weight; older ones decay
+    assert(out(1L)._3 > 1.0 && out(1L)._3 < 2.0)
+  }
+
+  // ---- kaplanMeier --------------------------------------------------
+
+  test("kaplanMeier: censoring, at-risk counts, and the KM product") {
+    // width 10, censor 25; horizon = 100 (user 5's last event).
+    // durations: u1 = 0 (last 90, obs? 90 < 75 no → censored)
+    //            u2 = 2 (last 30 < 75 → churned at t=2)
+    //            u3 = 2 (last 40 < 75 → churned at t=2)
+    //            u4 = 5 (last 60 < 75 → churned at t=5)
+    //            u5 = 9 (last 100 → censored)
+    val ev = Seq(
+      (1L, 85L), (1L, 90L),
+      (2L, 5L), (2L, 30L),
+      (3L, 15L), (3L, 40L),
+      (4L, 5L), (4L, 60L),
+      (5L, 5L), (5L, 100L)
+    ).toDF("k", "t")
+    val out = Temporal.kaplanMeier(ev, "k", "t", 10L, 25L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // only churn times 2 and 5 appear (t=0 and t=9 are censor-only)
+    assert(out.keySet == Set(2L, 5L))
+    // at t=2: at-risk {u2,u3,u4,u5} = 4, churned 2 → S = 1/2
+    val s2 = math.floor(
+      math.exp(math.floor(math.log(0.5) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5
+    ) / 1e6
+    assert(out(2L) == ((4L, 2L, s2)))
+    // at t=5: at-risk {u4,u5} = 2, churned 1 → S = 1/2 · 1/2
+    val s5 = math.floor(math.exp(
+      (math.floor(math.log(0.5) * 1e9 + 0.5) * 2) / 1e9) * 1e6 + 0.5) / 1e6
+    assert(out(5L) == ((2L, 1L, s5)))
+  }
+
+  test("kaplanMeier: survival hits exactly 0 when the last at-risk " +
+      "cohort fully churns, without passing -inf through exp") {
+    // width 1, censor 10; horizon 100: u1/u2 churn at t=1 and are the
+    // entire final at-risk set → S(1) = 0. u3 churns at 0.
+    val ev = Seq(
+      (1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (10L, 100L)
+    ).toDF("k", "t")
+    // u1: dur (11-10)/1 = 1; u2: 1; u3: 0; u10: 0 censored
+    val out = Temporal.kaplanMeier(ev, "k", "t", 1L, 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._2 == 1L && out(0L)._1 == 4L)
+    assert(out(1L) == ((2L, 2L, 0.0)))
+  }
 }
