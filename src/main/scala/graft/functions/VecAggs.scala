@@ -74,4 +74,68 @@ object VecAggs {
     val fn = udaf(new VecAvg, ExpressionEncoder[Seq[Double]]())
     (v: Column) => fn(v)
   }
+
+  /** First + second moments of a vector column in ONE pass: Σx and the
+    * upper triangle of Σ x·xᵀ (row-major, d(d+1)/2 doubles) plus the
+    * count — everything a covariance matrix needs, as a single
+    * mergeable aggregate. The shuffle ships one O(d²) buffer per
+    * partition (d=64 → 2 081 doubles ≈ 16 KB), never the member
+    * vectors: the covariance of a 100 TB embedding table costs one
+    * map-side-combined scan.
+    */
+  final case class VecMomentsBuf(sums: Array[Double], outer: Array[Double],
+      n: Long)
+
+  final class VecMoments
+      extends Aggregator[Seq[Double], VecMomentsBuf, VecMomentsBuf] {
+    override def zero: VecMomentsBuf =
+      VecMomentsBuf(Array.empty, Array.empty, 0L)
+    private def add(b: VecMomentsBuf, v: Seq[Double]): VecMomentsBuf = {
+      val d = v.size
+      val base =
+        if (b.n == 0L) VecMomentsBuf(new Array[Double](d),
+          new Array[Double](d * (d + 1) / 2), 0L)
+        else {
+          require(d == b.sums.length,
+            s"ragged vector dims: $d vs ${b.sums.length}")
+          b
+        }
+      val s = base.sums
+      val o = base.outer
+      var i = 0
+      var k = 0
+      while (i < d) {
+        val vi = v(i)
+        s(i) += vi
+        var j = i
+        while (j < d) { o(k) += vi * v(j); j += 1; k += 1 }
+        i += 1
+      }
+      VecMomentsBuf(s, o, base.n + 1)
+    }
+    override def reduce(b: VecMomentsBuf, v: Seq[Double]): VecMomentsBuf =
+      if (v == null) b else add(b, v)
+    override def merge(x: VecMomentsBuf, y: VecMomentsBuf): VecMomentsBuf =
+      if (x.n == 0L) y
+      else if (y.n == 0L) x
+      else {
+        require(x.sums.length == y.sums.length,
+          s"ragged vector dims: ${x.sums.length} vs ${y.sums.length}")
+        var i = 0
+        while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
+        var k = 0
+        while (k < x.outer.length) { x.outer(k) += y.outer(k); k += 1 }
+        VecMomentsBuf(x.sums, x.outer, x.n + y.n)
+      }
+    override def finish(b: VecMomentsBuf): VecMomentsBuf = b
+    override def bufferEncoder: Encoder[VecMomentsBuf] =
+      ExpressionEncoder[VecMomentsBuf]()
+    override def outputEncoder: Encoder[VecMomentsBuf] =
+      ExpressionEncoder[VecMomentsBuf]()
+  }
+
+  val vecMoments: Column => Column = {
+    val fn = udaf(new VecMoments, ExpressionEncoder[Seq[Double]]())
+    (v: Column) => fn(v)
+  }
 }

@@ -148,4 +148,90 @@ object Selection {
         (floor(col("n_masked").cast("double") / col("n_tokens") * 1e6 + 0.5)
           / 1e6).as("mask_ratio"))
   }
+
+  /** Multinomial Naive Bayes source classifier, trained and scored in
+    * one distributed program — the classic quality/provenance filter
+    * shape (a CCNet/GPT-3-style corpus classifier, with NB counts in
+    * place of fastText embeddings): train per-class word
+    * log-likelihoods with Laplace smoothing, score every document,
+    * predict the argmax class.
+    *
+    *   score(d, c) = ln P(c) + Σ_w n_dw · ln((n_cw + 1)/(N_c + V))
+    *
+    * Float portability: every log-probability is quantized to integer
+    * micro-units IN THE BOUNDED WEIGHT TABLE (vocab × classes rows),
+    * so per-doc scores are exact integer sums — the argmax (ties →
+    * lexicographically smallest class) is deterministic in any
+    * summation order, and the DuckDB oracle replays every prediction.
+    *
+    * Scale shape: one corpus token scan feeds BOTH the per-doc term
+    * counts and the (class, word) training counts (map-side-combined
+    * aggs); the dense vocab × classes weight table is
+    * vocabulary-sized metadata that reaches the doc-term stream as a
+    * broadcast join (AQE picks broadcast; the fan-out per doc-term
+    * row is exactly the class count). Vocabulary totals ride along as
+    * 1-row broadcast frames — the fact path never collects. For an
+    * unbounded vocabulary, compose with [[dsirScores]]-style feature
+    * hashing to pin the table size; here the table is the exact NB
+    * model.
+    *
+    * Output: (id, `classCol`, predicted, score6) — actual class kept
+    * alongside the prediction so a confusion matrix is one groupBy
+    * away.
+    */
+  def naiveBayes(df: DataFrame, idCol: String, textCol: String,
+      classCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), col(classCol).as("__cls"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val tokP = graft.HeavyPersist(tok)
+
+    // per-doc term counts (the scoring side)
+    val dw = tokP.groupBy(col(idCol), col("__cls"), col("w"))
+      .agg(count(lit(1)).as("n_dw"))
+    // per-class term counts + totals (the training side)
+    val cw = tokP.groupBy(col("__cls"), col("w"))
+      .agg(count(lit(1)).as("n_cw"))
+    val classTotals = cw.groupBy(col("__cls"))
+      .agg(sum(col("n_cw")).as("n_c"))
+    val vocabSize = cw.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = df.groupBy(col(classCol).as("__cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val docsTotal = df.agg(count(lit(1)).as("n_docs_tot"))
+
+    // dense vocab × classes weight table: unseen (class, word) pairs
+    // get the Laplace floor 1/(N_c + V); log-probs quantized to
+    // integer micro-units here, in the bounded model frame
+    val vocab = cw.select(col("w")).distinct()
+    val weights = vocab
+      .crossJoin(classTotals)
+      .crossJoin(vocabSize)
+      .join(cw, Seq("w", "__cls"), "left")
+      .select(col("w"), col("__cls"),
+        floor(log((coalesce(col("n_cw"), lit(0L)) + 1.0) /
+          (col("n_c") + col("v"))) * 1e6 + 0.5).cast("long").as("w6"))
+    val prior6 = priors.crossJoin(docsTotal)
+      .select(col("__cls"),
+        floor(log(col("n_docs").cast("double") / col("n_docs_tot")) * 1e6
+          + 0.5).cast("long").as("p6"))
+
+    // score every document against every class; exact integer sums
+    val scored = dw
+      .withColumnRenamed("__cls", "__actual")
+      .join(weights, Seq("w"))
+      .groupBy(col(idCol), col("__actual"), col("__cls"))
+      .agg(sum(col("n_dw") * col("w6")).as("l6"))
+      .join(prior6, Seq("__cls"))
+      .select(col(idCol), col("__actual"), col("__cls"),
+        (col("l6") + col("p6")).as("score6"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score6").desc, col("__cls").asc)
+    scored
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__actual").as(classCol),
+        col("__cls").as("predicted"), col("score6"))
+  }
 }

@@ -679,4 +679,77 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Top principal component of an embedding column: (mean, unit
+    * eigenvector, eigenvalue, n) — the one-dimensional PCA that
+    * underlies embedding whitening, drift axes, and "spectral" data
+    * pruning. Distributed work is ONE pass: the
+    * [[graft.functions.VecAggs.vecMoments]] aggregate ships a single
+    * O(d²) buffer per partition (Σx, upper-triangular Σx·xᵀ, n); the
+    * d × d covariance (E[xxᵀ] − μμᵀ) and the power iteration on it
+    * are driver-side arithmetic on that bounded metadata — 64×64 at
+    * any corpus size, the same collect class as the IVF/PQ codebooks.
+    * Deterministic: fixed uniform init, fixed 200 iterations, sign
+    * fixed so the largest-|loading| coordinate is positive.
+    */
+  def topPrincipalComponent(corpus: DataFrame, embCol: String)
+      : (Seq[Double], Seq[Double], Double, Long) = {
+    val row = corpus
+      .agg(graft.functions.VecAggs.vecMoments(
+        toDouble(col(embCol))).as("m"))
+      .selectExpr("m.sums AS sums", "m.outer AS outer", "m.n AS n")
+      .head()
+    val sums = row.getSeq[Double](0)
+    val outer = row.getSeq[Double](1)
+    val n = row.getLong(2)
+    require(n > 0, "topPrincipalComponent on an empty corpus")
+    val d = sums.size
+    val mean = sums.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      val c = outer(k) / n - mean(i) * mean(j)
+      cov(i)(j) = c
+      cov(j)(i) = c
+      k += 1
+    }
+    def matVec(v: Array[Double]): Array[Double] = {
+      val r = new Array[Double](d)
+      for (i <- 0 until d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+        r(i) = s
+      }
+      r
+    }
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      if (nm == 0.0) v else v.map(_ / nm)
+    }
+    var v = normalize(Array.fill(d)(1.0))
+    for (_ <- 0 until 200) v = normalize(matVec(v))
+    // sign convention: largest-|loading| coordinate positive
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v = v.map(-_)
+    val cv = matVec(v)
+    val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
+    (mean.toSeq, v.toSeq, lambda, n)
+  }
+
+  /** Centered projection of every vector onto the top principal
+    * component: (id, proj). Mean and eigenvector reach the scan as
+    * array literals (broadcast-by-literal), the dot product is the
+    * codegen'd `zip_with`/`aggregate` pipeline — a pure map over the
+    * corpus, no shuffle.
+    */
+  def pcaProject(corpus: DataFrame, embCol: String, idCol: String,
+      mean: Seq[Double], pc: Seq[Double]): DataFrame = {
+    val centered = zip_with(toDouble(col(embCol)), typedlit(mean),
+      (x, m) => x - m)
+    val proj = aggregate(
+      zip_with(centered, typedlit(pc), (x, w) => x * w),
+      lit(0.0), (acc, x) => acc + x)
+    corpus.select(col(idCol), proj.as("proj"))
+  }
 }

@@ -716,4 +716,83 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Flesch reading-ease per document — the classic readability score
+    * used as a quality/complexity signal in corpus curation:
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * Sentences are `[.!?]+` runs (min 1); syllables use the standard
+    * vowel-group heuristic (`[aeiouy]+` runs per lowercased word, min
+    * 1 per word — "rhythm" counts 1, not 0). All three counts are
+    * exact integers from codegen'd regex/array expressions (no UDF:
+    * `regexp_extract_all` + higher-order `transform`/`aggregate`
+    * stay inside whole-stage codegen); the score is one float
+    * expression floor-rounded at 6 decimals, computed identically by
+    * the oracle. Single narrow scan — no shuffle at all.
+    *
+    * Output: (id, n_words, n_sents, n_syll, flesch).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = wsTokens(lower(col(textCol)))
+    val nWords = greatest(
+      size(filter(words, w => w =!= "")), lit(1L)).cast("long")
+    val nSents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+      lit(1L)).cast("long")
+    val nSyll = aggregate(
+      transform(filter(words, w => w =!= ""),
+        w => greatest(
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val score = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+      lit(84.6) * (col("n_syll").cast("double") / col("n_words"))
+    df.select(col(idCol), nWords.as("n_words"), nSents.as("n_sents"),
+        nSyll.as("n_syll"))
+      .select(col(idCol), col("n_words"), col("n_sents"), col("n_syll"),
+        (floor(score * 1e6 + 0.5) / 1e6).as("flesch"))
+  }
+
+  /** Cross-source n-gram duplication matrix — the corpus-level
+    * leakage screen between mixture components: for every ordered
+    * source pair, how many distinct word `n`-shingles they share and
+    * the Jaccard overlap of their shingle sets. Where
+    * [[graft.operators.CorpusStats.vocabOverlap]] compares
+    * vocabularies, this compares CONTENT (5-gram phrases): a high
+    * off-diagonal here means near-duplicate text is crossing source
+    * boundaries and per-source dedup is not enough.
+    *
+    * Scale shape: one distinct (source, shingle) frame (map-side
+    * combined) feeds set sizes AND the pair intersection; the
+    * shingle-keyed self-join fans out only (sources sharing that
+    * shingle)², bounded by the mixture size squared — never by corpus
+    * size. The full pair spine (including zero-overlap pairs) comes
+    * from crossing the bounded per-source size frame with itself.
+    *
+    * Output: (src_a, src_b, shared, jac) for every pair src_a < src_b.
+    */
+  def crossDupMatrix(df: DataFrame, groupCol: Column, textCol: String,
+      n: Int = 5): DataFrame = {
+    val ss = graft.HeavyPersist(
+      df.select(groupCol.as("src"),
+          explode(shingles(lower(col(textCol)), n)).as("sh"))
+        .distinct())
+    val sizes = ss.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val shared = ss.select(col("src").as("src_a"), col("sh"))
+      .join(ss.select(col("src").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    sizes.select(col("src").as("src_a"), col("sz").as("sz_a"))
+      .crossJoin(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")))
+      .filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        (floor(coalesce(col("shared"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("shared"), lit(0L)))
+          * 1e6 + 0.5) / 1e6).as("jac"))
+  }
 }

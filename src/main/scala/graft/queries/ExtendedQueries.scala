@@ -1179,6 +1179,69 @@ object ExtendedQueries {
               .as("jacc"))
           .filter(col("jacc") >= 0.8)
           .orderBy("id_a", "id_b")
+      }),
+
+    // Top principal component of the embedding table (one-pass O(d²)
+    // moments aggregate + driver-side power iteration on the 64×64
+    // covariance — codebook-class metadata, never the vectors).
+    // Contract oracle (q42 form): the exact parts (row count, max
+    // per-dimension population variance via milli-quantized integer
+    // sums) replay in DuckDB; the spectral parts ride as booleans the
+    // engine must make true — unit-norm eigenvector, eigenvalue
+    // dominating every coordinate variance, centered projections with
+    // zero mean and variance equal to the eigenvalue.
+    Query("q174_pca_top1", Some(
+      """WITH x AS (
+        |  SELECT g.i AS dim,
+        |    CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1e3 + 0.5)
+        |      AS BIGINT) AS x3
+        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |v AS (SELECT dim, COUNT(*) AS n, CAST(SUM(x3) AS BIGINT) AS s1,
+        |    CAST(SUM(x3 * x3) AS BIGINT) AS s2
+        |  FROM x GROUP BY 1),
+        |pv AS (SELECT dim,
+        |    FLOOR(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n * 1e6) * 1e6 + 0.5) / 1e6
+        |      AS popvar
+        |  FROM v)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+        |    AS n_vecs,
+        |  (SELECT MAX(popvar) FROM pv) AS max_dim_var,
+        |  true AS unit_norm, true AS lambda_ge_maxvar,
+        |  true AS proj_mean_zero, true AS proj_var_ok""".stripMargin))(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (mean, pc, lambda, _) =
+          Similarity.topPrincipalComponent(emb, "embedding")
+        val unitNorm =
+          math.abs(math.sqrt(pc.map(x => x * x).sum) - 1.0) < 1e-9
+        val projStats = Similarity
+          .pcaProject(emb, "embedding", "vec_id", mean, pc)
+          .agg(avg(col("proj")).as("mp"),
+            avg(col("proj") * col("proj")).as("mpp"))
+        val exact = emb
+          .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("dim"),
+            floor(col("xf").cast("double") * 1e3 + 0.5).cast("long")
+              .as("x3"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("x3")).as("s1"),
+            sum(col("x3") * col("x3")).as("s2"))
+          .select((floor((col("n") * col("s2") - col("s1") * col("s1"))
+              .cast("double")
+            / (col("n").cast("double") * col("n") * 1e6) * 1e6 + 0.5)
+            / 1e6).as("popvar"))
+          .agg(max(col("popvar")).as("max_dim_var"))
+        emb.agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(exact)
+          .crossJoin(projStats)
+          .select(col("n_vecs"), col("max_dim_var"),
+            lit(unitNorm).as("unit_norm"),
+            (col("max_dim_var") <= lit(lambda + 0.01))
+              .as("lambda_ge_maxvar"),
+            (abs(col("mp")) < 1e-6).as("proj_mean_zero"),
+            (abs(col("mpp") - col("mp") * col("mp") - lambda) <=
+              lit(1e-6 * (math.abs(lambda) + 1.0))).as("proj_var_ok"))
       })
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CorpusStats, Selection, Temporal}
+import graft.operators.{CorpusStats, Selection, Temporal, TextAnalysis}
 
 /** Round-6 data-selection + corpus-health surface (SURVEY.md §2.10
   * continuation): DSIR hashed-importance scoring, per-source KL
@@ -343,6 +343,114 @@ object SelectionQueries {
           .select(col("k"), col("n"), col("total_value"),
             (floor(col("total_value") / col("n") * 1e6 + 0.5) / 1e6)
               .as("avg_value"))
-          .orderBy("k"))
+          .orderBy("k")),
+
+    // Multinomial Naive Bayes source classifier (train + score +
+    // confusion matrix in one program): per-class word log-likelihoods
+    // with Laplace smoothing, quantized to integer micro-units in the
+    // bounded vocab × classes model frame, so every per-doc score is
+    // an exact integer sum and the argmax (ties → min class) replays
+    // identically in the oracle.
+    Query("q171_nb_confusion", Some(
+      """WITH tok AS (
+        |  SELECT doc_id, source, w FROM (
+        |    SELECT doc_id, source, unnest(
+        |      string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |dw AS (SELECT doc_id, source, w, COUNT(*) AS n_dw
+        |       FROM tok GROUP BY 1, 2, 3),
+        |cw AS (SELECT source AS cls, w, COUNT(*) AS n_cw
+        |       FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT cls, CAST(SUM(n_cw) AS BIGINT) AS n_c
+        |       FROM cw GROUP BY 1),
+        |vs AS (SELECT COUNT(DISTINCT w) AS v FROM cw),
+        |vocab AS (SELECT DISTINCT w FROM cw),
+        |wt AS (SELECT vocab.w, ct.cls,
+        |    CAST(FLOOR(LN((COALESCE(cw.n_cw, 0) + 1.0) / (ct.n_c + vs.v))
+        |      * 1e6 + 0.5) AS BIGINT) AS w6
+        |  FROM vocab CROSS JOIN ct CROSS JOIN vs
+        |  LEFT JOIN cw ON cw.w = vocab.w AND cw.cls = ct.cls),
+        |pr AS (SELECT source AS cls, COUNT(*) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |prt AS (SELECT COUNT(*) AS n_docs_tot FROM documents),
+        |p6 AS (SELECT cls, CAST(FLOOR(LN(CAST(n_docs AS DOUBLE)
+        |      / n_docs_tot) * 1e6 + 0.5) AS BIGINT) AS p6
+        |  FROM pr, prt),
+        |sc AS (SELECT dw.doc_id, dw.source AS actual, wt.cls,
+        |    CAST(SUM(dw.n_dw * wt.w6) AS BIGINT) AS l6
+        |  FROM dw JOIN wt ON wt.w = dw.w GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, actual, cls AS predicted FROM (
+        |    SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY sc.l6 + p6.p6 DESC, cls) AS rn
+        |    FROM sc JOIN p6 USING (cls)) WHERE rn = 1)
+        |SELECT actual AS source, predicted, COUNT(*) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))(
+      (s, dir) =>
+        Selection.naiveBayes(t(s, dir, "documents"), "doc_id", "text",
+            "source")
+          .groupBy(col("source"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("source", "predicted")),
+
+    // Flesch reading-ease per document: exact integer word /
+    // sentence / vowel-group-syllable counts from codegen'd regex +
+    // higher-order array expressions (zero shuffle), score
+    // floor-rounded at 6 decimals — the identical float expression on
+    // both engines.
+    Query("q172_readability", Some(
+      """WITH w AS (
+        |  SELECT doc_id, text, list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(GREATEST(len(ws), 1) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sents,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x ->
+        |        GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+        |      AS BIGINT) AS n_syll
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  FLOOR((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)) * 1e6 + 0.5)
+        |    / 1e6 AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // Cross-source 5-gram duplication matrix: distinct shingles per
+    // source, shared counts + Jaccard per ordered source pair — the
+    // mixture-level leakage screen (vocabOverlap compares WORDS, this
+    // compares phrases).
+    Query("q173_crossdup", Some(
+      """WITH ss AS (
+        |  SELECT DISTINCT source AS src, sh FROM (
+        |    SELECT source, unnest([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |        toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |        FOR i IN generate_series(1, len(toks) - 4)]) AS sh
+        |    FROM (SELECT source,
+        |        string_split_regex(trim(lower(text)), '\s+') AS toks
+        |      FROM documents))),
+        |sizes AS (SELECT src, COUNT(*) AS sz FROM ss GROUP BY 1),
+        |shared AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    COUNT(*) AS shared
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT sa.src AS src_a, sb.src AS src_b,
+        |  COALESCE(sh.shared, 0) AS shared,
+        |  FLOOR(CAST(COALESCE(sh.shared, 0) AS DOUBLE) /
+        |    (sa.sz + sb.sz - COALESCE(sh.shared, 0)) * 1e6 + 0.5) / 1e6
+        |    AS jac
+        |FROM sizes sa CROSS JOIN sizes sb
+        |LEFT JOIN shared sh ON sh.src_a = sa.src AND sh.src_b = sb.src
+        |WHERE sa.src < sb.src
+        |ORDER BY src_a, src_b""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.crossDupMatrix(t(s, dir, "documents"), col("source"),
+            "text", n = 5)
+          .orderBy("src_a", "src_b"))
   )
 }

@@ -126,4 +126,63 @@ class SelectionSpec extends SparkSpec {
       .agg(sum("n_masked").cast("double") / sum("n_tokens")).head.getDouble(0)
     assert(bulk > 0.10 && bulk < 0.20, s"bulk mask rate $bulk")
   }
+
+  /** Straight-line NB reference: Laplace-smoothed per-class word
+    * log-probs quantized to micro-units, argmax with min-class ties —
+    * the exact arithmetic naiveBayes distributes.
+    */
+  private def refNb(rows: Seq[(Long, String, String)])
+      : Map[Long, (String, Long)] = {
+    val toks = rows.flatMap { case (id, text, c) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map(w => (id, c, w))
+    }
+    val classes = rows.map(_._3).distinct.sorted
+    val vocab = toks.map(_._3).distinct
+    val v = vocab.size
+    val cw = toks.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val nC = toks.groupBy(_._2).view.mapValues(_.size).toMap
+    val w6 = (for (c <- classes; w <- vocab) yield (c, w) ->
+      math.floor(math.log((cw.getOrElse((c, w), 0) + 1.0) /
+        (nC(c) + v)) * 1e6 + 0.5).toLong).toMap
+    val nDocs = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    val p6 = classes.map(c => c ->
+      math.floor(math.log(nDocs(c).toDouble / rows.size) * 1e6 + 0.5)
+        .toLong).toMap
+    rows.map { case (id, text, _) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      val scores = classes.map(c =>
+        c -> (p6(c) + ws.map(w => w6((c, w))).sum))
+      val best = scores.minBy { case (c, s) => (-s, c) }
+      id -> best
+    }.toMap
+  }
+
+  test("naiveBayes matches the brute-force model on every document " +
+      "and separates the toy corpus") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val got = Selection.naiveBayes(df, "doc_id", "text", "source")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[String]("predicted"),
+          r.getAs[Long]("score6")))).toMap
+    val want = refNb(corpus)
+    corpus.foreach { case (id, _, src) =>
+      val (pc, ps) = want(id)
+      assert(got(id) == ((src, pc, ps)), s"doc $id")
+    }
+    // the toy corpus is cleanly separable: predictions == actuals
+    assert(got.values.forall { case (a, p, _) => a == p })
+  }
+
+  test("naiveBayes breaks score ties on the lexicographically " +
+      "smallest class") {
+    // two classes with mirrored corpora: every doc scores identically
+    // under both models, so every prediction must fall to class "a"
+    val df = Seq((1L, "x y", "a"), (2L, "x y", "b")).toDF(
+      "doc_id", "text", "source")
+    val got = Selection.naiveBayes(df, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("predicted")).toMap
+    assert(got == Map(1L -> "a", 2L -> "a"))
+  }
 }

@@ -363,4 +363,54 @@ class SimilaritySpec extends SparkSpec {
       q, emb.count().toInt).as[(Long, Double)].collect().toMap
     got.foreach { case (id, s) => assert(s == exactById(id)) }
   }
+
+  test("vecMoments: sums, upper-triangle outer products, and count " +
+      "match brute force regardless of partitioning") {
+    val vecs = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0),
+      Seq(-1.0, 0.5, 2.0))
+    val row = vecs.toDF("v").repartition(3)
+      .agg(graft.functions.VecAggs.vecMoments(col("v")).as("m"))
+      .selectExpr("m.sums", "m.outer", "m.n").head()
+    val sums = row.getSeq[Double](0)
+    val outer = row.getSeq[Double](1)
+    assert(row.getLong(2) == 3L)
+    val d = 3
+    for (i <- 0 until d)
+      assert(math.abs(sums(i) - vecs.map(_(i)).sum) < 1e-12)
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      val want = vecs.map(v => v(i) * v(j)).sum
+      assert(math.abs(outer(k) - want) < 1e-12, s"outer($i,$j)")
+      k += 1
+    }
+  }
+
+  test("topPrincipalComponent recovers a planted dominant direction " +
+      "and pcaProject's variance equals the eigenvalue") {
+    // points strung along u = (3,4)/5 with small off-axis jitter: the
+    // top eigenvector must align with u and λ ≈ var along u
+    val u = Seq(0.6, 0.8)
+    val ts = (0 until 40).map(i => (i - 19.5) / 4.0)
+    val vecs = ts.zipWithIndex.map { case (tv, i) =>
+      val eps = 0.01 * (if (i % 2 == 0) 1 else -1)
+      (i.toLong, Seq((tv * u(0) - eps * u(1)).toFloat,
+        (tv * u(1) + eps * u(0)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (mean, pc, lambda, n) =
+      Similarity.topPrincipalComponent(df, "embedding")
+    assert(n == 40L)
+    assert(math.abs(math.sqrt(pc.map(x => x * x).sum) - 1.0) < 1e-9)
+    val align = math.abs(pc.zip(u).map { case (a, b) => a * b }.sum)
+    assert(align > 0.9999, s"alignment $align")
+    assert(lambda > 0.99 * ts.map(t => t * t).sum / ts.size)
+    // projection variance reproduces the eigenvalue
+    val proj = Similarity.pcaProject(df, "embedding", "vec_id", mean, pc)
+      .as[(Long, Double)].collect().map(_._2)
+    val m = proj.sum / proj.length
+    val pv = proj.map(p => (p - m) * (p - m)).sum / proj.length
+    assert(math.abs(pv - lambda) < 1e-9 * (lambda + 1),
+      s"projVar $pv vs lambda $lambda")
+    assert(math.abs(m) < 1e-12)
+  }
 }

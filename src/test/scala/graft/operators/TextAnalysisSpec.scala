@@ -385,4 +385,57 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got.collect { case ((l, _), n) if l == lvl => n }.sum == 3L)
     }
   }
+
+  test("readability: hand-counted Flesch on known sentences") {
+    // "the cat sat." → 3 words, 1 sentence, 3 syllables (1 each);
+    // "reading is easier than writing!" → 5 words, 1 sentence,
+    // syllables: rea|ding 2 + is 1 + ea|sier 2(ea, ie... vowel groups:
+    // 'easier' → 'ea','ie' = 2) + than 1 + wri|ting 2 = 8
+    val df = Seq((1L, "the cat sat."),
+      (2L, "reading is easier than writing!")).toDF("id", "text")
+    val got = TextAnalysis.readability(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))).toMap
+    def flesch(w: Long, s: Long, y: Long): Double =
+      math.floor((206.835 - 1.015 * (w.toDouble / s)
+        - 84.6 * (y.toDouble / w)) * 1e6 + 0.5) / 1e6
+    assert(got(1L) == ((3L, 1L, 3L, flesch(3, 1, 3))))
+    assert(got(2L) == ((5L, 1L, 8L, flesch(5, 1, 8))))
+  }
+
+  test("readability: zero-vowel words count one syllable; empty text " +
+      "clamps to the 1-word 1-sentence floor") {
+    val df = Seq((1L, "hmm pfft"), (2L, "")).toDF("id", "text")
+    val got = TextAnalysis.readability(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 2L)))
+    assert(got(2L)._1 == 1L && got(2L)._2 == 1L)
+  }
+
+  test("crossDupMatrix matches brute-force shingle-set Jaccard and " +
+      "keeps zero-overlap pairs on the spine") {
+    val rows = Seq(
+      ("s1", "a b c d e f g"),        // shares the abcde window family
+      ("s2", "a b c d e f z"),        //   with s1
+      ("s3", "p q r s t u v")         // disjoint from both
+    )
+    val df = rows.toDF("source", "text")
+    val got = TextAnalysis.crossDupMatrix(df, col("source"), "text", n = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    val sets = rows.map { case (s, t) => s -> sh(t) }.toMap
+    for (a <- rows.map(_._1); b <- rows.map(_._1) if a < b) {
+      val inter = (sets(a) & sets(b)).size.toLong
+      val jac = math.floor(inter.toDouble /
+        (sets(a).size + sets(b).size - inter) * 1e6 + 0.5) / 1e6
+      assert(got((a, b)) == ((inter, jac)), s"pair ($a,$b)")
+    }
+    assert(got(("s1", "s3")) == ((0L, 0.0)))
+    assert(got.size == 3)
+  }
 }
