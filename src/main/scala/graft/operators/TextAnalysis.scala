@@ -764,26 +764,43 @@ object TextAnalysis {
     * off-diagonal here means near-duplicate text is crossing source
     * boundaries and per-source dedup is not enough.
     *
-    * Scale shape: one distinct (source, shingle) frame (map-side
-    * combined) feeds set sizes AND the pair intersection; the
-    * shingle-keyed self-join fans out only (sources sharing that
-    * shingle)², bounded by the mixture size squared — never by corpus
-    * size. The full pair spine (including zero-overlap pairs) comes
-    * from crossing the bounded per-source size frame with itself.
+    * Scale shape: shingles are keyed by 60 bits of md5 (an 8-byte
+    * long through every shuffle instead of a ~40-char phrase string;
+    * collisions ~2⁻⁶⁰ per pair, and the oracle hashes identically so
+    * the comparison is still exact). One distinct (source, key) frame
+    * (map-side combined) feeds set sizes AND the intersection; the
+    * intersection groups by key and expands ordered pairs from the
+    * bounded per-key source set (≤ mixture size — never corpus-bound),
+    * the [[Association.basketPairs]] shape, so there is no self-join:
+    * one aggregation shuffle total. The full pair spine (including
+    * zero-overlap pairs) comes from crossing the bounded per-source
+    * size frame with itself.
     *
     * Output: (src_a, src_b, shared, jac) for every pair src_a < src_b.
     */
   def crossDupMatrix(df: DataFrame, groupCol: Column, textCol: String,
       n: Int = 5): DataFrame = {
+    // tokens materialize as a named column BEFORE the n-gram windows:
+    // inlined, every element_at in the window lambda re-evaluates the
+    // regex split per element (measured 20× on this operator)
     val ss = graft.HeavyPersist(
       df.select(groupCol.as("src"),
-          explode(shingles(lower(col(textCol)), n)).as("sh"))
+          wsTokens(lower(col(textCol))).as("__t"))
+        .select(col("src"),
+          explode(shinglesFromTokens(col("__t"), n)).as("sh"))
+        .select(col("src"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+            .as("h"))
         .distinct())
     val sizes = ss.groupBy(col("src")).agg(count(lit(1)).as("sz"))
-    val shared = ss.select(col("src").as("src_a"), col("sh"))
-      .join(ss.select(col("src").as("src_b"), col("sh")), Seq("sh"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
+    val shared = ss.groupBy(col("h"))
+      .agg(array_sort(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(flatten(
+        transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+            struct(a.as("a"), b.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
     sizes.select(col("src").as("src_a"), col("sz").as("sz_a"))
       .crossJoin(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")))

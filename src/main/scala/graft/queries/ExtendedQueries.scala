@@ -1163,11 +1163,15 @@ object ExtendedQueries {
         // unmatched corpus rows
         val ids = cand.select(col("id_a").as("doc_id"))
           .unionAll(cand.select(col("id_b").as("doc_id"))).distinct()
+        // tokens materialize as a named column first: inlined into the
+        // window lambda, every element_at re-runs the regex split
         val feats = graft.HeavyPersist(docs.unionAll(delta)
           .join(ids, Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
+            graft.operators.TextAnalysis.wsTokens(col("text")).as("__t"))
+          .select(col("doc_id"),
             graft.operators.TextAnalysis.shinglesFromTokens(
-              graft.operators.TextAnalysis.wsTokens(col("text")), 3).as("sh")),
+              col("__t"), 3).as("sh")),
           freshScope = false)
         cand
           .join(feats.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),

@@ -427,7 +427,8 @@ object SelectionQueries {
     // compares phrases).
     Query("q173_crossdup", Some(
       """WITH ss AS (
-        |  SELECT DISTINCT source AS src, sh FROM (
+        |  SELECT DISTINCT source AS src,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM (
         |    SELECT source, unnest([toks[i] || ' ' || toks[i+1] || ' ' ||
         |        toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
         |        FOR i IN generate_series(1, len(toks) - 4)]) AS sh
@@ -437,7 +438,7 @@ object SelectionQueries {
         |sizes AS (SELECT src, COUNT(*) AS sz FROM ss GROUP BY 1),
         |shared AS (SELECT a.src AS src_a, b.src AS src_b,
         |    COUNT(*) AS shared
-        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.src < b.src
+        |  FROM ss a JOIN ss b ON a.h = b.h AND a.src < b.src
         |  GROUP BY 1, 2)
         |SELECT sa.src AS src_a, sb.src AS src_b,
         |  COALESCE(sh.shared, 0) AS shared,
