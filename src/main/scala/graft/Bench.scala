@@ -82,6 +82,11 @@ object Bench {
     // (total, counts, failures) come BEFORE the per-query map so a
     // tail-truncated capture still carries the headline numbers.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"index_build":$idxSec,"sf":"$sfDir","queries":$qs}""")
+    // At 174+ queries the line above is ~8 KB while the driver keeps only
+    // the LAST ~4 KB of output — the leading summary keys fall off the
+    // front of the window. Re-print the summary alone on its own short
+    // line so a tail-truncated capture always carries a parseable total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"index_build":$idxSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

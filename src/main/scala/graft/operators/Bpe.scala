@@ -147,6 +147,11 @@ object Bpe {
     * word; the corpus path is explode → dictionary join → one
     * per-document regroup (order restored by sorting (pos, subs)
     * structs, not by trusting collect_list).
+    *
+    * Zero-token-document policy: a document whose text tokenizes to
+    * no words has nothing to encode and is DROPPED from the output
+    * (row count may be less than the input's); callers needing every
+    * input row back left-join the result on `idCol`.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], outCol: String = "toks")

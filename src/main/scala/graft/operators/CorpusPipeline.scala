@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The north-star composition: one end-to-end LLM-training-corpus
+  * curation DAG chaining the per-stage operators this engine verifies
+  * piecewise — the corpus analog of the reference's CRM pipeline
+  * composition (/root/reference/main.py:650-684, which chains its
+  * clean/join/filter stages into one program the same way).
+  *
+  * Stage order is the published pre-training recipe:
+  *
+  *   1. clean      — [[TextAnalysis.cleanWebText]]: strip markup,
+  *                   unescape entities, collapse whitespace, NFC.
+  *   2. lang-id    — [[TextAnalysis.withLangId]]: keep `keepLang`.
+  *   3. quality    — [[TextAnalysis.gopherQualityFlags]]: keep
+  *                   `quality_ok` docs (published Gopher thresholds).
+  *   4. exact dedup— min-id representative per md5(clean) group,
+  *                   window-min form: ONE shuffle on the content
+  *                   hash (the groupBy+join-back form reshuffles the
+  *                   corpus twice), [[Dedup.exact]] semantics.
+  *   5. near-dup   — [[Dedup.setSimilarityJoin]] (exact prefix-filter
+  *                   Jaccard ≥ num/den on word `shingleN`-gram
+  *                   shingles) → [[Dedup.connectedComponents]] → keep
+  *                   each component's min-id representative.
+  *   6. decontam   — [[Decontaminate.decontaminate]]: drop survivors
+  *                   sharing any word `decontamN`-gram with the eval
+  *                   frame (eval grams broadcast; train never
+  *                   reshuffles for this stage).
+  *   7. split      — [[Sampling.groupSplit]] keyed on the COMPONENT
+  *                   label, so a near-dup pair can never straddle
+  *                   train/test even if both members survive.
+  *   8. pack       — [[Sampling.packBySequence]]: contiguous
+  *                   `packBudget`-token bins per (split, source).
+  *
+  * Composition is exactly what per-operator oracles can't check:
+  * schema drift at stage boundaries, persist lifetimes across an
+  * iterative stage, filters that must commute with joins. q175 runs
+  * this whole DAG against a single DuckDB replay of all eight stages.
+  *
+  * Scale shape: stages 1-3 are one narrow zero-shuffle projection
+  * chain over the corpus scan; stage 4 is the pipeline's first corpus
+  * shuffle; stages 5-6 run on the deduplicated survivor frame (the
+  * corpus after boilerplate/duplicate mass is gone), which
+  * `localCheckpoint` pins once — the iterative components stage and
+  * every later consumer read those blocks instead of re-running the
+  * regex chain (HeavyPersist would be evicted by the near-dup
+  * operator's own internal scope). Splitting adds no shuffle (the
+  * component label is already on the row); packing is one bounded
+  * per-(split, source) window.
+  */
+object CorpusPipeline {
+
+  /** Run the eight-stage curation DAG over `corpus` (idCol, source,
+    * textCol). Returns one row per surviving document:
+    * (idCol, source, comp, split, n_tokens, pack_id).
+    */
+  def curate(corpus: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalId: String, evalText: String,
+      keepLang: String = "en", jaccardNum: Int = 3, jaccardDen: Int = 5,
+      shingleN: Int = 3, decontamN: Int = 5,
+      packBudget: Int = 512): DataFrame = {
+    // 1-3: clean → lang gate → quality gate, one narrow chain. The
+    // quality stage re-tokenizes the cleaned text; its n_words IS the
+    // pipeline's token count (wsTokens), reused for packing below.
+    val cleaned = corpus.select(col(idCol), col("source"),
+      TextAnalysis.cleanWebText(col(textCol)).as("__clean"))
+    val langKept = TextAnalysis.withLangId(cleaned, "__clean", "__lang")
+      .filter(col("__lang") === keepLang).drop("__lang")
+    val qual = langKept
+      .join(TextAnalysis.gopherQualityFlags(langKept, idCol, "__clean")
+          .filter(col("quality_ok"))
+          .select(col(idCol), col("n_words").as("n_tokens")),
+        Seq(idCol))
+    // 4: exact dedup, window-min form — one shuffle on the hash key,
+    // min-doc_id representative (Dedup.exact's tiebreak contract)
+    val ex = qual
+      .withColumn("__gid", min(col(idCol))
+        .over(Window.partitionBy(md5(col("__clean")))))
+      .filter(col(idCol) === col("__gid")).drop("__gid")
+      .localCheckpoint(false)
+    // 5: exact near-dup pairs → components → component representative
+    val pairs = Dedup.setSimilarityJoin(ex, idCol, "__clean",
+        jaccardNum, jaccardDen, n = shingleN)
+      .select("id_a", "id_b")
+    val reps = ex
+      .join(Dedup.connectedComponents(
+            ex.select(col(idCol)), idCol, pairs)
+          .filter(col("id") === col("comp"))
+          .select(col("id").as(idCol), col("comp")),
+        Seq(idCol))
+    // 6-8: decontaminate vs the eval frame, split by component,
+    // pack per (split, source)
+    val decon = Decontaminate.decontaminate(reps, idCol, "__clean",
+      evalDocs, evalId, evalText, n = decontamN)
+    Sampling.packBySequence(
+        Sampling.groupSplit(decon, col("comp"))
+          .select(col(idCol), col("source"), col("comp"), col("split"),
+            col("n_tokens")),
+        Seq("split", "source"), idCol, "n_tokens", packBudget)
+  }
+}

@@ -788,11 +788,16 @@ object Dedup {
         col("t")(2).as("id_c"))
   }
 
-  /** EXACT set-similarity self-join via prefix filtering (the
+  /** Set-similarity self-join via prefix filtering (the
     * AllPairs / SSJoin family — Bayardo et al. WWW'07, Chaudhuri et
     * al. ICDE'06): every document pair whose distinct-token Jaccard
-    * is ≥ num/den, with NO false negatives — the deterministic
-    * complement to the probabilistic MinHash path. The threshold is a
+    * is ≥ num/den. EXACT — no false negatives — whenever no prefix
+    * posting exceeds `maxTokenBucket` (the cap drops all prefix
+    * entries of a hotter token from BOTH sides, so a pair whose
+    * shared prefix tokens are all capped is silently lost; below the
+    * cap the pigeonhole completeness proof holds unconditionally).
+    * The deterministic complement to the probabilistic MinHash path.
+    * The threshold is a
     * RATIONAL (num/den), so both the prefix length and the final
     * test are exact integer arithmetic — a float `ceil(τ·|s|)`
     * mis-rounds at representable boundaries and silently breaks the
@@ -923,7 +928,7 @@ object Dedup {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val sym = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionAll(edges.select(col(bCol).as("a"), col(aCol).as("b")))
-      .repartition(col("a"))
+      .repartition(col("b")) // "b" is the per-round join key — partition
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def materialize(df: DataFrame): Unit = df.count(): Unit

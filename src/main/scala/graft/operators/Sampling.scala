@@ -151,16 +151,20 @@ object Sampling {
     *
     * Plans as TakeOrderedAndProject — per-partition k-heaps, never a
     * corpus sort. Rows with weight ≤ 0 or null are excluded (zero
-    * weight means "never sample"; −ln(u)/0 is not a rank). The ES key
+    * weight means "never sample"; −ln(u)/0 is not a rank), and so are
+    * rows with a null `key`: a null key has no md5 and therefore no
+    * content-derived draw (conv(md5(null)) is NULL, which under
+    * ascending nulls-first ordering would silently claim sample slots
+    * — the null-key policy is exclusion, not rank-zero). The ES key
     * is pure IEEE arithmetic from an integer, so both engines order
     * identically; `tie` must be unique for a deterministic cut.
     */
   def weightedTopK(df: DataFrame, key: Column, weight: Column, k: Int,
       tie: Column, keyOut: String = "es_key"): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
-    val u = (conv(substring(coalesce(md5(key), lit("")), 1, 6), 16, 10)
+    val u = (conv(substring(md5(key), 1, 6), 16, 10)
       .cast("double") + 0.5) / lit(16777216.0)
-    df.filter(weight.isNotNull && weight > 0)
+    df.filter(key.isNotNull && weight.isNotNull && weight > 0)
       .withColumn(keyOut, -log(u) / weight.cast("double"))
       .orderBy(col(keyOut), tie)
       .limit(k)

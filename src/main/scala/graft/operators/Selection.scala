@@ -177,7 +177,11 @@ object Selection {
     *
     * Output: (id, `classCol`, predicted, score6) — actual class kept
     * alongside the prediction so a confusion matrix is one groupBy
-    * away.
+    * away. Zero-token-document policy: a document whose text
+    * tokenizes to no words has no features to score and is DROPPED
+    * from the output (row count may be less than the input's); the
+    * oracle mirrors this. Callers needing every input row back
+    * left-join the result on `idCol`.
     */
   def naiveBayes(df: DataFrame, idCol: String, textCol: String,
       classCol: String): DataFrame = {

@@ -28,11 +28,14 @@ object SelectionQueries {
     // per-doc score is an exact integer sum — both engines sum the
     // same integers in any order.
     Query("q157_dsir", Some(
-      """WITH tok AS (
+      """WITH rawtok AS (
         |  SELECT doc_id, source IN ('src1','src2','src3') AS tgt,
-        |    ('0x' || substr(md5(unnest(
-        |       string_split_regex(trim(text), '\s+'))), 1, 2))::BIGINT AS b
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
         |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(w), 1, 2))::BIGINT AS b
+        |  FROM rawtok WHERE w <> ''),
         |tb AS (
         |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS t,
         |         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS r
