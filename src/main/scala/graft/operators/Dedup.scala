@@ -812,6 +812,20 @@ object Dedup {
     * posting (the standard completeness trade, documented like every
     * pairing cap here); the final verify touches candidates only,
     * comparing inter·den ≥ num·union in integers.
+    *
+    * Duplicate-heavy corpora (the q32/q39 lesson, SCALE.md): docs
+    * with IDENTICAL shingle sets would each post their full prefix
+    * and every twin pair would ride the candidate join — a k-twin
+    * pile costs C(k,2) candidates per prefix token and measured 6.8×
+    * at the 10-twin sf1 stress. So the join runs DEDUP-FIRST: group
+    * identical sets (one window-min on the sorted array), run
+    * prefix + verify over the per-distinct-set REPRESENTATIVES only,
+    * then expand — intra-group member pairs are J = 1 by definition
+    * (inter = un = |set|), cross-group rep pairs broadcast their
+    * verified (inter, un, jac) to all member pairs. Output is
+    * pair-for-pair identical to the all-pairs definition; the
+    * prefix-posting cap now counts DISTINCT sets, so completeness
+    * under the cap strictly improves on duplicate piles.
     */
   def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       num: Int, den: Int, n: Int = 3, maxTokenBucket: Int = 10000)
@@ -831,17 +845,24 @@ object Dedup {
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("__f"))
     // per-doc token array, rarest-first (global freq, then token —
     // array_sort on (f, tok) structs is the deterministic order both
-    // the prefix and the verify share)
-    val sets = persistHeavy(toks.join(freq, "tok")
+    // the prefix and the verify share), then grouped by VALUE: gid =
+    // min member id per distinct array (docs with no shingles never
+    // reach `toks`, so they have no row here — and no pairs, matching
+    // the all-pairs definition where J = 0/0 is no match)
+    val grouped = persistHeavy(toks.join(freq, "tok")
       .groupBy("id")
       .agg(transform(
         array_sort(collect_list(struct(col("__f"), col("tok")))),
         s => s.getField("tok")).as("ts"))
-      .select(col("id"), col("ts"), size(col("ts")).as("sz")))
+      .select(col("id"), col("ts"), size(col("ts")).as("sz"))
+      .withColumn("gid", min(col("id")).over(Window.partitionBy("ts"))))
+    val members = grouped.select(col("gid"), col("id"))
+    val reps = grouped.filter(col("id") === col("gid"))
+      .select(col("id"), col("ts"), col("sz"))
     // prefix length: sz − ceil(sz·num/den) + 1, integer ceil
     val p = col("sz") - floor((col("sz") * num + (den - 1)) / lit(den))
       .cast("int") + 1
-    val prefixes = sets.select(col("id"), col("sz"),
+    val prefixes = reps.select(col("id"), col("sz"),
         explode(slice(col("ts"), lit(1), p)).as("tok"))
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy("tok")))
@@ -855,17 +876,37 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val inter = size(array_intersect(col("ta"), col("tb")))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("ts").as("ta"),
+    val crossReps = cand
+      .join(reps.select(col("id").as("id_a"), col("ts").as("ta"),
         col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("ts").as("tb"),
+      .join(reps.select(col("id").as("id_b"), col("ts").as("tb"),
         col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"), inter.as("inter"),
         (col("sz_a") + col("sz_b") - inter).as("un"))
       .filter(col("inter") * den >= col("un") * num)
-      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+      .select(col("id_a").as("ga"), col("id_b").as("gb"), col("inter"),
+        col("un"),
         (floor(col("inter").cast("double") / col("un") * 1e6 + 0.5) / 1e6)
           .as("jac"))
+    // expansion back to member pairs. Intra-group: identical sets,
+    // J = 1 exactly (any τ ≤ 1 passes). Cross-group: member ids
+    // interleave across groups, so least/greatest restores id_a < id_b
+    // (the expandCross convention). Streamed self-join, not a
+    // collected-bucket expansion — memory-bounded at any group size.
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.gid") === col("m2.gid") && col("m1.id") < col("m2.id"))
+      .select(col("m1.gid").as("__g"), col("m1.id").as("id_a"),
+        col("m2.id").as("id_b"))
+      .join(reps.select(col("id").as("__g"), col("sz")), "__g")
+      .select(col("id_a"), col("id_b"), col("sz").as("inter"),
+        col("sz").as("un"), lit(1.0).as("jac"))
+    val cross = crossReps
+      .join(members.select(col("gid").as("ga"), col("id").as("ia")), "ga")
+      .join(members.select(col("gid").as("gb"), col("id").as("ib")), "gb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("inter"), col("un"), col("jac"))
+    intra.unionAll(cross)
   }
 
   /** Entity-resolution clustering: given STRING-keyed match pairs

@@ -194,9 +194,21 @@ object Selection {
     // per-doc term counts (the scoring side)
     val dw = tokP.groupBy(col(idCol), col("__cls"), col("w"))
       .agg(count(lit(1)).as("n_dw"))
-    // per-class term counts + totals (the training side)
-    val cw = tokP.groupBy(col("__cls"), col("w"))
-      .agg(count(lit(1)).as("n_cw"))
+    // per-class term counts + totals (the training side). Persisted
+    // alongside tokP (freshScope=false appends to the registry) AND
+    // materialized EAGERLY: four consumers derive from this frame
+    // (class totals, vocab size, the vocab itself, the weight join),
+    // and a lazily-cached frame with N same-action consumers races —
+    // each stage recomputes the corpus-token aggregation before the
+    // cache lands (measured 32 → 12 s on the whole operator at the
+    // sf1 rehearsal). Eager materialization is safe exactly here
+    // because the frame is the MODEL: classes × vocab rows, consumed
+    // densely — there is no downstream pushdown to defeat (the
+    // HeavyPersist-stays-lazy rule is for corpus frames). tokP
+    // populates inside this same job, so dw reads it cached too.
+    val cw = graft.HeavyPersist(tokP.groupBy(col("__cls"), col("w"))
+      .agg(count(lit(1)).as("n_cw")), freshScope = false)
+    cw.count()
     val classTotals = cw.groupBy(col("__cls"))
       .agg(sum(col("n_cw")).as("n_c"))
     val vocabSize = cw.select(col("w")).distinct()

@@ -74,6 +74,51 @@ object EventStream {
       (floor(terms.reduce(_ + _) * 1e6 + 0.5) / 1e6).as("psi"))
   }
 
+  /** STREAMING drift monitor #2: per-tumbling-window Kolmogorov–
+    * Smirnov distance of `valueCol` against a STATIC reference CDF,
+    * completing the drift family's streaming story next to
+    * [[streamingPsi]] (PSI sees density shifts; KS sees location/
+    * shape shifts PSI's fixed bins can wash out). The reference is
+    * bounded driver metadata: sorted `cutoffs` with cumulative
+    * reference counts `refCum` (out of `refN`) — e.g. the batch
+    * corpus's distinct values or its percentile grid.
+    *
+    * The statistic is KS AT THE CUTOFFS: max_i |F_win(c_i) −
+    * F_ref(c_i)|. The batch [[graft.operators.Drift.ksStatistic]]
+    * evaluates at every distinct value — unbounded evaluation points
+    * are exactly what a single append-legal windowed aggregation
+    * cannot produce, so the streaming form fixes the evaluation grid
+    * up front (when `cutoffs` covers both samples' distinct values
+    * the two definitions coincide — the spec pins that equality).
+    * Per-cutoff conditional counts roll up map-side into one row per
+    * window; the max-of-|diffs| is a projection on that bounded row.
+    * Watermark bounds window state. Output per window:
+    * (win_start, n, ks) with the house 6-decimal FLOOR rounding.
+    */
+  def streamingKsAtCutoffs(events: DataFrame, valueCol: String,
+      cutoffs: Seq[Double], refCum: Seq[Long], refN: Long,
+      window_ : String = "1 hour", watermark: String = "2 hours")
+      : DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted &&
+      cutoffs.distinct == cutoffs,
+      s"cutoffs must be sorted distinct and non-empty: $cutoffs")
+    require(refCum.size == cutoffs.size && refN > 0 &&
+      refCum == refCum.sorted && refCum.last <= refN,
+      s"refCum must be cumulative counts out of refN=$refN: $refCum")
+    val agg = events.withWatermark("ts", watermark)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n"),
+        cutoffs.indices.map(i =>
+          sum(when(col(valueCol) <= cutoffs(i), 1L).otherwise(0L))
+            .as(s"__le$i")): _*)
+    val diffs = cutoffs.indices.map(i =>
+      abs(col(s"__le$i").cast("double") / col("n") -
+        lit(refCum(i).toDouble / refN)))
+    agg.select(col("window.start").as("win_start"), col("n"),
+      (floor(diffs.reduce(greatest(_, _)) * 1e6 + 0.5) / 1e6).as("ks"))
+  }
+
   /** Streaming exact dedup: drop events whose key was already seen,
     * with state bounded by the watermark (the streaming twin of
     * `Dedup.exact` — an unbounded-state dedup is impossible on an

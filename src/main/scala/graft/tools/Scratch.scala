@@ -35,6 +35,77 @@ object Scratch {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_NBPROF").contains("1")) {
+      import org.apache.spark.sql.functions._
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scratch] $label%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      val df = graft.Tables(spark, dir, "documents")
+      // fullop FIRST — before any persist, so CacheManager plan-equality
+      // lookup can't substitute profiling caches into the operator
+      val full0 = graft.operators.Selection.naiveBayes(df, "doc_id", "text",
+        "source")
+      time("fullop_fresh")(full0.count())
+      val plan0 = full0.queryExecution.executedPlan.toString
+      println("fresh FileScan: " + "FileScan".r.findAllIn(plan0).length)
+      println("fresh InMemoryTableScan: " +
+        "InMemoryTableScan".r.findAllIn(plan0).length)
+      println("fresh SortMergeJoin: " +
+        "SortMergeJoin".r.findAllIn(plan0).length)
+      println("fresh BroadcastHashJoin: " +
+        "BroadcastHashJoin".r.findAllIn(plan0).length)
+      println("fresh BroadcastNestedLoopJoin: " +
+        "BroadcastNestedLoopJoin".r.findAllIn(plan0).length)
+      println("fresh Window: " + "Window".r.findAllIn(plan0).length)
+      println("fresh Generate: " + "Generate".r.findAllIn(plan0).length)
+      val tok = df.select(col("doc_id"), col("source").as("__cls"),
+          explode(graft.operators.TextAnalysis.wsTokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      val tokP = tok.persist()
+      time("tok")(tokP.count())
+      val dw = tokP.groupBy(col("doc_id"), col("__cls"), col("w"))
+        .agg(count(lit(1)).as("n_dw"))
+      val dwP = dw.persist()
+      time("dw")(dwP.count())
+      val cw = tokP.groupBy(col("__cls"), col("w")).agg(count(lit(1)).as("n_cw"))
+      val cwP = cw.persist()
+      time("cw")(cwP.count())
+      val classTotals = cwP.groupBy(col("__cls")).agg(sum(col("n_cw")).as("n_c"))
+      val vocabSize = cwP.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+      val vocab = cwP.select(col("w")).distinct()
+      val weights = vocab.crossJoin(classTotals).crossJoin(vocabSize)
+        .join(cwP, Seq("w", "__cls"), "left")
+        .select(col("w"), col("__cls"),
+          floor(log((coalesce(col("n_cw"), lit(0L)) + 1.0) /
+            (col("n_c") + col("v"))) * 1e6 + 0.5).cast("long").as("w6"))
+      val wP = weights.persist()
+      time("weights")(wP.count())
+      val scored = dwP.withColumnRenamed("__cls", "__actual")
+        .join(wP, Seq("w"))
+        .groupBy(col("doc_id"), col("__actual"), col("__cls"))
+        .agg(sum(col("n_dw") * col("w6")).as("l6"))
+      time("scored")(scored.count())
+      time("scored2")(scored.count())
+      val full = graft.operators.Selection.naiveBayes(df, "doc_id", "text",
+        "source")
+      time("fullop")(full.count())
+      val plan = full.queryExecution.executedPlan.toString
+      println("FileScan count: " +
+        "FileScan".r.findAllIn(plan).length)
+      println("InMemoryTableScan count: " +
+        "InMemoryTableScan".r.findAllIn(plan).length)
+      println("SortMergeJoin count: " +
+        "SortMergeJoin".r.findAllIn(plan).length)
+      println("BroadcastHashJoin count: " +
+        "BroadcastHashJoin".r.findAllIn(plan).length)
+      println("Window count: " + "Window".r.findAllIn(plan).length)
+      println(plan.take(6000))
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_ED1").contains("1")) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window

@@ -427,15 +427,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("setSimilarityJoin: exact duplicates score jac 1.0; the " +
-      "maxTokenBucket cap is a declared completeness trade") {
+  test("setSimilarityJoin: exact duplicates score jac 1.0 under ANY " +
+      "posting cap; the cap's completeness trade applies to DISTINCT " +
+      "sets only") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"))
       .toDF("doc_id", "text")
     val r = Dedup.setSimilarityJoin(docs, "doc_id", "text", 9, 10).head()
     assert(r.getAs[Double]("jac") == 1.0)
-    // cap = 1: both docs' identical shingles exceed every posting →
-    // no candidates survive (documented trade, not silent truncation)
-    assert(Dedup.setSimilarityJoin(docs, "doc_id", "text", 9, 10,
+    // dedup-first: identical sets pair through the intra-group
+    // expansion, never the prefix join — a cap of 1 cannot lose them
+    // (pre-r7 this pair was silently dropped, the twin-pile trade)
+    val capped = Dedup.setSimilarityJoin(docs, "doc_id", "text", 9, 10,
+      maxTokenBucket = 1).head()
+    assert(capped.getAs[Double]("jac") == 1.0)
+    // DISTINCT near-dup sets still ride the prefix join, where cap = 1
+    // drops shared hot postings — the documented completeness trade
+    val distinctDocs = Seq((1L, "a b c d e"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    assert(Dedup.setSimilarityJoin(distinctDocs, "doc_id", "text", 1, 2)
+      .count() == 1)
+    assert(Dedup.setSimilarityJoin(distinctDocs, "doc_id", "text", 1, 2,
       maxTokenBucket = 1).count() == 0)
   }
 

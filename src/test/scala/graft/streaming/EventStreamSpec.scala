@@ -85,6 +85,44 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingKsAtCutoffs equals the batch ksStatistic when the " +
+      "cutoff grid covers both samples") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // values live on the grid 0.5, 2.5, 4.5, 6.5, 8.5 for both the
+    // reference and the windows, so KS-at-cutoffs must EQUAL the
+    // exact all-distinct-values batch statistic
+    val grid = Seq(0.5, 2.5, 4.5, 6.5, 8.5)
+    val refVals = (0 until 100).map(i => grid(i % 5))
+    val refCum = grid.map(c => refVals.count(_ <= c).toLong)
+    // window 0: same distribution (KS 0); window 1: all mass at 8.5
+    val w0 = (0 until 50).map(i => Event(i, ts(i % 50), 1, "e", grid(i % 5)))
+    val w1 = (0 until 50).map(i => Event(100 + i, ts(60 + (i % 50)), 1, "e", 8.5))
+    val mem = MemoryStream[Event]
+    val q = streamingKsAtCutoffs(mem.toDF(), "value", grid, refCum,
+        refVals.size, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("ks_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(w0 ++ w1: _*)
+      q.processAllAvailable()
+      val got = spark.table("ks_out")
+        .as[(Timestamp, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(ts(0))._1 == 50L && got(ts(60))._1 == 50L)
+      assert(got(ts(0))._2 == 0.0)
+      assert(got(ts(60))._2 == 0.8) // |1.0 - 0.2| at cutoff 6.5
+      val ref = refVals.toDF("v")
+      Seq(ts(0) -> w0, ts(60) -> w1).foreach { case (w, evs) =>
+        val batch = graft.operators.Drift.ksStatistic(
+            ref, evs.map(_.value).toDF("v"), col("v"))
+          .head().getAs[Double]("ks")
+        assert(batch == got(w)._2,
+          s"window $w: stream ${got(w)._2} vs batch $batch")
+      }
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on inactivity gap as watermark advances") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
