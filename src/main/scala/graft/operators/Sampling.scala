@@ -220,4 +220,50 @@ object Sampling {
     df.withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= n)
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer token
+    * `budget` across groups in proportion to an integer weight — the
+    * "allocate 1 B training tokens across sources by measured token
+    * mass" mixture-design step, done so quotas are integers that sum
+    * EXACTLY to the budget (naive rounding of B·w/W drifts by up to
+    * one per group; a 100-source mixture can miss the budget by 50).
+    *
+    *   base_g = ⌊B·w_g / W⌋, rem_g = B·w_g mod W; the L = B − Σbase
+    *   leftover units go to the L largest remainders (ties → group
+    *   ascending, so the allocation is a pure function of the input).
+    *
+    * All integer arithmetic — engine-exact, no float shares anywhere
+    * (the budget·weight product runs in decimal(38,0); quotas return
+    * as longs). Input: one row per group (`groupCol`, `weightCol` ≥ 0). Groups
+    * with zero weight get zero quota. The frame is group-cardinality
+    * metadata; the windows (one sum, one rank) are bounded by it —
+    * nothing here touches fact data. Output: (group, weight, base,
+    * rem, quota) with Σquota = budget (when W > 0).
+    */
+  def apportionBudget(df: DataFrame, groupCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val w = Window.partitionBy(lit(1))
+    val ranked = df
+      .select(col(groupCol).as("group"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("__W", sum(col("weight")).over(w))
+      // budget·weight runs in decimal(38,0): the long product overflows
+      // at petascale token weights and a double floor drifts past 2^53.
+      // DIV (integral division) not floor(/): decimal division rounds
+      // its quotient to scale 6 BEFORE floor sees it, so a true
+      // quotient of n.9999996 floors to n+1
+      .withColumn("__p", lit(budget).cast("decimal(38,0)") *
+        col("weight").cast("decimal(38,0)"))
+      .withColumn("__dW", col("__W").cast("decimal(38,0)"))
+      .withColumn("base", expr("CAST(__p DIV __dW AS BIGINT)"))
+      .withColumn("rem", (col("__p") % col("__dW")).cast("long"))
+      .withColumn("__left", lit(budget) - sum(col("base")).over(w))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("rem").desc, col("group").asc)))
+    ranked.select(col("group"), col("weight"), col("base"), col("rem"),
+      (col("base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+        .as("quota"))
+  }
 }

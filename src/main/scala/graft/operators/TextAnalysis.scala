@@ -812,4 +812,61 @@ object TextAnalysis {
           (col("sz_a") + col("sz_b") - coalesce(col("shared"), lit(0L)))
           * 1e6 + 0.5) / 1e6).as("jac"))
   }
+
+  /** Encoding-health flags — the ingest-time QA pass that catches
+    * decode damage BEFORE it pollutes dedup keys and n-gram stats
+    * (a mojibake'd twin hashes differently, so every downstream
+    * operator silently treats corrupted re-crawls as new content):
+    *
+    *   - n_repl: U+FFFD replacement characters (a decoder already
+    *     gave up — the text lost bytes irrecoverably);
+    *   - n_ctrl: C0 control characters other than \t \n \r, plus
+    *     DEL — binary garbage or wrong-charset decode;
+    *   - n_moji: the classic UTF-8-read-as-Latin-1 signature — Ã or
+    *     Â followed by a Latin-1-supplement continuation char
+    *     (U+0080-U+00BF): 'é' mis-decoded is "Ã©", NBSP is "Â ".
+    *     A heuristic (real Portuguese "Ã " exists) — a FLAG for
+    *     re-decode, not a verdict;
+    *   - enc_ok: all three are zero.
+    *
+    * One narrow codegen'd projection (regexp_count, no UDF), zero
+    * shuffle; patterns stay in the Java∩RE2 subset so any engine
+    * replays them.
+    */
+  def encodingQuality(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        regexp_count(t, lit("\uFFFD")).as("n_repl"),
+        regexp_count(t,
+          lit("[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]")).as("n_ctrl"),
+        regexp_count(t,
+          lit("[\u00C3\u00C2][\u0080-\u00BF]")).as("n_moji"))
+      .withColumn("enc_ok",
+        col("n_repl") === 0 && col("n_ctrl") === 0 && col("n_moji") === 0)
+  }
+
+  /** Tokenizer fertility by group: subword-ish tokens emitted per
+    * whitespace word ([[bpeIshTokens]] / [[wsTokens]]) — the
+    * mixture-design number that prices each source in tokens (code
+    * and non-Latin text tokenize 2-4× fatter than English prose, so
+    * a token budget buys very different document mass per source).
+    * Per group: n_docs, n_words, n_tokens (exact long sums — the
+    * ratio divides two int64 totals, not a mean of per-doc floats,
+    * so group order can't change it), fertility floor-rounded at 6
+    * decimals. One narrow tokenize projection + one partial-agg
+    * shuffle on the group key.
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(groupCol),
+        size(filter(wsTokens(col(textCol)), w => w =!= "")).as("__nw"),
+        size(bpeIshTokens(col(textCol))).as("__nt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nt")).as("n_tokens"))
+      .withColumn("fertility",
+        floor(col("n_tokens").cast("double") /
+          greatest(col("n_words"), lit(1L)) * 1e6 + 0.5) / 1e6)
 }

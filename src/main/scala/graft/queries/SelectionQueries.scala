@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CorpusStats, Selection, Temporal, TextAnalysis}
+import graft.operators.{CorpusStats, Sampling, Selection, Temporal, TextAnalysis}
 
 /** Round-6 data-selection + corpus-health surface (SURVEY.md §2.10
   * continuation): DSIR hashed-importance scoring, per-source KL
@@ -455,6 +455,104 @@ object SelectionQueries {
       (s, dir) =>
         TextAnalysis.crossDupMatrix(t(s, dir, "documents"), col("source"),
             "text", n = 5)
-          .orderBy("src_a", "src_b"))
+          .orderBy("src_a", "src_b")),
+
+    // Largest-remainder (Hamilton) budget apportionment: a 100k-token
+    // budget split across sources by measured whitespace-token mass.
+    // Pure integer/decimal arithmetic both sides (DuckDB `//`/`%` on
+    // BIGINT vs Spark decimal DIV/%), so quotas hash-match exactly and
+    // sum to the budget by construction. Budget 99991 (prime) forces a
+    // nonzero leftover to exercise the remainder ranking.
+    Query("q176_budget_apportion", Some(
+      """WITH wt AS (
+        |  SELECT source, CAST(SUM(len(list_filter(
+        |      string_split_regex(trim(text), '\s+'), w -> w <> '')))
+        |    AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(weight) AS W FROM wt),
+        |a AS (SELECT source, weight,
+        |        (99991 * weight) // W AS base,
+        |        (99991 * weight) % W AS rem
+        |      FROM wt, tot),
+        |l AS (SELECT 99991 - SUM(base) AS leftover FROM a),
+        |r AS (SELECT a.*, ROW_NUMBER() OVER (
+        |        ORDER BY rem DESC, source ASC) AS rk FROM a)
+        |SELECT source, weight, CAST(base AS BIGINT) AS base,
+        |  CAST(rem AS BIGINT) AS rem,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM r, l ORDER BY source""".stripMargin))(
+      (s, dir) => {
+        val weights = t(s, dir, "documents")
+          .select(col("source"),
+            size(filter(TextAnalysis.wsTokens(col("text")),
+              w => w =!= "")).cast("long").as("nw"))
+          .groupBy("source").agg(sum(col("nw")).as("w"))
+        Sampling.apportionBudget(weights, "source", "w", budget = 99991L)
+          .withColumnRenamed("group", "source")
+          .orderBy("source")
+      }),
+
+    // Encoding-health QA over deterministically planted decode damage
+    // (the corpus is synthetic and clean, so both engines append the
+    // same artifacts first — the q55 pattern): U+FFFD replacement
+    // chars, C0 controls, and the UTF-8-as-Latin-1 mojibake signature.
+    Query("q177_encoding_quality", Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT)
+        |    AS n_repl,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]')) AS BIGINT)
+        |    AS n_ctrl,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[\x{C3}\x{C2}][\x{80}-\x{BF}]')) AS BIGINT) AS n_moji,
+        |  len(regexp_extract_all(t, '\x{FFFD}')) = 0
+        |    AND len(regexp_extract_all(t,
+        |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]')) = 0
+        |    AND len(regexp_extract_all(t,
+        |      '[\x{C3}\x{C2}][\x{80}-\x{BF}]')) = 0 AS enc_ok
+        |FROM (SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 1 THEN ' caf' || chr(65533)
+        |      WHEN 2 THEN ' x' || chr(7)
+        |      WHEN 3 THEN ' caf' || chr(195) || chr(169)
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.encodingQuality(
+            t(s, dir, "documents").select(col("doc_id"),
+              concat(col("text"),
+                when(pmod(col("doc_id"), lit(4)) === 1, lit(" caf\uFFFD"))
+                  .when(pmod(col("doc_id"), lit(4)) === 2, lit(" x\u0007"))
+                  .when(pmod(col("doc_id"), lit(4)) === 3,
+                    lit(" caf\u00C3\u00A9"))
+                  .otherwise(lit(""))).as("t")),
+            "doc_id", "t")
+          .select(col("doc_id"), col("n_repl").cast("bigint").as("n_repl"),
+            col("n_ctrl").cast("bigint").as("n_ctrl"),
+            col("n_moji").cast("bigint").as("n_moji"), col("enc_ok"))
+          .orderBy("doc_id")),
+
+    // Tokenizer fertility per source: BPE-ish subword tokens emitted
+    // per whitespace word — the mixture-design cost number. The ratio
+    // divides two exact int64 sums, so group order can't change it.
+    Query("q178_fertility", Some(
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(
+        |    string_split_regex(trim(text), '\s+'), w -> w <> '')))
+        |    AS BIGINT) AS n_words,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens,
+        |  FLOOR(CAST(SUM(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+        |    / GREATEST(SUM(len(list_filter(
+        |        string_split_regex(trim(text), '\s+'), w -> w <> ''))), 1)
+        |    * 1e6 + 0.5) / 1e6 AS fertility
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.tokenizerFertility(t(s, dir, "documents"), "source",
+            "text")
+          .orderBy("source"))
   )
 }

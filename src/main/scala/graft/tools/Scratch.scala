@@ -35,6 +35,17 @@ object Scratch {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_BPEPROF").exists(_.nonEmpty)) {
+      val rounds = sys.env("SPARK_GRAFT_BPEPROF").toInt
+      val df = graft.Tables(spark, dir, "documents")
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.bpeTrain(df, "text", rounds)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] bpeTrain rounds=$rounds learned=${merges.size} " +
+        f"wall=$wall%.1f s  ${merges.size / wall}%.2f merges/s")
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_NBPROF").contains("1")) {
       import org.apache.spark.sql.functions._
       def time[T](label: String)(f: => T): T = {

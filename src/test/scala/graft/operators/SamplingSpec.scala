@@ -191,4 +191,42 @@ class SamplingSpec extends SparkSpec {
     assert(cool("small").getAs[Double]("boost") == 2.5)  // 0.25 / 0.1
     assert(cool("big").getAs[Double]("boost") < 1.0)
   }
+
+  test("apportionBudget: quotas sum exactly to the budget; leftover " +
+      "units go to the largest remainders with group tie-break") {
+    // W = 60; B = 10 -> shares 10*7/60=1 r10, 10*23/60=3 r50,
+    // 10*30/60=5 r0; base sum 9, leftover 1 -> largest remainder (b)
+    val df = Seq(("a", 7L), ("b", 23L), ("c", 30L)).toDF("g", "w")
+    val got = Sampling.apportionBudget(df, "g", "w", budget = 10L)
+      .collect().map(r => r.getAs[String]("group") ->
+        ((r.getAs[Long]("base"), r.getAs[Long]("rem"),
+          r.getAs[Long]("quota")))).toMap
+    assert(got("a") == ((1L, 10L, 1L)))
+    assert(got("b") == ((3L, 50L, 4L)))   // the leftover unit
+    assert(got("c") == ((5L, 0L, 5L)))
+    // equal remainders: group-ascending tie-break takes the unit
+    val tie = Seq(("x", 1L), ("y", 1L)).toDF("g", "w")
+    val t = Sampling.apportionBudget(tie, "g", "w", budget = 3L)
+      .collect().map(r => r.getAs[String]("group") ->
+        r.getAs[Long]("quota")).toMap
+    assert(t("x") == 2L && t("y") == 1L)
+    // zero-weight groups get zero; sums still hit the budget
+    val z = Sampling.apportionBudget(
+      Seq(("a", 0L), ("b", 5L)).toDF("g", "w"), "g", "w", budget = 7L)
+    assert(z.collect().map(r =>
+      r.getAs[String]("group") -> r.getAs[Long]("quota")).toMap ==
+      Map("a" -> 0L, "b" -> 7L))
+    // petascale weights: decimal product, no long overflow / 2^53 drift
+    val big = Seq(("p", 4000000000000000L), ("q", 4000000000000001L))
+      .toDF("g", "w")
+    val bq = Sampling.apportionBudget(big, "g", "w",
+        budget = 1000000000L).collect()
+      .map(r => r.getAs[String]("group") -> r.getAs[Long]("quota")).toMap
+    assert(bq.values.sum == 1000000000L)
+    // base_p = 499999999 with a near-W remainder, base_q = 500000000
+    // with a tiny one: the leftover unit follows p's larger remainder
+    // and the quotas come out exactly equal — double arithmetic would
+    // have mis-floored both bases at this magnitude
+    assert(bq("p") == 500000000L && bq("q") == 500000000L)
+  }
 }

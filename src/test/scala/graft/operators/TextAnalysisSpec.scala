@@ -438,4 +438,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("s1", "s3")) == ((0L, 0.0)))
     assert(got.size == 3)
   }
+
+  test("encodingQuality: counts replacement chars, C0 controls, and " +
+      "mojibake signatures; tab/newline are not damage") {
+    val df = Seq(
+      (1L, "clean text with\ttab and\nnewline"),
+      (2L, "lost \uFFFD bytes \uFFFD here"),
+      (3L, "bell\u0007 and escape\u001B"),
+      (4L, "caf\u00C3\u00A9 mis-decoded, plus nbsp \u00C2\u00A0x"),
+      (5L, "plain ascii")).toDF("id", "t")
+    val got = TextAnalysis.encodingQuality(df, "id", "t")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("n_repl"), r.getAs[Int]("n_ctrl"),
+          r.getAs[Int]("n_moji"), r.getAs[Boolean]("enc_ok")))).toMap
+    assert(got(1L) == ((0, 0, 0, true)))
+    assert(got(2L) == ((2, 0, 0, false)))
+    assert(got(3L) == ((0, 2, 0, false)))
+    assert(got(4L) == ((0, 0, 2, false)))
+    assert(got(5L) == ((0, 0, 0, true)))
+  }
+
+  test("tokenizerFertility: exact sums and int64-ratio fertility") {
+    val df = Seq(
+      ("a", "hello world"),            // 2 words, 2 bpe tokens
+      ("a", "don't stop"),             // 2 words, 4 bpe tokens (don ' t stop)
+      ("b", "x")).toDF("source", "t")  // 1 word, 1 token
+    val got = TextAnalysis.tokenizerFertility(df, "source", "t")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_tokens"), r.getAs[Double]("fertility")))).toMap
+    assert(got("a") == ((2L, 4L, 6L, 1.5)))
+    assert(got("b") == ((1L, 1L, 1L, 1.0)))
+  }
 }
