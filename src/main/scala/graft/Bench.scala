@@ -86,7 +86,12 @@ object Bench {
     // the LAST ~4 KB of output — the leading summary keys fall off the
     // front of the window. Re-print the summary alone on its own short
     // line so a tail-truncated capture always carries a parseable total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"index_build":$idxSec,"sf":"$sfDir"}""")
+    // The failed list here is CAPPED at 10 names: in a failure-heavy run
+    // (exactly when the tail capture matters) an unbounded list would
+    // push this line past the window too; n_failed carries the count.
+    val failedCapped = failed.sorted.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCapped,"index_build":$idxSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,15 +65,18 @@ object CorpusPipeline {
     // 1-3: clean → lang gate → quality gate, one narrow chain. The
     // quality stage re-tokenizes the cleaned text; its n_words IS the
     // pipeline's token count (wsTokens), reused for packing below.
+    // Flags are APPENDED on the same projection (gopherQualityAppend),
+    // not computed on a separate frame and joined back — the join form
+    // would execute the regex-heavy clean + lang-id chain once per
+    // join side and add the pipeline's only avoidable shuffle.
     val cleaned = corpus.select(col(idCol), col("source"),
       TextAnalysis.cleanWebText(col(textCol)).as("__clean"))
     val langKept = TextAnalysis.withLangId(cleaned, "__clean", "__lang")
       .filter(col("__lang") === keepLang).drop("__lang")
-    val qual = langKept
-      .join(TextAnalysis.gopherQualityFlags(langKept, idCol, "__clean")
-          .filter(col("quality_ok"))
-          .select(col(idCol), col("n_words").as("n_tokens")),
-        Seq(idCol))
+    val qual = TextAnalysis.gopherQualityAppend(langKept, "__clean")
+      .filter(col("quality_ok"))
+      .select(col(idCol), col("source"), col("__clean"),
+        col("n_words").as("n_tokens"))
     // 4: exact dedup, window-min form — one shuffle on the hash key,
     // min-doc_id representative (Dedup.exact's tiebreak contract)
     val ex = qual

@@ -619,6 +619,22 @@ object TextAnalysis {
   def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame =
+    gopherQualityAppend(df.select(col(idCol), col(textCol)), textCol,
+        minWords, maxWords, minMeanLen, maxMeanLen, maxSymbolRatio,
+        minStopHits)
+      .drop(textCol)
+
+  /** [[gopherQualityFlags]] as an in-place append: keeps every input
+    * column and adds the metric/flag columns on the same projection.
+    * This is the form a pipeline composes with — it avoids the
+    * re-scan-and-join-back that computing flags on a separate frame
+    * forces (the input's upstream chain would execute once per side
+    * of that join).
+    */
+  def gopherQualityAppend(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame = {
     val toks = col("__gtoks")
     val nW = size(toks)
@@ -632,8 +648,9 @@ object TextAnalysis {
         / n1 * 1e6 + 0.5) / 1e6
     val stopHits = size(array_intersect(
       transform(toks, lower _), typedlit(stopwords("en"))))
-    df.select(col(idCol), wsTokens(col(textCol)).as("__gtoks"))
-      .select(col(idCol),
+    val keep = df.columns.map(col).toSeq
+    df.withColumn("__gtoks", wsTokens(col(textCol)))
+      .select(keep ++ Seq(
         nW.cast("bigint").as("n_words"),
         meanLen.as("mean_word_len"),
         symbolRatio.as("symbol_ratio"),
@@ -641,7 +658,7 @@ object TextAnalysis {
         (nW >= minWords && nW <= maxWords).as("words_ok"),
         (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("word_len_ok"),
         (symbolRatio <= maxSymbolRatio).as("symbols_ok"),
-        (stopHits >= minStopHits).as("stopwords_ok"))
+        (stopHits >= minStopHits).as("stopwords_ok")): _*)
       .withColumn("quality_ok",
         col("words_ok") && col("word_len_ok") && col("symbols_ok") &&
           col("stopwords_ok"))
