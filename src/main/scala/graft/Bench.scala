@@ -81,14 +81,26 @@ object Bench {
     // a crashing query must not masquerade as a fast one. Summary keys
     // (total, counts, failures) come BEFORE the per-query map so a
     // tail-truncated capture still carries the headline numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"index_build":$idxSec,"sf":"$sfDir","queries":$qs}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"index_build":$idxSec,"sf":"$sfDir","queries":$qs}"""
+    println(fullLine)
+    // Self-contained side artifact: the stdout tail the driver keeps is
+    // ~4 KB, so in a failure-heavy run neither printed line can carry
+    // the complete failed list + per-query map. The file always does.
+    try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] side-file write failed: ${e.getMessage}")
+    }
     // At 174+ queries the line above is ~8 KB while the driver keeps only
     // the LAST ~4 KB of output — the leading summary keys fall off the
     // front of the window. Re-print the summary alone on its own short
     // line so a tail-truncated capture always carries a parseable total.
     // The failed list here is CAPPED at 10 names: in a failure-heavy run
     // (exactly when the tail capture matters) an unbounded list would
-    // push this line past the window too; n_failed carries the count.
+    // push this line past the window too; n_failed carries the count and
+    // BENCH_FULL.json (written above) carries the complete list.
     val failedCapped = failed.sorted.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCapped,"index_build":$idxSec,"sf":"$sfDir"}""")

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table access for the driver-generated testdata
   * (`/root/testdata/sf*`; schemas in FIXTURES.md §A).
@@ -23,15 +25,43 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events" &&
         !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-      // default (PARQUET_TYPE_ILLEGAL). Read it as an ns-epoch long —
-      // exact (no micro truncation), totally ordered, and directly
-      // comparable to DuckDB's epoch_ns(ts) in oracle SQL. Our own
-      // entrypoints (Bench/Verify/PipelineMain) set this at session
-      // build; this guarded set covers driver-owned sessions only, and
-      // only once.
+      // events.ts is parquet TIMESTAMP(NANOS). Older Spark rejects it
+      // by default (PARQUET_TYPE_ILLEGAL) unless this legacy conf maps
+      // it to an ns-epoch long; Spark 4.1+ ignores the conf and reads
+      // it natively as TIMESTAMP_NTZ. Set the conf for the older path;
+      // normalizeEventsTs below restores the long-ns contract on the
+      // newer one, so both land on the same schema.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cache.get(spark, s"$sfDir/$name.parquet")(
+    val df = cache.get(spark, s"$sfDir/$name.parquet")(
       spark.read.parquet(s"$sfDir/$name.parquet"))
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** Every events consumer (and every DuckDB oracle via `epoch_ns`) is
+    * written against `ts: BIGINT` = ns since the epoch. Enforce that
+    * contract regardless of how this Spark version surfaced the parquet
+    * TIMESTAMP(NANOS) column:
+    *   - LongType: legacy `nanosAsLong` read — exact ns, pass through.
+    *   - TIMESTAMP_NTZ (Spark 4.1+ native read): wall-clock µs; the
+    *     parquet values are UTC instants, so µs-since-epoch is plain
+    *     wall-clock arithmetic against the epoch — `timestampdiff` on
+    *     NTZ operands is timezone-independent, unlike a cast to LTZ.
+    *     The native read truncates ns→µs, but the driver testdata is
+    *     µs-aligned (checked: 0 sub-µs rows at every SF), so ×1000
+    *     reproduces the exact ns value the oracle computes.
+    *   - TIMESTAMP (LTZ, defensive): `unix_micros` is the instant ×1e6.
+    * The conversion is a codegen'd column expression on top of the scan;
+    * pushdown/pruning on the other columns is unaffected.
+    */
+  private def normalizeEventsTs(df: DataFrame): DataFrame = {
+    val nsCol: Option[Column] = df.schema("ts").dataType match {
+      case LongType         => None
+      case TimestampNTZType => Some(
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L))
+      case TimestampType    => Some(unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other; expected ns-long, TIMESTAMP_NTZ or TIMESTAMP")
+    }
+    nsCol.fold(df)(c => df.withColumn("ts", c.cast(LongType)))
   }
 }

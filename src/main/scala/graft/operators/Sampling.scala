@@ -256,9 +256,15 @@ object Sampling {
       .withColumn("__p", lit(budget).cast("decimal(38,0)") *
         col("weight").cast("decimal(38,0)"))
       .withColumn("__dW", col("__W").cast("decimal(38,0)"))
-      .withColumn("base", expr("CAST(__p DIV __dW AS BIGINT)"))
-      .withColumn("rem", (col("__p") % col("__dW")).cast("long"))
-      .withColumn("__left", lit(budget) - sum(col("base")).over(w))
+      // W = 0 (every weight zero) with budget > 0 would make DIV/% yield
+      // NULL and then hand the whole budget out through the remainder
+      // ranks — guard so zero total weight means zero quotas everywhere.
+      .withColumn("base", when(col("__dW") > 0,
+        expr("CAST(__p DIV __dW AS BIGINT)")).otherwise(0L))
+      .withColumn("rem", when(col("__dW") > 0,
+        (col("__p") % col("__dW")).cast("long")).otherwise(0L))
+      .withColumn("__left", when(col("__dW") > 0,
+        lit(budget) - sum(col("base")).over(w)).otherwise(0L))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(lit(1))
           .orderBy(col("rem").desc, col("group").asc)))

@@ -103,8 +103,8 @@ object EventStream {
       cutoffs.distinct == cutoffs,
       s"cutoffs must be sorted distinct and non-empty: $cutoffs")
     require(refCum.size == cutoffs.size && refN > 0 &&
-      refCum == refCum.sorted && refCum.last <= refN,
-      s"refCum must be cumulative counts out of refN=$refN: $refCum")
+      refCum.head >= 0 && refCum == refCum.sorted && refCum.last <= refN,
+      s"refCum must be non-negative cumulative counts out of refN=$refN: $refCum")
     val agg = events.withWatermark("ts", watermark)
       .filter(col(valueCol).isNotNull)
       .groupBy(window(col("ts"), window_))

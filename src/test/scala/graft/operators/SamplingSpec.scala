@@ -229,4 +229,18 @@ class SamplingSpec extends SparkSpec {
     // have mis-floored both bases at this magnitude
     assert(bq("p") == 500000000L && bq("q") == 500000000L)
   }
+
+  test("apportionBudget: zero total weight yields all-zero quotas, " +
+      "never NULLs, even with a positive budget") {
+    val df = Seq(("a", 0L), ("b", 0L), ("c", 0L)).toDF("g", "w")
+    val rows = Sampling.apportionBudget(df, "g", "w", budget = 10L).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      assert(!r.isNullAt(r.fieldIndex("base")) &&
+        !r.isNullAt(r.fieldIndex("rem")) &&
+        !r.isNullAt(r.fieldIndex("quota")),
+        s"NULL apportionment for group ${r.getAs[String]("group")}")
+      assert(r.getAs[Long]("quota") == 0L)
+    }
+  }
 }

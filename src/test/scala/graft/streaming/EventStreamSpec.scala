@@ -376,4 +376,16 @@ class EventStreamSpec extends SparkSpec {
       assert(vs.length <= 2 && vs.contains("v=1"), vs.mkString(","))
     } finally q.stop()
   }
+
+  test("streamingKsAtCutoffs rejects a negative leading cumulative " +
+      "count (it would corrupt every |diff|)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val e = intercept[IllegalArgumentException] {
+      streamingKsAtCutoffs(mem.toDF(), "value",
+        cutoffs = Seq(1.0, 2.0), refCum = Seq(-5L, 10L), refN = 10L)
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
 }
