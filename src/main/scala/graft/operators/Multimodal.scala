@@ -17,12 +17,13 @@ import org.apache.spark.sql.types._
   *   - `audio` via `javax.sound.sampled` (pure-JVM WAV/AIFF/AU PCM
   *     codecs): true frame count, channels, duration, and a per-segment
   *     RMS loudness envelope over the mono mix.
-  *   - `video`: REAL pixels for MJPEG-in-AVI (RIFF walk + per-frame
-  *     `javax.imageio` JPEG decode → mean-luminance envelope); for MP4,
-  *     a pure-JVM ISO BMFF box parser gives true width/height (tkhd)
-  *     and duration (mvhd) while the feature vector stays the byte
-  *     fingerprint — MP4 pixel data needs a codec no bare JVM ships,
-  *     a boundary declared, not hidden.
+  *   - `video`: REAL pixels for MJPEG-in-AVI (RIFF walk), animated
+  *     GIF, and MJPEG-in-MP4 (ISO BMFF stsd/stsc/stco/stsz sample-table
+  *     walk) — per-frame `javax.imageio` JPEG decode → mean-luminance
+  *     envelope; for MP4s carrying any other codec (H.264 etc.), the
+  *     pure-JVM box parser gives true width/height (tkhd) and duration
+  *     (mvhd) while the feature vector stays the byte fingerprint —
+  *     decoders no bare JVM ships, a boundary declared, not hidden.
   * Undecodable payloads of any kind fall back to `decodeStub`, keeping
   * the operator total on a 100 TB corpus of occasionally-corrupt data.
   */
@@ -248,6 +249,183 @@ object Multimodal {
     if (sawMoov) Some(Mp4Meta(w, h, timescale, duration)) else None
   }
 
+  /** REAL video pixel decode for MJPEG-in-MP4: the ISO BMFF sample
+    * tables are walked per the public 14496-12 layout — `stsd` names
+    * the codec (a `jpeg`/`mjpa`/`MJPG`/`AVDJ` entry means every sample
+    * is an ordinary JPEG the JVM's own `javax.imageio` reads), `stsc`/
+    * `stco`(/`co64`)/`stsz` map samples to byte ranges in the file, and
+    * each sampled frame's pixels back the same `dim`-segment
+    * mean-luminance envelope as the AVI/GIF paths. Duration comes from
+    * the media header (`mdhd`); width/height from the first decoded
+    * frame, falling back to the `stsd` VisualSampleEntry dims. At most
+    * `maxFrames` frames decode, sampled evenly — bounded per-row cost
+    * on long clips. Non-MJPEG MP4s (codecs a bare JVM has no decoder
+    * for) and malformed structures return None; the caller falls back
+    * to the declared metadata + fingerprint path.
+    */
+  private[operators] def decodeMp4Mjpeg(payload: Array[Byte], dim: Int,
+      maxFrames: Int = 256): Option[Decoded] = {
+    if (payload == null || payload.length < 16) return None
+    def u16(o: Int): Int =
+      ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String = new String(payload, o, 4, "ISO-8859-1")
+    val mjpegCodecs = Set("jpeg", "mjpa", "MJPG", "AVDJ")
+
+    // per-trak sample-table state, kept only for the MJPEG video trak
+    var codec = ""
+    var sampW = 0
+    var sampH = 0
+    var mediaTimescale = 0L
+    var mediaDuration = 0L
+    var sizes: Array[Long] = null            // per-sample byte sizes
+    var chunkOffsets: Array[Long] = null     // per-chunk file offsets
+    var stsc: Array[(Long, Long)] = null     // (first_chunk, samples_per_chunk)
+    var found = false
+
+    def walkTrak(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off)
+        val typ = fourcc(off + 4)
+        var hdr = 8
+        if (size == 1) {
+          if (off + 16 > end) return
+          size = u64(off + 8); hdr = 16
+        } else if (size == 0) size = (end - off).toLong
+        if (size < hdr || off.toLong + size > end) return
+        val body = off + hdr
+        val bodyEnd = (off + size).toInt
+        typ match {
+          case "mdia" | "minf" | "stbl" => walkTrak(body, bodyEnd)
+          case "mdhd" if bodyEnd - body >= 20 =>
+            val v = payload(body) & 0xff
+            if (v == 1 && bodyEnd - body >= 32) {
+              mediaTimescale = u32(body + 20); mediaDuration = u64(body + 24)
+            } else if (v == 0) {
+              mediaTimescale = u32(body + 12); mediaDuration = u32(body + 16)
+            }
+          case "stsd" if bodyEnd - body >= 16 =>
+            // fullbox(4) + entry_count(4), then the first sample entry:
+            // size(4) format(4) reserved(6) dataRefIdx(2) VisualSampleEntry
+            val entry = body + 8
+            if (entry + 36 <= bodyEnd) {
+              codec = fourcc(entry + 4)
+              sampW = u16(entry + 32)
+              sampH = u16(entry + 34)
+            }
+          case "stsz" if bodyEnd - body >= 12 =>
+            val fixed = u32(body + 4)
+            val n = u32(body + 8).toInt
+            if (n >= 0 && n < (1 << 22)) {
+              if (fixed != 0) sizes = Array.fill(n)(fixed)
+              else if (body + 12 + 4L * n <= bodyEnd)
+                sizes = Array.tabulate(n)(i => u32(body + 12 + 4 * i))
+            }
+          case "stco" if bodyEnd - body >= 8 =>
+            val n = u32(body + 4).toInt
+            if (n >= 0 && n < (1 << 22) && body + 8 + 4L * n <= bodyEnd)
+              chunkOffsets = Array.tabulate(n)(i => u32(body + 8 + 4 * i))
+          case "co64" if bodyEnd - body >= 8 =>
+            val n = u32(body + 4).toInt
+            if (n >= 0 && n < (1 << 22) && body + 8 + 8L * n <= bodyEnd)
+              chunkOffsets = Array.tabulate(n)(i => u64(body + 8 + 8 * i))
+          case "stsc" if bodyEnd - body >= 8 =>
+            val n = u32(body + 4).toInt
+            if (n >= 0 && n < (1 << 22) && body + 8 + 12L * n <= bodyEnd)
+              stsc = Array.tabulate(n)(i =>
+                (u32(body + 8 + 12 * i), u32(body + 12 + 12 * i)))
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+
+    def walkTop(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && !found) {
+        var size = u32(off)
+        val typ = fourcc(off + 4)
+        var hdr = 8
+        if (size == 1) {
+          if (off + 16 > end) return
+          size = u64(off + 8); hdr = 16
+        } else if (size == 0) size = (end - off).toLong
+        if (size < hdr || off.toLong + size > end) return
+        val body = off + hdr
+        val bodyEnd = (off + size).toInt
+        typ match {
+          case "moov" => walkTop(body, bodyEnd)
+          case "trak" =>
+            codec = ""; sampW = 0; sampH = 0
+            mediaTimescale = 0L; mediaDuration = 0L
+            sizes = null; chunkOffsets = null; stsc = null
+            walkTrak(body, bodyEnd)
+            if (mjpegCodecs.contains(codec) && sizes != null &&
+                chunkOffsets != null && stsc != null && sizes.nonEmpty)
+              found = true
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+
+    try {
+      walkTop(0, payload.length)
+      if (!found) return None
+      // expand (chunk, samples-per-chunk) runs into per-sample offsets
+      val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var si = 0
+      var ci = 0
+      while (ci < chunkOffsets.length && si < sizes.length) {
+        // stsc entries are (first_chunk 1-based, spc); the entry in
+        // force for chunk ci+1 is the last one with first_chunk <= ci+1
+        var spc = 1L
+        var k = 0
+        while (k < stsc.length && stsc(k)._1 <= ci + 1) {
+          spc = stsc(k)._2; k += 1
+        }
+        var within = 0L
+        var pos = chunkOffsets(ci)
+        while (within < spc && si < sizes.length) {
+          offs += ((pos, sizes(si)))
+          pos += sizes(si)
+          si += 1; within += 1
+        }
+        ci += 1
+      }
+      if (offs.isEmpty) return None
+      val n = offs.length
+      val picked =
+        if (n <= maxFrames) offs.toSeq
+        else (0 until maxFrames).map(i => offs((i.toLong * n / maxFrames).toInt))
+      var w = 0
+      var h = 0
+      val lums = picked.flatMap { case (off, len) =>
+        if (off < 0 || len <= 0 || off + len > payload.length) None
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off.toInt, len.toInt))
+          if (img == null) None
+          else {
+            if (w == 0) { w = img.getWidth; h = img.getHeight }
+            Some(meanLum(img))
+          }
+        }
+      }.toIndexedSeq
+      if (lums.isEmpty) return None
+      if (w == 0) { w = sampW; h = sampH }
+      if (w == 0) return None
+      val durS =
+        if (mediaTimescale > 0) (mediaDuration.toDouble / mediaTimescale).toFloat
+        else 0f
+      Some(Decoded(w, h, durS, lumEnvelope(lums, dim)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** REAL video pixel decode for AVI: the RIFF/AVI container is walked
     * per the public layout (chunks little-endian, `LIST` boxes carry a
     * 4-byte type, frame chunks are `##dc`/`##db`), and each frame
@@ -468,17 +646,18 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** Video decode: REAL pixels for MJPEG-in-AVI and uncompressed-DIB
-    * AVI ([[decodeAviMjpeg]]) and animated GIF
-    * ([[decodeGifAnimation]]); for MP4, REAL container metadata
-    * (dimensions + duration from the box tree) with the
-    * byte-fingerprint feature vector — decoding MP4 pixels needs a
-    * codec no bare JVM ships, and that boundary is declared rather
-    * than faked.
+    * AVI ([[decodeAviMjpeg]]), animated GIF ([[decodeGifAnimation]]),
+    * and MJPEG-in-MP4 ([[decodeMp4Mjpeg]]); for MP4s carrying any
+    * other codec (H.264 etc. — decoders no bare JVM ships), REAL
+    * container metadata (dimensions + duration from the box tree) with
+    * the byte-fingerprint feature vector — that boundary is declared
+    * rather than faked.
     */
   private[operators] def decodeVideo(payload: Array[Byte],
       dim: Int): Option[Decoded] =
     decodeAviMjpeg(payload, dim)
       .orElse(decodeGifAnimation(payload, dim))
+      .orElse(decodeMp4Mjpeg(payload, dim))
       .orElse(
         parseMp4Meta(payload).collect {
           case m if m.width > 0 && m.height > 0 =>

@@ -7,9 +7,11 @@ import graft.operators.Multimodal._
 
 /** Pins the multimodal surface: schema/encoder round-trip, partition
   * batching, plan math, and the REAL per-modality decoders — ImageIO
-  * pixels, javax.sound PCM audio, and the pure-JVM MP4 box parser —
-  * each against a generated fixture with known ground truth. Only
-  * video PIXEL features remain stubbed (no codec in a bare JVM).
+  * pixels, javax.sound PCM audio, MJPEG frame pixels in AVI and MP4
+  * (RIFF walk / ISO BMFF sample-table walk), and the pure-JVM MP4 box
+  * parser — each against a generated fixture with known ground truth.
+  * Only non-MJPEG video codecs (H.264 etc.) remain metadata+fingerprint
+  * (no such codec in a bare JVM).
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -58,6 +60,83 @@ class MultimodalSpec extends SparkSpec {
     }
     box("ftyp", "isomisom".getBytes("ISO-8859-1")) ++
       box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  /** ISO BMFF file with real JPEG samples (MJPEG-in-MP4): ftyp +
+    * mdat(concatenated JPEGs) + moov(mvhd, trak(tkhd, mdia(mdhd,
+    * minf(stbl(stsd `codec`, stsz, stsc, stco))))). All samples live
+    * in one chunk at the known mdat body offset; per-sample sizes in
+    * stsz — the exact tables decodeMp4Mjpeg walks.
+    */
+  private def miniMp4Mjpeg(frames: Seq[java.awt.image.BufferedImage],
+      timescale: Int, duration: Int,
+      codec: String = "jpeg"): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(body.length + 8)
+        .putInt(body.length + 8).put(typ.getBytes("ISO-8859-1")).put(body)
+        .array()
+    val jpegs = frames.map { img =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val ftyp = box("ftyp", "isomisom".getBytes("ISO-8859-1"))
+    val mdat = box("mdat", jpegs.toArray.flatten)
+    val firstSampleOff = ftyp.length + 8 // mdat body starts after its header
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(timescale).putInt(duration)
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0)
+      b.putInt(0).putInt(0).putInt(1).putInt(0).putInt(0)
+      b.position(b.position() + 16 + 36)
+      b.putInt(w << 16).putInt(h << 16)
+      box("tkhd", b.array())
+    }
+    val mdhd = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(timescale).putInt(duration).putInt(0)
+      box("mdhd", b.array())
+    }
+    val stsd = {
+      // VisualSampleEntry: 86 bytes — header(8) + reserved/dataref(8) +
+      // predefined/reserved(16) + w/h(4) + res/framecount/name/depth(50)
+      val e = java.nio.ByteBuffer.allocate(86)
+      e.putInt(86).put(codec.getBytes("ISO-8859-1"))
+      e.position(16 + 16)
+      e.putShort(w.toShort).putShort(h.toShort)
+      val b = java.nio.ByteBuffer.allocate(8 + 86)
+      b.putInt(0).putInt(1).put(e.array())
+      box("stsd", b.array())
+    }
+    val stsz = {
+      val b = java.nio.ByteBuffer.allocate(12 + 4 * jpegs.length)
+      b.putInt(0).putInt(0).putInt(jpegs.length)
+      jpegs.foreach(j => b.putInt(j.length))
+      box("stsz", b.array())
+    }
+    val stsc = {
+      val b = java.nio.ByteBuffer.allocate(20)
+      b.putInt(0).putInt(1)
+      b.putInt(1).putInt(jpegs.length).putInt(1)
+      box("stsc", b.array())
+    }
+    val stco = {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0).putInt(1).putInt(firstSampleOff)
+      box("stco", b.array())
+    }
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val trak = box("trak",
+      tkhd ++ box("mdia", mdhd ++ box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
   }
 
   /** Minimal RIFF/AVI wrapping real JPEG frames (MJPEG): hdrl(avih
@@ -230,6 +309,38 @@ class MultimodalSpec extends SparkSpec {
     val idxs = frameSamplePlanTimed(feats, fps = 10, stride = 10)
       .select("frame_idx").as[Int].collect().sorted
     assert(idxs.toSeq == Seq(0, 10, 20))
+  }
+
+  test("real MJPEG-MP4 frames decode to pixels via the sample tables") {
+    // 4 frames: black, black, white, white — mdhd says 2 s
+    val frames = Seq(0, 0, 255, 255).map(grayFrame(24, 18, _))
+    val mp4 = miniMp4Mjpeg(frames, timescale = 1000, duration = 2000)
+    val d = Multimodal.decodeMp4Mjpeg(mp4, dim = 2).get
+    assert(d.width == 24 && d.height == 18)
+    assert(math.abs(d.durationS - 2.0f) < 1e-3)
+    assert(d.features(0) < 0.1f, d.features(0))
+    assert(d.features(1) > 0.9f, d.features(1))
+    // the frame cap samples evenly and still decodes
+    val many = miniMp4Mjpeg(Seq(0, 0, 0, 0, 255, 255, 255, 255)
+      .map(grayFrame(16, 12, _)), 1000, 4000)
+    val capped = Multimodal.decodeMp4Mjpeg(many, dim = 2, maxFrames = 4).get
+    assert(capped.features(0) < 0.1f && capped.features(1) > 0.9f)
+    // non-BMFF bytes must not parse
+    assert(Multimodal.decodeMp4Mjpeg("not an mp4".getBytes, 2).isEmpty)
+  }
+
+  test("non-MJPEG MP4s keep the declared metadata + fingerprint fallback") {
+    // same tables, but the stsd entry names a codec the JVM can't
+    // decode — the MJPEG path must refuse, and decodeVideo must fall
+    // back to box-tree metadata with fingerprint features
+    val frames = Seq(0, 255).map(grayFrame(24, 18, _))
+    val avc = miniMp4Mjpeg(frames, 1000, 2000, codec = "avc1")
+    assert(Multimodal.decodeMp4Mjpeg(avc, 2).isEmpty)
+    val d = Multimodal.decodeVideo(avc, 2).get
+    assert(d.width == 24 && d.height == 18) // tkhd dims still real
+    // fingerprint features, not a luminance envelope: must match the
+    // stub's deterministic bytes-derived vector
+    assert(d.features.sameElements(Multimodal.decodeStub(avc, 2).features))
   }
 
   test("real MJPEG-AVI frames decode to pixels: dims, duration, luminance envelope") {
