@@ -247,4 +247,33 @@ class PropertiesSpec extends SparkSpec {
       assert(got(i) == members.min, s"node $i")
     }
   }
+
+  test("apportionBudget: Σquota = budget (0 when W = 0), quota ∈ {base, base+1}, " +
+      "zero-weight groups get zero (random weights/budgets)") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 6) {
+      val n = 1 + rnd.nextInt(12)
+      // skewed small ints with a fat zero mass, so W = 0 happens too
+      val ws = Seq.tabulate(n)(i =>
+        (s"g$i", math.max(0L, rnd.nextInt(24).toLong - 8)))
+      val budget = rnd.nextInt(1000).toLong
+      val rows = graft.operators.Sampling
+        .apportionBudget(ws.toDF("g", "w"), "g", "w", budget).collect()
+      val bigW = ws.map(_._2).sum
+      assert(rows.length == n)
+      val qsum = rows.map(_.getAs[Long]("quota")).sum
+      assert(qsum == (if (bigW > 0) budget else 0L),
+        s"round $round: Σquota $qsum for W=$bigW budget=$budget")
+      rows.foreach { r =>
+        val b = r.getAs[Long]("base")
+        val q = r.getAs[Long]("quota")
+        assert(q == b || q == b + 1, s"round $round: base $b quota $q")
+        // a zero-weight group has rem 0 and the leftover count is
+        // strictly below the number of positive remainders, so it can
+        // never be topped up
+        if (r.getAs[Long]("weight") == 0L)
+          assert(q == 0L, s"round $round: zero-weight group got $q")
+      }
+    }
+  }
 }
