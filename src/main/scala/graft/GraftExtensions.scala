@@ -131,6 +131,10 @@ object GraftSql {
   * featurization kernels, the vector ops).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSql.functions.foreach(ext.injectFunction)
+    // restore parquet time-range pushdown through the events ns-epoch
+    // projection (see graft.plans.TsRangePushdown)
+    ext.injectOptimizerRule(_ => graft.plans.TsRangePushdown)
+  }
 }

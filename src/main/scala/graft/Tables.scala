@@ -34,7 +34,13 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = cache.get(spark, s"$sfDir/$name.parquet")(
       spark.read.parquet(s"$sfDir/$name.parquet"))
-    if (name == "events") normalizeEventsTs(df) else df
+    if (name == "events") {
+      // time-range predicates on the ns-epoch projection must keep
+      // pruning parquet row groups — install the rewrite rule on
+      // sessions built without the GraftExtensions conf (idempotent)
+      graft.plans.TsRangePushdown.ensureRegistered(spark)
+      normalizeEventsTs(df)
+    } else df
   }
 
   /** Every events consumer (and every DuckDB oracle via `epoch_ns`) is

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+/** Restores parquet range pushdown for the events `ts` ns-epoch
+  * contract on Spark 4.1+.
+  *
+  * `Tables.normalizeEventsTs` projects the native TIMESTAMP_NTZ read of
+  * the parquet TIMESTAMP(NANOS) column into a bigint ns-epoch —
+  * `timestampdiff(MICROSECOND, epoch, ts) * 1000` — so every consumer
+  * keeps the long-ns contract. The cost: a time-range predicate on
+  * that derived long (`ts > 1704067200000000000L`) is opaque to the
+  * scan, so the one filter that matters most on a 100 TB fact table —
+  * the time range — stops pruning row groups (only `IsNotNull(ts)`
+  * still pushes). Under the legacy long read the same predicate pushed
+  * as `GreaterThan(ts, …)`.
+  *
+  * This rule rewrites `<ns-projection of ts> <cmp> <long literal>`
+  * (either orientation) back into the equivalent comparison on the raw
+  * NTZ column against a TIMESTAMP_NTZ literal, which the parquet
+  * source DOES push into the scan (verified: `PushedFilters:
+  * [GreaterThan(ts, …)]` on the nanos-typed column). The boundary math
+  * is exact on integers — the projected value is `truncated_µs * 1000`,
+  * so each comparison maps through floor/ceil division by 1000:
+  *
+  *   µs*1000 >  L  ⇔  µs >  ⌊L/1000⌋        µs*1000 ≥ L  ⇔  µs ≥ ⌈L/1000⌉
+  *   µs*1000 <  L  ⇔  µs <  ⌈L/1000⌉        µs*1000 ≤ L  ⇔  µs ≤ ⌊L/1000⌋
+  *   µs*1000 =  L  ⇔  µs = L/1000 when 1000 | L (kept unrewritten
+  *                    otherwise: `false` would flip NULL to FALSE in a
+  *                    projection context)
+  *
+  * Null semantics are preserved: both the ns projection and the raw
+  * comparison are null exactly when `ts` is null. The rule fires only
+  * on the exact normalization shape over a TIMESTAMP_NTZ attribute, so
+  * legacy long-read plans (no `timestampdiff` anywhere) are untouched.
+  *
+  * Registered two ways: `graft.GraftExtensions` (injectOptimizerRule)
+  * for `--conf spark.sql.extensions` sessions, and idempotently via
+  * `Tables.apply` on the first events read for sessions built without
+  * the extension (the driver-owned path).
+  */
+object TsRangePushdown extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.types.TimestampType
+
+  /** The analyzed/optimized normalizeEventsTs shape. Analysis coerces
+    * both `timestampdiff` operands NTZ→LTZ in the SESSION zone and
+    * folding collapses the epoch literal, so the start operand arrives
+    * as any of: the raw NTZ epoch literal, a cast of it, or the folded
+    * LTZ literal (whose instant is minus the zone's 1970 offset).
+    * `TimestampDiff(MICROSECOND)`'s zone-aware arithmetic makes the
+    * result the exact wall-clock µs difference in EVERY session zone
+    * (verified incl. DST zones with summer timestamps), so rewriting to
+    * a wall-clock NTZ comparison is exact regardless of session tz.
+    */
+  private object NsOfNtz {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case c: Cast if c.dataType == LongType => unapply(c.child)
+      case Multiply(td: TimestampDiff, Literal(1000L, LongType), _)
+          if td.unit.equalsIgnoreCase("MICROSECOND") &&
+            isEpoch(td.startTimestamp, td.timeZoneId) =>
+        ntzAttr(td.endTimestamp)
+      case _ => None
+    }
+
+    private def ntzAttr(e: Expression): Option[Attribute] = e match {
+      case a: Attribute if a.dataType == TimestampNTZType => Some(a)
+      case c: Cast if c.dataType == TimestampType => ntzAttr(c.child)
+      case _ => None
+    }
+
+    private def isEpoch(e: Expression, tzId: Option[String]): Boolean =
+      e match {
+        case Literal(0L, TimestampNTZType) => true
+        case c: Cast if c.dataType == TimestampType =>
+          isEpoch(c.child, tzId)
+        case Literal(v: Long, TimestampType) =>
+          // the folded NTZ-epoch-cast-to-LTZ: instant −offset(1970) µs
+          val zone = java.time.ZoneId.of(tzId.getOrElse("UTC"))
+          val offUs = zone.getRules
+            .getOffset(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
+            .getTotalSeconds * 1000000L
+          v == -offUs
+        case _ => false
+      }
+  }
+
+  private object LongLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+  }
+
+  private def ntz(micros: Long): Literal = Literal(micros, TimestampNTZType)
+  private def fdiv(l: Long): Long = Math.floorDiv(l, 1000L)
+  private def cdiv(l: Long): Long = Math.floorDiv(l + 999L, 1000L)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // ns(ts) <cmp> L
+      case GreaterThan(NsOfNtz(a), LongLit(l)) => GreaterThan(a, ntz(fdiv(l)))
+      case GreaterThanOrEqual(NsOfNtz(a), LongLit(l)) =>
+        GreaterThanOrEqual(a, ntz(cdiv(l)))
+      case LessThan(NsOfNtz(a), LongLit(l)) => LessThan(a, ntz(cdiv(l)))
+      case LessThanOrEqual(NsOfNtz(a), LongLit(l)) =>
+        LessThanOrEqual(a, ntz(fdiv(l)))
+      case e @ EqualTo(NsOfNtz(a), LongLit(l)) =>
+        if (l % 1000L == 0L) EqualTo(a, ntz(l / 1000L)) else e
+      // L <cmp> ns(ts) — mirrored orientation
+      case GreaterThan(LongLit(l), NsOfNtz(a)) => LessThan(a, ntz(cdiv(l)))
+      case GreaterThanOrEqual(LongLit(l), NsOfNtz(a)) =>
+        LessThanOrEqual(a, ntz(fdiv(l)))
+      case LessThan(LongLit(l), NsOfNtz(a)) => GreaterThan(a, ntz(fdiv(l)))
+      case LessThanOrEqual(LongLit(l), NsOfNtz(a)) =>
+        GreaterThanOrEqual(a, ntz(cdiv(l)))
+      case e @ EqualTo(LongLit(l), NsOfNtz(a)) =>
+        if (l % 1000L == 0L) EqualTo(a, ntz(l / 1000L)) else e
+    }
+
+  /** Install into a session that was built without the extensions
+    * conf — appended to `experimental.extraOptimizations`, once.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(TsRangePushdown))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ TsRangePushdown
+    }
+}
