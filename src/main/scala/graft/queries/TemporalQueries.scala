@@ -292,6 +292,29 @@ object TemporalQueries {
             round(var_samp(col("value")), 6).as("var"),
             round(covar_samp(col("value"), col("hod")), 6).as("cov_vh"),
             round(corr(col("value"), col("hod")), 6).as("corr_vh"))
+          .orderBy("event_type")),
+
+    // Literal time-slice aggregate (the dashboard/backfill shape: "one
+    // week of events, grouped"): the range predicate sits on the
+    // ns-epoch ts contract, which the TsRangePushdown rule rewrites to
+    // a raw TIMESTAMP_NTZ comparison the parquet source pushes — so
+    // the scan prunes row groups instead of reading the full fact
+    // table (TsRangePushdownSpec pins the pushed filters; this query
+    // keeps the rewrite on the hash-checked oracle path every round).
+    // Window: 2024-01-05 .. 2024-01-12 UTC.
+    Query("q179_time_slice", Some(
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704412800000000000
+        |  AND epoch_ns(ts) < 1705017600000000000
+        |GROUP BY 1 ORDER BY event_type""".stripMargin))(
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("ts") >= lit(1704412800000000000L) &&
+            col("ts") < lit(1705017600000000000L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), Query.dsum(col("value")).as("sum_val"))
           .orderBy("event_type"))
   )
 }
