@@ -79,6 +79,10 @@ object GraftSql {
     fn1("token_entropy",
       "unigram Shannon entropy (bits) of a token array")(
       VectorExprs.TokenEntropyExpr(_)),
+    fn1("ntz_micros",
+      "wall-clock microseconds since the epoch of a TIMESTAMP_NTZ " +
+        "(its physical value; session-timezone-independent)")(
+      graft.functions.TimeExprs.NtzMicrosExpr(_)),
     fn1("quantize_int8",
       "symmetric int8 quantization of a float array: " +
         "struct(scale, codes q, max abs error err)")(

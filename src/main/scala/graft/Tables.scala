@@ -48,22 +48,27 @@ object Tables {
     * contract regardless of how this Spark version surfaced the parquet
     * TIMESTAMP(NANOS) column:
     *   - LongType: legacy `nanosAsLong` read — exact ns, pass through.
-    *   - TIMESTAMP_NTZ (Spark 4.1+ native read): wall-clock µs; the
-    *     parquet values are UTC instants, so µs-since-epoch is plain
-    *     wall-clock arithmetic against the epoch — `timestampdiff` on
-    *     NTZ operands is timezone-independent, unlike a cast to LTZ.
-    *     The native read truncates ns→µs, but the driver testdata is
+    *   - TIMESTAMP_NTZ (Spark 4.1+ native read): the NTZ physical value
+    *     IS wall-clock µs since the epoch, so `NtzMicrosExpr` (an
+    *     identity reinterpretation, codegen pass-through) × 1000 gives
+    *     the ns contract with zero zone math — session-tz-independent
+    *     by construction, including DST-gap wall times that every
+    *     cast-through-LTZ formula shifts under non-UTC sessions. The
+    *     native read truncates ns→µs, but the driver testdata is
     *     µs-aligned (checked: 0 sub-µs rows at every SF), so ×1000
     *     reproduces the exact ns value the oracle computes.
-    *   - TIMESTAMP (LTZ, defensive): `unix_micros` is the instant ×1e6.
-    * The conversion is a codegen'd column expression on top of the scan;
-    * pushdown/pruning on the other columns is unaffected.
+    *   - TIMESTAMP (LTZ, defensive only): `unix_micros` is the instant
+    *     ×1e6 (exact for UTC sessions, the engine's documented mode).
+    * The conversion is a codegen'd column expression on top of the
+    * scan; pushdown/pruning on the other columns is unaffected, and
+    * `plans.TsRangePushdown` rewrites literal range predicates on the
+    * derived ns back into pushable NTZ comparisons on the raw column.
     */
   private def normalizeEventsTs(df: DataFrame): DataFrame = {
     val nsCol: Option[Column] = df.schema("ts").dataType match {
       case LongType         => None
       case TimestampNTZType => Some(
-        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L))
+        graft.functions.TimeExprs.ntzMicros(col("ts")) * lit(1000L))
       case TimestampType    => Some(unix_micros(col("ts")) * lit(1000L))
       case other => throw new IllegalStateException(
         s"events.ts arrived as unsupported type $other; expected ns-long, TIMESTAMP_NTZ or TIMESTAMP")

@@ -185,6 +185,45 @@ object Multimodal {
       if (timescale > 0) (durationTicks.toDouble / timescale).toFloat else 0f
   }
 
+  /** Shared ISO BMFF primitives: big-endian field readers and the one
+    * box-header walk (32/64-bit sizes, size-0 = to-end, malformed →
+    * stop) that every MP4 parser in this object iterates with. A
+    * header-layout fix lands here once for the metadata AND the
+    * MJPEG-sample paths.
+    */
+  private object Bmff {
+    def u16(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    def u32(p: Array[Byte], o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def u64(p: Array[Byte], o: Int): Long =
+      (u32(p, o) << 32) | u32(p, o + 4)
+    def fourcc(p: Array[Byte], o: Int): String =
+      new String(p, o, 4, "ISO-8859-1")
+
+    /** Iterate sibling boxes in `p[start, end)`: `f(type, bodyStart,
+      * bodyEnd)` per box; `f` recurses by calling walk again on a
+      * container's body range. Stops at the first malformed header.
+      */
+    def walk(p: Array[Byte], start: Int, end: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(p, off)
+        val typ = fourcc(p, off + 4)
+        var hdr = 8
+        if (size == 1) {
+          if (off + 16 > end) return
+          size = u64(p, off + 8); hdr = 16
+        } else if (size == 0) size = (end - off).toLong
+        if (size < hdr || off.toLong + size > end) return // malformed
+        f(typ, off + hdr, (off + size).toInt)
+        off = (off + size).toInt
+      }
+    }
+  }
+
   /** Walk the MP4 box tree for moov → mvhd (timescale, duration) and
     * moov → trak → tkhd (presentation width/height, 16.16 fixed-point;
     * the first track with nonzero dims is the video track — audio
@@ -193,11 +232,8 @@ object Multimodal {
     */
   private[operators] def parseMp4Meta(payload: Array[Byte]): Option[Mp4Meta] = {
     if (payload == null || payload.length < 16) return None
-    def u32(o: Int): Long =
-      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
-        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
-    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    def fourcc(o: Int): String = new String(payload, o, 4, "ISO-8859-1")
+    def u32(o: Int): Long = Bmff.u32(payload, o)
+    def u64(o: Int): Long = Bmff.u64(payload, o)
 
     var timescale = 0L
     var duration = 0L
@@ -205,19 +241,8 @@ object Multimodal {
     var h = 0
     var sawMoov = false
 
-    def walk(start: Int, end: Int): Unit = {
-      var off = start
-      while (off + 8 <= end) {
-        var size = u32(off)
-        val typ = fourcc(off + 4)
-        var hdr = 8
-        if (size == 1) {
-          if (off + 16 > end) return
-          size = u64(off + 8); hdr = 16
-        } else if (size == 0) size = (end - off).toLong
-        if (size < hdr || off.toLong + size > end) return // malformed
-        val body = off + hdr
-        val bodyEnd = (off + size).toInt
+    def walk(start: Int, end: Int): Unit =
+      Bmff.walk(payload, start, end) { (typ, body, bodyEnd) =>
         typ match {
           case "moov" => sawMoov = true; walk(body, bodyEnd)
           case "trak" => walk(body, bodyEnd)
@@ -241,9 +266,7 @@ object Multimodal {
             }
           case _ => ()
         }
-        off = bodyEnd
       }
-    }
     try walk(0, payload.length)
     catch { case scala.util.control.NonFatal(_) => return None }
     if (sawMoov) Some(Mp4Meta(w, h, timescale, duration)) else None
@@ -266,13 +289,10 @@ object Multimodal {
   private[operators] def decodeMp4Mjpeg(payload: Array[Byte], dim: Int,
       maxFrames: Int = 256): Option[Decoded] = {
     if (payload == null || payload.length < 16) return None
-    def u16(o: Int): Int =
-      ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
-    def u32(o: Int): Long =
-      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
-        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
-    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    def fourcc(o: Int): String = new String(payload, o, 4, "ISO-8859-1")
+    def u16(o: Int): Int = Bmff.u16(payload, o)
+    def u32(o: Int): Long = Bmff.u32(payload, o)
+    def u64(o: Int): Long = Bmff.u64(payload, o)
+    def fourcc(o: Int): String = Bmff.fourcc(payload, o)
     val mjpegCodecs = Set("jpeg", "mjpa", "MJPG", "AVDJ")
 
     // per-trak sample-table state, kept only for the MJPEG video trak
@@ -286,19 +306,8 @@ object Multimodal {
     var stsc: Array[(Long, Long)] = null     // (first_chunk, samples_per_chunk)
     var found = false
 
-    def walkTrak(start: Int, end: Int): Unit = {
-      var off = start
-      while (off + 8 <= end) {
-        var size = u32(off)
-        val typ = fourcc(off + 4)
-        var hdr = 8
-        if (size == 1) {
-          if (off + 16 > end) return
-          size = u64(off + 8); hdr = 16
-        } else if (size == 0) size = (end - off).toLong
-        if (size < hdr || off.toLong + size > end) return
-        val body = off + hdr
-        val bodyEnd = (off + size).toInt
+    def walkTrak(start: Int, end: Int): Unit =
+      Bmff.walk(payload, start, end) { (typ, body, bodyEnd) =>
         typ match {
           case "mdia" | "minf" | "stbl" => walkTrak(body, bodyEnd)
           case "mdhd" if bodyEnd - body >= 20 =>
@@ -340,24 +349,11 @@ object Multimodal {
                 (u32(body + 8 + 12 * i), u32(body + 12 + 12 * i)))
           case _ => ()
         }
-        off = bodyEnd
       }
-    }
 
-    def walkTop(start: Int, end: Int): Unit = {
-      var off = start
-      while (off + 8 <= end && !found) {
-        var size = u32(off)
-        val typ = fourcc(off + 4)
-        var hdr = 8
-        if (size == 1) {
-          if (off + 16 > end) return
-          size = u64(off + 8); hdr = 16
-        } else if (size == 0) size = (end - off).toLong
-        if (size < hdr || off.toLong + size > end) return
-        val body = off + hdr
-        val bodyEnd = (off + size).toInt
-        typ match {
+    def walkTop(start: Int, end: Int): Unit =
+      Bmff.walk(payload, start, end) { (typ, body, bodyEnd) =>
+        if (!found) typ match {
           case "moov" => walkTop(body, bodyEnd)
           case "trak" =>
             codec = ""; sampW = 0; sampH = 0
@@ -369,9 +365,7 @@ object Multimodal {
               found = true
           case _ => ()
         }
-        off = bodyEnd
       }
-    }
 
     try {
       walkTop(0, payload.length)

@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   *
   * `Tables.normalizeEventsTs` projects the native TIMESTAMP_NTZ read of
   * the parquet TIMESTAMP(NANOS) column into a bigint ns-epoch —
-  * `timestampdiff(MICROSECOND, epoch, ts) * 1000` — so every consumer
-  * keeps the long-ns contract. The cost: a time-range predicate on
+  * `ntz_micros(ts) * 1000` — so every consumer keeps the long-ns
+  * contract. The cost: a time-range predicate on
   * that derived long (`ts > 1704067200000000000L`) is opaque to the
   * scan, so the one filter that matters most on a 100 TB fact table —
   * the time range — stops pruning row groups (only `IsNotNull(ts)`
@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   * Null semantics are preserved: both the ns projection and the raw
   * comparison are null exactly when `ts` is null. The rule fires only
   * on the exact normalization shape over a TIMESTAMP_NTZ attribute, so
-  * legacy long-read plans (no `timestampdiff` anywhere) are untouched.
+  * legacy long-read plans (no `ntz_micros` anywhere) are untouched.
   *
   * Registered two ways: `graft.GraftExtensions` (injectOptimizerRule)
   * for `--conf spark.sql.extensions` sessions, and idempotently via
@@ -44,48 +44,22 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   */
 object TsRangePushdown extends Rule[LogicalPlan] {
 
-  import org.apache.spark.sql.types.TimestampType
-
-  /** The analyzed/optimized normalizeEventsTs shape. Analysis coerces
-    * both `timestampdiff` operands NTZ→LTZ in the SESSION zone and
-    * folding collapses the epoch literal, so the start operand arrives
-    * as any of: the raw NTZ epoch literal, a cast of it, or the folded
-    * LTZ literal (whose instant is minus the zone's 1970 offset).
-    * `TimestampDiff(MICROSECOND)`'s zone-aware arithmetic makes the
-    * result the exact wall-clock µs difference in EVERY session zone
-    * (verified incl. DST zones with summer timestamps), so rewriting to
-    * a wall-clock NTZ comparison is exact regardless of session tz.
+  /** The normalizeEventsTs shape: `ntz_micros(ts) * 1000` — the
+    * engine's own identity reinterpretation of the NTZ physical micros
+    * (graft.functions.TimeExprs.NtzMicrosExpr). Because the projection
+    * involves no zone math at all, rewriting a comparison on it to a
+    * wall-clock NTZ comparison on the raw column is exact under every
+    * session timezone, DST gaps included.
     */
   private object NsOfNtz {
     def unapply(e: Expression): Option[Attribute] = e match {
       case c: Cast if c.dataType == LongType => unapply(c.child)
-      case Multiply(td: TimestampDiff, Literal(1000L, LongType), _)
-          if td.unit.equalsIgnoreCase("MICROSECOND") &&
-            isEpoch(td.startTimestamp, td.timeZoneId) =>
-        ntzAttr(td.endTimestamp)
+      case Multiply(graft.functions.TimeExprs.NtzMicrosExpr(a: Attribute),
+          Literal(1000L, LongType), _)
+          if a.dataType == TimestampNTZType =>
+        Some(a)
       case _ => None
     }
-
-    private def ntzAttr(e: Expression): Option[Attribute] = e match {
-      case a: Attribute if a.dataType == TimestampNTZType => Some(a)
-      case c: Cast if c.dataType == TimestampType => ntzAttr(c.child)
-      case _ => None
-    }
-
-    private def isEpoch(e: Expression, tzId: Option[String]): Boolean =
-      e match {
-        case Literal(0L, TimestampNTZType) => true
-        case c: Cast if c.dataType == TimestampType =>
-          isEpoch(c.child, tzId)
-        case Literal(v: Long, TimestampType) =>
-          // the folded NTZ-epoch-cast-to-LTZ: instant −offset(1970) µs
-          val zone = java.time.ZoneId.of(tzId.getOrElse("UTC"))
-          val offUs = zone.getRules
-            .getOffset(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
-            .getTotalSeconds * 1000000L
-          v == -offUs
-        case _ => false
-      }
   }
 
   private object LongLit {
@@ -97,7 +71,11 @@ object TsRangePushdown extends Rule[LogicalPlan] {
 
   private def ntz(micros: Long): Literal = Literal(micros, TimestampNTZType)
   private def fdiv(l: Long): Long = Math.floorDiv(l, 1000L)
-  private def cdiv(l: Long): Long = Math.floorDiv(l + 999L, 1000L)
+  // overflow-safe ceil-div: `floorDiv(l + 999)` wraps for literals near
+  // Long.MaxValue (a natural "no upper bound" sentinel) and would
+  // silently flip the predicate
+  private def cdiv(l: Long): Long =
+    Math.floorDiv(l, 1000L) + (if (Math.floorMod(l, 1000L) > 0L) 1L else 0L)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {

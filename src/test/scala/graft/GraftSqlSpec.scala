@@ -34,6 +34,10 @@ class GraftSqlSpec extends SparkSpec {
     val q = registered.sql(
       "SELECT quantize_int8(array(1.0F, -0.5F)).q").collect().head.getSeq[Int](0)
     assert(q == Seq(127, -64))
+    // ntz_micros is the NTZ physical value — no zone math anywhere
+    assert(sql1("SELECT ntz_micros(TIMESTAMP_NTZ '2024-03-10 02:30:00')")
+      == 1710037800000000L)
+    assert(sql1("SELECT ntz_micros(TIMESTAMP_NTZ '1970-01-01 00:00:00')") == 0L)
   }
 
   test("minhash kernels take literal hyperparameters; non-literal fails") {
