@@ -269,35 +269,63 @@ object Dedup {
 
   /** Near-dup candidate pairs of a NEW batch against an indexed corpus
     * (plus within-batch pairs) — the daily-ingest shape. Cost scales
-    * with the DELTA: the batch is featurized and shuffled once on
-    * (band, bucket); the corpus index is read co-located (bucketed on
-    * the join key — zero corpus-side exchange, PlanSpec-pinned) with
-    * its stored `bsz` pruning hot buckets in the scan. Output:
-    * distinct (id_a < id_b), each pair touching at least one batch
-    * row; same-id rows (a re-ingested document) are not pairs.
+    * with the DELTA's DISTINCT CONTENT: the batch is exact-deduped
+    * first on token-normalized content (the q175 order — a twin-heavy
+    * re-crawl otherwise featurizes and probes every twin and pairs
+    * them quadratically inside the LSH buckets), one representative
+    * per group is featurized and shuffled once on (band, bucket), and
+    * the corpus index is read co-located (bucketed on the join key —
+    * zero corpus-side exchange, PlanSpec-pinned) with its stored `bsz`
+    * pruning hot buckets in the scan. Member pairs are reconstructed
+    * afterwards: intra-group pairs are exact duplicates (Jaccard 1,
+    * candidates by construction — emitted without any probe, so a
+    * twin pile can no longer blow a delta bucket past its cap), cross
+    * pairs expand each representative hit over the group's members.
+    * Identical normalized content ⇒ identical band hashes, so
+    * rep-level probing loses no recall, and rep-level bucket sizes
+    * are ≤ raw-row sizes, so the cap drops strictly fewer buckets.
+    * Output: distinct (id_a < id_b), each pair touching at least one
+    * batch row; same-id rows (a re-ingested document) are not pairs.
     */
   def nearDupCandidatesAgainstIndex(newDf: DataFrame, idCol: String,
       textCol: String, indexTable: String, n: Int = 3, numHashes: Int = 32,
       bands: Int = 8, maxBucketSize: Int = 10000): DataFrame = {
     val spark = newDf.sparkSession
     val corpus = spark.table(indexTable).filter(col("bsz") <= maxBucketSize)
-    val delta = minhashBuckets(newDf, idCol, textCol, n, numHashes, bands)
-      .withColumnRenamed(idCol, "id")
+    // exact-dedup grouping opens a fresh HeavyPersist scope; callers
+    // that persist this function's result should join it
+    // (freshScope = false), not open another
+    val grouped = exactGroups(newDf, idCol, textCol,
+      concat_ws(" ", TextAnalysis.wsTokens(col("text"))))
+    val members = grouped.select(col("id"), col("gid"))
+    val deltaBuckets = minhashBuckets(
+        grouped.filter(col("id") === col("gid")), "gid", "text",
+        n, numHashes, bands)
+      .withColumnRenamed("gid", "rid")
       .withColumn("__bsz", count(lit(1)).over(
         Window.partitionBy("band", "bucket")))
       .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
-    val cross = delta.as("a").join(corpus.as("c"),
+    // representative × corpus hits, expanded over the rep's members;
+    // the id_a =!= id_b filter drops a re-ingested same-id document
+    // pairing with itself
+    val crossRep = deltaBuckets.as("a").join(corpus.as("c"),
         col("a.band") === col("c.band") &&
-        col("a.bucket") === col("c.bucket") &&
-        col("a.id") =!= col("c.id"))
-      .select(least(col("a.id"), col("c.id")).as("id_a"),
-        greatest(col("a.id"), col("c.id")).as("id_b"))
-    val intra = delta.as("a").join(delta.as("b"),
+        col("a.bucket") === col("c.bucket"))
+      .select(col("a.rid").as("gid"), col("c.id").as("cid")).distinct()
+    val cross = crossRep.join(members, "gid")
+      .select(least(col("id"), col("cid")).as("id_a"),
+        greatest(col("id"), col("cid")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // within-batch: cross-group representative pairs expanded over
+    // both groups' members, plus intra-group exact-twin pairs
+    val repPairs = deltaBuckets.as("a").join(deltaBuckets.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    cross.unionAll(intra).distinct()
+        col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("ga"), col("b.rid").as("gb")).distinct()
+    val intraCross = expandCross(repPairs, members, Nil)
+    val intraTwin = intraPairs(members).select(col("id_a"), col("id_b"))
+    cross.unionAll(intraCross).unionAll(intraTwin).distinct()
   }
 
   /** The full verified near-dup pipeline, exact-dedup FIRST (the

@@ -1155,33 +1155,55 @@ object ExtendedQueries {
         // the candidate frame feeds THREE consumers (the id semi-join
         // plus both verify joins) and the shingle frame two — without a
         // persist each consumer re-runs the delta featurization + index
-        // probe, tripling the query's real cost (measured 2× at sf0.1)
+        // probe, tripling the query's real cost (measured 2× at sf0.1).
+        // freshScope = false: the operator's internal exact-dedup
+        // grouping already opened this pipeline's scope, and the
+        // candidate plan depends on that grouped frame
         val cand = graft.HeavyPersist(Dedup.nearDupCandidatesAgainstIndex(
-          delta, "doc_id", "text", idx))
+          delta, "doc_id", "text", idx), freshScope = false)
         // verify on matched documents only: candidate ids semi-join
         // the text source, so the exact-Jaccard pass never featurizes
-        // unmatched corpus rows
+        // unmatched corpus rows. Verification is DEDUP-FIRST too:
+        // identical token sequences have identical shingle sets, so
+        // Jaccard is computed once per distinct CONTENT pair (rep
+        // shingles only) and joined back onto the member pairs — on a
+        // twin-heavy delta this turns O(member pairs) array
+        // intersections into O(content pairs) plus two hash joins
         val ids = cand.select(col("id_a").as("doc_id"))
           .unionAll(cand.select(col("id_b").as("doc_id"))).distinct()
-        // tokens materialize as a named column first: inlined into the
-        // window lambda, every element_at re-runs the regex split
-        val feats = graft.HeavyPersist(docs.unionAll(delta)
+        val keyed = graft.HeavyPersist(docs.unionAll(delta)
           .join(ids, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"),
-            graft.operators.TextAnalysis.wsTokens(col("text")).as("__t"))
-          .select(col("doc_id"),
-            graft.operators.TextAnalysis.shinglesFromTokens(
-              col("__t"), 3).as("sh")),
+          .select(col("doc_id"), col("text"))
+          .withColumn("k", md5(concat_ws(" ",
+            graft.operators.TextAnalysis.wsTokens(col("text"))))),
           freshScope = false)
-        cand
-          .join(feats.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        // one deterministic representative text per content key;
+        // tokens materialize as a named column first — inlined into
+        // the shingle lambda, every element_at re-runs the regex split
+        val repFeats = keyed.groupBy("k")
+          .agg(min_by(col("text"), col("doc_id")).as("text"))
+          .select(col("k"),
+            graft.operators.TextAnalysis.wsTokens(col("text")).as("__t"))
+          .select(col("k"),
+            graft.operators.TextAnalysis.shinglesFromTokens(
+              col("__t"), 3).as("sh"))
+        val keyedIds = keyed.select(col("doc_id"), col("k"))
+        val candK = graft.HeavyPersist(cand
+          .join(keyedIds.select(col("doc_id").as("id_a"), col("k").as("ka")),
             "id_a")
-          .join(feats.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-            "id_b")
-          .select(col("id_a"), col("id_b"),
+          .join(keyedIds.select(col("doc_id").as("id_b"), col("k").as("kb")),
+            "id_b"), freshScope = false)
+        val verified = candK.select(col("ka"), col("kb")).distinct()
+          .join(repFeats.select(col("k").as("ka"), col("sh").as("sh_a")),
+            "ka")
+          .join(repFeats.select(col("k").as("kb"), col("sh").as("sh_b")),
+            "kb")
+          .select(col("ka"), col("kb"),
             round(Dedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 6)
               .as("jacc"))
           .filter(col("jacc") >= 0.8)
+        candK.join(verified, Seq("ka", "kb"))
+          .select(col("id_a"), col("id_b"), col("jacc"))
           .orderBy("id_a", "id_b")
       }),
 
