@@ -37,8 +37,14 @@ object Tables {
     if (name == "events") {
       // time-range predicates on the ns-epoch projection must keep
       // pruning parquet row groups — install the rewrite rule on
-      // sessions built without the GraftExtensions conf (idempotent)
-      graft.plans.TsRangePushdown.ensureRegistered(spark)
+      // sessions built without the GraftExtensions conf (idempotent).
+      // A session built WITH the extension already runs the rule in
+      // its injected-rules batch; skip the extraOptimizations copy so
+      // a table read doesn't mutate session state it doesn't need to.
+      val viaExtensions = spark.conf
+        .getOption("spark.sql.extensions")
+        .exists(_.contains("graft.GraftExtensions"))
+      if (!viaExtensions) graft.plans.TsRangePushdown.ensureRegistered(spark)
       normalizeEventsTs(df)
     } else df
   }

@@ -370,15 +370,23 @@ object Multimodal {
     try {
       walkTop(0, payload.length)
       if (!found) return None
-      // expand (chunk, samples-per-chunk) runs into per-sample offsets
+      // expand (chunk, samples-per-chunk) runs into per-sample offsets.
+      // stsc first_chunk values are non-decreasing in a valid file, so a
+      // single scan index advanced monotonically across chunks keeps the
+      // expansion O(chunks + entries); a corrupt table that goes backwards
+      // (or spc=0 entries paired with a huge co64) would otherwise cost
+      // O(chunks x entries) in a single row.
+      var k = 0
+      while (k + 1 < stsc.length && stsc(k)._1 <= stsc(k + 1)._1) k += 1
+      if (k + 1 < stsc.length) return None // non-monotonic stsc: reject
       val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var si = 0
       var ci = 0
+      var spc = 1L
+      k = 0
       while (ci < chunkOffsets.length && si < sizes.length) {
-        // stsc entries are (first_chunk 1-based, spc); the entry in
-        // force for chunk ci+1 is the last one with first_chunk <= ci+1
-        var spc = 1L
-        var k = 0
+        // the entry in force for chunk ci+1 (1-based) is the last one
+        // with first_chunk <= ci+1; k only ever moves forward
         while (k < stsc.length && stsc(k)._1 <= ci + 1) {
           spc = stsc(k)._2; k += 1
         }

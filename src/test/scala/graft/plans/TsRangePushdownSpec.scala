@@ -56,6 +56,34 @@ class TsRangePushdownSpec extends SparkSpec {
     }
   }
 
+  test("boundary counts match a fully independent ground truth (raw NTZ " +
+      "read, JVM epoch math — no graft normalization in the oracle path)") {
+    // The value-exact test above derives allNs from the normalized
+    // column itself, so a constant-offset normalization bug would
+    // cancel out there. This oracle never touches graft code: read the
+    // parquet directly, collect ts as java.time.LocalDateTime (Spark's
+    // native NTZ external type), and compute ns-since-epoch with plain
+    // JVM time arithmetic (NTZ wall-clock fields == UTC instant by the
+    // ns-epoch contract).
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val independentNs: Seq[Long] = raw.select("ts").collect().map { r =>
+      r.get(0) match {
+        case ldt: java.time.LocalDateTime =>
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L +
+            ldt.getNano
+        case l: java.lang.Long => l.longValue() // legacy nanosAsLong read
+        case other => fail(s"unexpected ts external type: $other")
+      }
+    }.toSeq
+    assert(independentNs.sorted == allNs.sorted,
+      "normalized ts diverges from the independent JVM-computed epoch ns")
+    val b = 1704586423778549499L // ragged, exercises floor/ceil rewrite
+    assert(events.filter(col("ts") > lit(b)).count() ==
+      independentNs.count(_ > b).toLong)
+    assert(events.filter(col("ts") <= lit(b)).count() ==
+      independentNs.count(_ <= b).toLong)
+  }
+
   test("equality: divisible literal rewrites and matches; ragged literal " +
       "stays correct (unrewritten)") {
     val hit = allNs.head // stored values are µs-aligned → divisible
