@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Sync the hardcoded evidence counts in COVERAGE.md / README.md to the
+ACTUAL numbers from a real test run — the counts drifted silently for
+two rounds before r9, so they are now machine-written, never hand-edited.
+
+Usage (round close):
+    sbt -batch test 2>&1 | tee /tmp/sbt_test.log
+    python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/graft_verify \
+        2>&1 | tee /tmp/selfcheck.log
+    python3 tools/sync_counts.py /tmp/sbt_test.log /tmp/selfcheck.log
+
+Parses "Total number of tests run: N" + "Suites: completed K" from the
+sbt log and "N/N oracle queries match" from the selfcheck log, then
+rewrites the count phrases in place. Exits non-zero if any expected
+phrase or log marker is missing, so a silent format drift fails the
+round-close script instead of writing garbage.
+"""
+import re
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    sbt_log = open(sys.argv[1], encoding="utf-8", errors="replace").read()
+    check_log = open(sys.argv[2], encoding="utf-8", errors="replace").read()
+
+    m_tests = re.search(r"Total number of tests run: (\d+)", sbt_log)
+    m_suites = re.search(r"Suites: completed (\d+), aborted 0", sbt_log)
+    m_fail = re.search(r"Tests: succeeded \d+, failed (\d+)", sbt_log)
+    m_oracle = re.search(r"(\d+)/(\d+) oracle queries match", check_log)
+    if not (m_tests and m_suites and m_fail and m_oracle):
+        print("missing summary markers: tests=%s suites=%s failed=%s "
+              "oracle=%s" % (m_tests, m_suites, m_fail, m_oracle))
+        return 1
+    if m_fail.group(1) != "0":
+        print("refusing to sync counts from a FAILING run "
+              f"({m_fail.group(1)} failed)")
+        return 1
+    n_tests, n_suites = m_tests.group(1), m_suites.group(1)
+    n_ok, n_all = m_oracle.group(1), m_oracle.group(2)
+    if n_ok != n_all:
+        print(f"refusing to sync: oracle {n_ok}/{n_all} not fully green")
+        return 1
+
+    edits = [
+        ("COVERAGE.md", [
+            (r"\(\d+/\d+ matching at sf0\.01\)",
+             f"({n_ok}/{n_all} matching at sf0.01)"),
+            (r"\(\d+ tests, \d+ suites\)",
+             f"({n_tests} tests, {n_suites} suites)"),
+        ]),
+        ("README.md", [
+            (r"`sbt test` — \d+ specs", f"`sbt test` — {n_tests} specs"),
+            (r"compares row-by-row: \d+/\d+",
+             f"compares row-by-row: {n_ok}/{n_all}"),
+        ]),
+    ]
+    for path, subs in edits:
+        text = open(path, encoding="utf-8").read()
+        for pat, repl in subs:
+            text, n = re.subn(pat, repl, text)
+            if n != 1:
+                print(f"{path}: pattern {pat!r} matched {n} times (want 1)")
+                return 1
+        open(path, "w", encoding="utf-8").write(text)
+        print(f"synced {path}")
+    print(f"counts: {n_tests} tests / {n_suites} suites / "
+          f"{n_ok}/{n_all} oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
