@@ -680,6 +680,173 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build the persisted k-NN GRAPH index — the HNSW-class scale path
+    * re-expressed for a scan-oriented engine. Construction is fully
+    * distributed and blocked (never all-pairs):
+    *
+    *   1. a bounded k-means coarse quantizer (the IVF machinery)
+    *      partitions the corpus into `nCells` cells; every vector is
+    *      assigned to its `buildProbes` NEAREST cells, so adjacent
+    *      cells overlap and the finished graph is navigable ACROSS
+    *      cell boundaries (the stitch that pure IVF lacks);
+    *   2. within each cell, candidate pairs come from a blocked
+    *      self-join (quadratic only in the cell, the
+    *      [[blockedNearDupPairs]] posture; cells above `maxCellSize`
+    *      distinct vectors are excluded from pairing — an oversize
+    *      cell means the quantizer is too coarse, split it with a
+    *      larger `nCells`) and each vector keeps its `m` best
+    *      neighbors via the bounded-heap [[graft.functions.TopKAgg]];
+    *   3. index rows (id, vector, neighbor-id list) are written
+    *      partitioned by `shard = id mod nShards`, so a probe's
+    *      frontier fetch is a PARTITION-PRUNED point read — the
+    *      100 TB posture is "bucketed adjacency table", not "graph in
+    *      one memory image";
+    *   4. one medoid id per cell (the member nearest its centroid) is
+    *      stored as `_seeds` bounded metadata — the probe's entry
+    *      points.
+    */
+  def buildKnnGraphIndex(corpus: DataFrame, embCol: String, idCol: String,
+      path: String, m: Int = 12, nCells: Int = 8, buildProbes: Int = 2,
+      seed: Long = 42L, nShards: Int = 8, maxCellSize: Int = 100000,
+      writeTasks: Int = 8): Unit = {
+    require(m > 0 && nCells > 0 && buildProbes > 0 && buildProbes <= nCells,
+      s"bad graph config: m=$m nCells=$nCells buildProbes=$buildProbes")
+    import graft.functions.TopKAgg
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, embCol, nCells, seed)
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val v = toDouble(col(embCol))
+    // |v-c|² ranking by |c|² - 2 v·c (|v|² common): top-`buildProbes`
+    // cells via one sorted bounded struct array — a codegen'd argmin
+    // generalization of buildIvfIndex's array_min
+    val cellStructs = array_sort(array(centroids.zipWithIndex.map {
+      case (c, i) => struct((lit(sq(c)) - lit(2.0) * dot(v, typedlit(c)))
+        .as("d"), lit(i).as("i"))
+    }: _*))
+    val base = corpus
+      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("id"), v.as("v"),
+        slice(cellStructs, 1, buildProbes).as("cells"),
+        cellStructs.getItem(0).getField("i").as("home"))
+    // locally persisted, NOT the shared HeavyPersist registry: index
+    // prebuilds run concurrently (Bench overlaps them) and a sibling
+    // build opening a fresh scope would evict this frame mid-build
+    val assigned = base
+      .select(col("id"), col("v"), col("home"),
+        explode(col("cells").getField("i")).as("cell"))
+      .select(col("id"), col("v"), col("home"), col("cell"),
+        norm(col("v")).as("n"))
+      // zero-norm vectors have no defined similarity: they stay in the
+      // index (empty neighbor list, never ranked) but can't pair —
+      // and under ANSI mode the cosine division would throw, not NaN
+      .filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // hot-cell guard: size counts ride the same cell partitioning the
+    // self-join shuffles on
+    val cellSizes = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxCellSize)
+      .select(col("cell"))
+    val bounded = assigned.join(cellSizes, "cell")
+    val a = bounded.select(col("cell"), col("id"), col("v"), col("n"))
+    val b = bounded.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id") =!= col("id_b"))
+      .select(col("id"), col("id_b"),
+        (dot(col("v"), col("v_b")) / (col("n") * col("n_b"))).as("s"))
+      .filter(col("s").isNotNull && !isnan(col("s")))
+      // two overlapping cells can propose the same pair — dedup BEFORE
+      // the heap or a duplicate occupies two of the m slots
+      .distinct()
+    val adjacency = pairs.groupBy("id")
+      .agg(TopKAgg.topK(m)(col("id_b"), col("s")).as("top"))
+      .select(col("id"), col("top.id").as("nbrs"))
+    graft.sources.Layout.writePartitioned(
+      base.select(col("id"), col("v"), col("home"))
+        .join(adjacency, Seq("id"), "left")
+        .select(col("id"), col("v"),
+          coalesce(col("nbrs"), typedlit(Seq.empty[Long])).as("nbrs"),
+          pmod(col("id"), lit(nShards.toLong)).as("shard")),
+      path, Seq("shard"), writeTasks)
+    // per-cell medoid = member whose |v-c|² rank within its HOME cell
+    // is 1 (ties on id) — bounded metadata, one row per cell
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("home"))
+      .orderBy(col("cells").getItem(0).getField("d"), col("id"))
+    base.select(col("id"), col("home"), col("cells"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("home").as("cell"), col("id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_seeds")
+    import spark.implicits._
+    Seq((m, nCells, nShards)).toDF("m", "n_cells", "n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    idxFrameCache.put(spark, path, spark.read.parquet(path))
+    idxMetaCache.put(spark, s"$path/_seeds",
+      spark.read.parquet(s"$path/_seeds").collect())
+    idxMetaCache.put(spark, s"$path/_meta",
+      spark.read.parquet(s"$path/_meta").collect())
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** Best-first beam search over the persisted k-NN graph — the query
+    * path of the HNSW-class index. Each round fetches the frontier's
+    * rows from the bucketed adjacency table (a partition-pruned point
+    * read of ≤ beam·m rows — `PartitionFilters` on `shard`, then the
+    * id IN-list), scores them with the same codegen'd cosine every
+    * other ANN path uses, and expands the `beam` best not-yet-expanded
+    * nodes' neighbor lists into the next frontier. The driver holds
+    * only (id, score) pairs and neighbor-id lists for visited nodes —
+    * O(rounds · beam · m) bounded metadata, the same collect class as
+    * the IVF/PQ codebooks — and the loop is bounded by `maxRounds`
+    * (graph diameter under beam search, NOT data size; rounds stop
+    * early once no unvisited candidate remains). Scores are computed
+    * IN Spark (scoreAgainst), so output values are bit-identical to
+    * every other ANN variant and the exact oracle.
+    */
+  def graphTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, query: Seq[Double], k: Int,
+      beam: Int = 32, maxRounds: Int = 8): DataFrame = {
+    require(k > 0 && beam >= k, s"need beam ($beam) >= k ($k) > 0")
+    val meta = indexMeta(spark, s"$path/_meta").head
+    val nShards = meta.getAs[Int]("n_shards")
+    val seeds = indexMeta(spark, s"$path/_seeds").map(_.getAs[Long]("id"))
+    val scored = scala.collection.mutable.HashMap.empty[Long, Double]
+    val nbrsOf = scala.collection.mutable.HashMap.empty[Long, Seq[Long]]
+    val expanded = scala.collection.mutable.HashSet.empty[Long]
+    var toScore: Seq[Long] = seeds.toSeq.distinct
+    var rounds = 0
+    while (toScore.nonEmpty && rounds < maxRounds) {
+      val shards = toScore.map(_ % nShards).distinct
+      val rows = indexFrame(spark, path)
+        .filter(col("shard").isin(shards: _*) &&
+          col("id").isin(toScore: _*))
+        // the norm guard keeps ANSI division from throwing on a
+        // zero-norm row; such rows simply never rank
+        .select(col("id"),
+          when(norm(col("v")) > lit(0.0),
+            scoreAgainst(col("v"), query)).as("score"),
+          col("nbrs"))
+        .filter(col("score").isNotNull && !isnan(col("score")))
+        .collect()
+      rows.foreach { r =>
+        scored.update(r.getLong(0), r.getDouble(1))
+        nbrsOf.update(r.getLong(0), r.getSeq[Long](2))
+      }
+      val frontier = scored.toSeq.filterNot(p => expanded(p._1))
+        .sortBy(p => (-p._2, p._1)).take(beam)
+      expanded ++= frontier.map(_._1)
+      toScore = frontier.flatMap(p => nbrsOf.getOrElse(p._1, Nil))
+        .distinct.filterNot(scored.contains)
+      rounds += 1
+    }
+    import spark.implicits._
+    scored.toSeq.sortBy(p => (-p._2, p._1)).take(k)
+      .toDF(idCol, "score")
+  }
+
   /** Top principal component of an embedding column: (mean, unit
     * eigenvector, eigenvalue, n) — the one-dimensional PCA that
     * underlies embedding whitening, drift axes, and "spectral" data

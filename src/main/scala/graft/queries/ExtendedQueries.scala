@@ -118,6 +118,14 @@ object ExtendedQueries {
         "vec_id", p, m = 8, ksub = 16)
       p
     }
+  private val graphIdxCache = new graft.SessionCache[String]
+  private def graphIndexPath(s: SparkSession, dir: String): String =
+    graphIdxCache.get(s, dir) {
+      val p = newIdxDir("graft_knng_idx")
+      Similarity.buildKnnGraphIndex(t(s, dir, "embeddings"), "embedding",
+        "vec_id", p, m = 12, nCells = 8, buildProbes = 2)
+      p
+    }
 
   /** Build the four persisted index artifacts (LSH, IVF, PQ, and the
     * delta-dedup bucket table) for `dir` eagerly. Bench calls
@@ -134,7 +142,8 @@ object ExtendedQueries {
     // independent builds, independent Spark jobs — overlap them
     Await.result(Future.sequence(Seq(
       Future(lshIndexPath(s, dir)), Future(ivfIndexPath(s, dir)),
-      Future(deltaIndexTable(s, dir)), Future(pqIndexPath(s, dir)))),
+      Future(deltaIndexTable(s, dir)), Future(pqIndexPath(s, dir)),
+      Future(graphIndexPath(s, dir)))),
       Duration.Inf)
   }
 
@@ -1268,6 +1277,23 @@ object ExtendedQueries {
             (abs(col("mp")) < 1e-6).as("proj_mean_zero"),
             (abs(col("mpp") - col("mp") * col("mp") - lambda) <=
               lit(1e-6 * (math.abs(lambda) + 1.0))).as("proj_var_ok"))
-      })
+      }),
+
+    // ANN probe over the persisted k-NN GRAPH index (the HNSW-class
+    // path): best-first beam search, each round a partition-pruned
+    // point read of the bucketed adjacency table seeded at the
+    // per-cell medoids. Same exact top-10 oracle as q43/q47/q49 —
+    // graph navigability recalls the full true top-10 at verify
+    // scale; above it the beam bounds recall honestly, exactly as
+    // nProbe does for IVF.
+    Query("q180_graph_ann", Some(
+      """SELECT v.vec_id,
+        |  ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS score
+        |FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))(
+      (s, dir) =>
+        Similarity.graphTopKIndexed(s, graphIndexPath(s, dir),
+          "vec_id", queryVec(s, dir), k = 10))
   )
 }
