@@ -742,52 +742,52 @@ object Similarity {
       .filter(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // hot-cell guard: size counts ride the same cell partitioning the
-    // self-join shuffles on
-    val cellSizes = assigned.groupBy("cell")
-      .agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") <= maxCellSize)
-      .select(col("cell"))
-    val bounded = assigned.join(cellSizes, "cell")
-    val a = bounded.select(col("cell"), col("id"), col("v"), col("n"))
-    val b = bounded.select(col("cell"), col("id").as("id_b"),
-      col("v").as("v_b"), col("n").as("n_b"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("id") =!= col("id_b"))
-      .select(col("id"), col("id_b"),
-        (dot(col("v"), col("v_b")) / (col("n") * col("n_b"))).as("s"))
-      .filter(col("s").isNotNull && !isnan(col("s")))
-      // two overlapping cells can propose the same pair — dedup BEFORE
-      // the heap or a duplicate occupies two of the m slots
-      .distinct()
-    val adjacency = pairs.groupBy("id")
-      .agg(TopKAgg.topK(m)(col("id_b"), col("s")).as("top"))
-      .select(col("id"), col("top.id").as("nbrs"))
-    graft.sources.Layout.writePartitioned(
-      base.select(col("id"), col("v"), col("home"))
-        .join(adjacency, Seq("id"), "left")
-        .select(col("id"), col("v"),
-          coalesce(col("nbrs"), typedlit(Seq.empty[Long])).as("nbrs"),
-          pmod(col("id"), lit(nShards.toLong)).as("shard")),
-      path, Seq("shard"), writeTasks)
-    // per-cell medoid = member whose |v-c|² rank within its HOME cell
-    // is 1 (ties on id) — bounded metadata, one row per cell
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("home"))
-      .orderBy(col("cells").getItem(0).getField("d"), col("id"))
-    base.select(col("id"), col("home"), col("cells"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("home").as("cell"), col("id"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_seeds")
-    import spark.implicits._
-    Seq((m, nCells, nShards)).toDF("m", "n_cells", "n_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
-    idxFrameCache.put(spark, path, spark.read.parquet(path))
-    idxMetaCache.put(spark, s"$path/_seeds",
-      spark.read.parquet(s"$path/_seeds").collect())
-    idxMetaCache.put(spark, s"$path/_meta",
-      spark.read.parquet(s"$path/_meta").collect())
+      // hot-cell guard: size counts ride the same cell partitioning the
+      // self-join shuffles on
+      val cellSizes = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxCellSize)
+        .select(col("cell"))
+      val bounded = assigned.join(cellSizes, "cell")
+      val a = bounded.select(col("cell"), col("id"), col("v"), col("n"))
+      val b = bounded.select(col("cell"), col("id").as("id_b"),
+        col("v").as("v_b"), col("n").as("n_b"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("id") =!= col("id_b"))
+        .select(col("id"), col("id_b"),
+          (dot(col("v"), col("v_b")) / (col("n") * col("n_b"))).as("s"))
+        .filter(col("s").isNotNull && !isnan(col("s")))
+        // two overlapping cells can propose the same pair — dedup BEFORE
+        // the heap or a duplicate occupies two of the m slots
+        .distinct()
+      val adjacency = pairs.groupBy("id")
+        .agg(TopKAgg.topK(m)(col("id_b"), col("s")).as("top"))
+        .select(col("id"), col("top.id").as("nbrs"))
+      graft.sources.Layout.writePartitioned(
+        base.select(col("id"), col("v"), col("home"))
+          .join(adjacency, Seq("id"), "left")
+          .select(col("id"), col("v"),
+            coalesce(col("nbrs"), typedlit(Seq.empty[Long])).as("nbrs"),
+            pmod(col("id"), lit(nShards.toLong)).as("shard")),
+        path, Seq("shard"), writeTasks)
+      // per-cell medoid = member whose |v-c|² rank within its HOME cell
+      // is 1 (ties on id) — bounded metadata, one row per cell
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("home"))
+        .orderBy(col("cells").getItem(0).getField("d"), col("id"))
+      base.select(col("id"), col("home"), col("cells"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("home").as("cell"), col("id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_seeds")
+      import spark.implicits._
+      Seq((m, nCells, nShards)).toDF("m", "n_cells", "n_shards")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+      idxFrameCache.put(spark, path, spark.read.parquet(path))
+      idxMetaCache.put(spark, s"$path/_seeds",
+        spark.read.parquet(s"$path/_seeds").collect())
+      idxMetaCache.put(spark, s"$path/_meta",
+        spark.read.parquet(s"$path/_meta").collect())
     } finally assigned.unpersist(blocking = false)
   }
 
