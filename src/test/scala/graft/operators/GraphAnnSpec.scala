@@ -56,6 +56,21 @@ class GraphAnnSpec extends SparkSpec {
     assert(seeds.join(g, seeds("id") === g("id"), "left_anti").isEmpty)
   }
 
+  test("frontier fetches are partition-pruned on the shard layout") {
+    // the probe's per-round read shape: a shard IN-list must reach the
+    // scan as PartitionFilters (directories never opened), the id
+    // IN-list as a data filter — if the index ever loses its partition
+    // column this names the regression
+    val plan = spark.read.parquet(idx)
+      .filter(col("shard").isin(0L, 1L) && col("id").isin(5L, 9L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      plan)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("shard"), s"shard not in PartitionFilters: $pf")
+  }
+
   test("probe is deterministic") {
     val query = qv(42L)
     val a = Similarity.graphTopKIndexed(spark, idx, "vec_id", query, 10)
