@@ -684,24 +684,34 @@ object Similarity {
     * re-expressed for a scan-oriented engine. Construction is fully
     * distributed and blocked (never all-pairs):
     *
+    *   0. identical vectors are exact-deduped FIRST (the
+    *      [[blockedNearDupPairs]] / corpus-dedup order): the graph is
+    *      built over one REPRESENTATIVE per distinct vector, each
+    *      index row carrying its exact-duplicate member-id list — a
+    *      re-crawled corpus where every embedding has 100 twins
+    *      multiplies only the OUTPUT expansion, never the quadratic
+    *      pairing (without this, the in-cell join grows with the
+    *      square of the twin factor);
     *   1. a bounded k-means coarse quantizer (the IVF machinery)
-    *      partitions the corpus into `nCells` cells; every vector is
-    *      assigned to its `buildProbes` NEAREST cells, so adjacent
-    *      cells overlap and the finished graph is navigable ACROSS
-    *      cell boundaries (the stitch that pure IVF lacks);
+    *      partitions the distinct vectors into `nCells` cells; every
+    *      vector is assigned to its `buildProbes` NEAREST cells, so
+    *      adjacent cells overlap and the finished graph is navigable
+    *      ACROSS cell boundaries (the stitch that pure IVF lacks);
     *   2. within each cell, candidate pairs come from a blocked
-    *      self-join (quadratic only in the cell, the
-    *      [[blockedNearDupPairs]] posture; cells above `maxCellSize`
-    *      distinct vectors are excluded from pairing — an oversize
-    *      cell means the quantizer is too coarse, split it with a
-    *      larger `nCells`) and each vector keeps its `m` best
+    *      self-join (quadratic only in the cell's DISTINCT vectors;
+    *      cells above `maxCellSize` are excluded from pairing — an
+    *      oversize cell means the quantizer is too coarse, split it
+    *      with a larger `nCells`) and each vector keeps its `m` best
     *      neighbors via the bounded-heap [[graft.functions.TopKAgg]];
-    *   3. index rows (id, vector, neighbor-id list) are written
-    *      partitioned by `shard = id mod nShards`, so a probe's
-    *      frontier fetch is a PARTITION-PRUNED point read — the
-    *      100 TB posture is "bucketed adjacency table", not "graph in
-    *      one memory image";
-    *   4. one medoid id per cell (the member nearest its centroid) is
+    *   3. index rows (rep id, vector, neighbor-id list, member-id
+    *      list) are written partitioned by `shard = id mod nShards`,
+    *      so a probe's frontier fetch is a PARTITION-PRUNED point
+    *      read — the 100 TB posture is "bucketed adjacency table",
+    *      not "graph in one memory image". The member list is the
+    *      exact-dup group (sorted, deterministic); a deployment with
+    *      pathological twin piles would spill it to a side table, the
+    *      q31/q32 expansion-edge pattern;
+    *   4. one medoid id per cell (the rep nearest its centroid) is
     *      stored as `_seeds` bounded metadata — the probe's entry
     *      points.
     */
@@ -715,17 +725,24 @@ object Similarity {
     val spark = corpus.sparkSession
     val centroids = trainCentroids(corpus, embCol, nCells, seed)
     def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
-    val v = toDouble(col(embCol))
+    // exact-dedup grouping: one shuffle on the vector value, min-id rep
+    val grouped = corpus
+      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("id"), toDouble(col(embCol)).as("v"))
+      .withColumn("gid", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("v"))))
+    val members = grouped.groupBy(col("gid"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
     // |v-c|² ranking by |c|² - 2 v·c (|v|² common): top-`buildProbes`
     // cells via one sorted bounded struct array — a codegen'd argmin
     // generalization of buildIvfIndex's array_min
     val cellStructs = array_sort(array(centroids.zipWithIndex.map {
-      case (c, i) => struct((lit(sq(c)) - lit(2.0) * dot(v, typedlit(c)))
-        .as("d"), lit(i).as("i"))
+      case (c, i) => struct(
+        (lit(sq(c)) - lit(2.0) * dot(col("v"), typedlit(c))).as("d"),
+        lit(i).as("i"))
     }: _*))
-    val base = corpus
-      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
-      .select(col(idCol).as("id"), v.as("v"),
+    val base = grouped.filter(col("id") === col("gid"))
+      .select(col("id"), col("v"),
         slice(cellStructs, 1, buildProbes).as("cells"),
         cellStructs.getItem(0).getField("i").as("home"))
     // locally persisted, NOT the shared HeavyPersist registry: index
@@ -766,8 +783,10 @@ object Similarity {
       graft.sources.Layout.writePartitioned(
         base.select(col("id"), col("v"), col("home"))
           .join(adjacency, Seq("id"), "left")
+          .join(members.withColumnRenamed("gid", "id"), Seq("id"))
           .select(col("id"), col("v"),
             coalesce(col("nbrs"), typedlit(Seq.empty[Long])).as("nbrs"),
+            col("members"),
             pmod(col("id"), lit(nShards.toLong)).as("shard")),
         path, Seq("shard"), writeTasks)
       // per-cell medoid = member whose |v-c|² rank within its HOME cell
@@ -805,6 +824,12 @@ object Similarity {
     * early once no unvisited candidate remains). Scores are computed
     * IN Spark (scoreAgainst), so output values are bit-identical to
     * every other ANN variant and the exact oracle.
+    *
+    * The graph holds one node per DISTINCT vector; the final ranking
+    * expands each candidate rep over its exact-duplicate member list
+    * (identical vectors ⇒ identical scores) and re-sorts on
+    * (score desc, id) — so ties resolve to the smallest member ids,
+    * exactly as the brute-force oracle orders them.
     */
   def graphTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, query: Seq[Double], k: Int,
@@ -815,6 +840,7 @@ object Similarity {
     val seeds = indexMeta(spark, s"$path/_seeds").map(_.getAs[Long]("id"))
     val scored = scala.collection.mutable.HashMap.empty[Long, Double]
     val nbrsOf = scala.collection.mutable.HashMap.empty[Long, Seq[Long]]
+    val membersOf = scala.collection.mutable.HashMap.empty[Long, Seq[Long]]
     val expanded = scala.collection.mutable.HashSet.empty[Long]
     var toScore: Seq[Long] = seeds.toSeq.distinct
     var rounds = 0
@@ -828,12 +854,13 @@ object Similarity {
         .select(col("id"),
           when(norm(col("v")) > lit(0.0),
             scoreAgainst(col("v"), query)).as("score"),
-          col("nbrs"))
+          col("nbrs"), col("members"))
         .filter(col("score").isNotNull && !isnan(col("score")))
         .collect()
       rows.foreach { r =>
         scored.update(r.getLong(0), r.getDouble(1))
         nbrsOf.update(r.getLong(0), r.getSeq[Long](2))
+        membersOf.update(r.getLong(0), r.getSeq[Long](3))
       }
       val frontier = scored.toSeq.filterNot(p => expanded(p._1))
         .sortBy(p => (-p._2, p._1)).take(beam)
@@ -843,7 +870,14 @@ object Similarity {
       rounds += 1
     }
     import spark.implicits._
+    // member expansion: only the reps that can place members in the
+    // top k matter — take the k best reps first (each contributes >= 1
+    // member), THEN expand and re-rank, so a twin pile never inflates
+    // the driver-side sort beyond k * max(|members|) of k reps
     scored.toSeq.sortBy(p => (-p._2, p._1)).take(k)
+      .flatMap { case (rid, s) =>
+        membersOf.getOrElse(rid, Seq(rid)).map(mid => (mid, s)) }
+      .sortBy(p => (-p._2, p._1)).take(k)
       .toDF(idCol, "score")
   }
 

@@ -38,9 +38,13 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
-  test("graph contract: every vector indexed, degree <= m, no self-loops") {
+  test("graph contract: one node per distinct vector, every member " +
+      "covered, degree <= m, no self-loops") {
     val g = spark.read.parquet(idx)
-    assert(g.count() == emb.count())
+    assert(g.count() ==
+      emb.select(col("embedding").cast("array<double>")).distinct().count())
+    assert(g.agg(sum(size(col("members")))).head().getLong(0) ==
+      emb.count())
     val bad = g.select(col("id"), size(col("nbrs")).as("deg"),
         array_contains(col("nbrs"), col("id")).as("selfloop"))
       .filter(col("deg") > 12 || col("selfloop"))
@@ -78,6 +82,34 @@ class GraphAnnSpec extends SparkSpec {
     val b = Similarity.graphTopKIndexed(spark, idx, "vec_id", query, 10)
       .collect().toSeq
     assert(a == b)
+  }
+
+  test("a twin-heavy corpus pairs only distinct vectors and still " +
+      "returns the exact (tie-ordered) top-k") {
+    import spark.implicits._
+    val dims = 8
+    val distinctRows = (1L to 30L).map { i =>
+      (i, Seq.tabulate(dims)(d => (math.cos(i * 1.3 + d) * 10).toFloat))
+    }
+    // 10 exact twins per vector, interleaved ids — the ScaleUp stress
+    val rows = distinctRows.flatMap { case (i, v) =>
+      (0 until 10).map(c => (i + c * 1000L, v))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graft_knng_twin")
+      .toString
+    Similarity.buildKnnGraphIndex(df, "embedding", "vec_id", p,
+      m = 6, nCells = 2, buildProbes = 1)
+    val g = spark.read.parquet(p)
+    assert(g.count() == 30, "graph must hold one node per distinct vector")
+    assert(g.agg(sum(size(col("members")))).head().getLong(0) == 300L)
+    val query = distinctRows.head._2.map(_.toDouble)
+    val got = Similarity.graphTopKIndexed(spark, p, "vec_id", query, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.bruteForceTopK(df, "embedding", "vec_id",
+      query, 15).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact,
+      s"twin expansion must reproduce exact tie order: $got vs $exact")
   }
 
   test("a zero-norm vector neither breaks the build nor appears ranked") {
