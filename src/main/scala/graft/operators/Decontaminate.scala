@@ -53,25 +53,37 @@ object Decontaminate {
     * Same scale shape as [[contaminationReport]]: the eval side
     * (distinct grams + per-doc totals) broadcasts; the train gram
     * stream joins it without shuffling, and only the matched rows
-    * enter the per-pair aggregation. The division is one double op
-    * from two integer counts, floor-rounded to 6 decimals.
+    * enter the per-pair aggregation. Two refinements keep the train
+    * side narrow at corpus scale: per-doc gram dedup happens INSIDE
+    * the row (`array_distinct` on the shingle array — the naive
+    * `explode().distinct()` is a corpus-sized shuffle for a purely
+    * row-local property), and the featurization is exact-dedup-first
+    * (the graft-wide convention): grams are built once per DISTINCT
+    * text and the matched pairs — the only rows that survive the
+    * broadcast join — re-expand to member documents at the end.
+    * The division is one double op from two integer counts,
+    * floor-rounded to 6 decimals.
     */
   def containmentReport(train: DataFrame, trainId: String,
       trainText: String, eval: DataFrame, evalId: String, evalText: String,
       n: Int = 8): DataFrame = {
     val evalGrams = Dedup.shingleFrame(eval, evalId, evalText, n)
-      .select(col(evalId).as("eval_id"), explode_outer(col("sh")).as("gram"))
+      .select(col(evalId).as("eval_id"),
+        explode_outer(array_distinct(col("sh"))).as("gram"))
       .filter(col("gram").isNotNull)
-      .distinct()
     val evalTotals = evalGrams.groupBy("eval_id")
       .agg(count(lit(1)).as("__n_eval_grams"))
-    val trainGrams = Dedup.shingleFrame(train, trainId, trainText, n)
-      .select(col(trainId), explode_outer(col("sh")).as("gram"))
+    val docs = train.select(col(trainId), col(trainText).as("__txt"))
+      .withColumn("__h", md5(coalesce(col("__txt"), lit(""))))
+    val reps = docs.groupBy(col("__h")).agg(first(col("__txt")).as("__txt"))
+    val repGrams = Dedup.shingleFrame(reps, "__h", "__txt", n)
+      .select(col("__h"), explode_outer(array_distinct(col("sh"))).as("gram"))
       .filter(col("gram").isNotNull)
-      .distinct()
-    trainGrams.join(broadcast(evalGrams), "gram")
-      .groupBy(col(trainId), col("eval_id"))
+    val repPairs = repGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col("__h"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
+    docs.select(col(trainId), col("__h"))
+      .join(repPairs, "__h")
       .join(broadcast(evalTotals), "eval_id")
       .select(col(trainId), col("eval_id"), col("n_shared_grams"),
         (floor(col("n_shared_grams").cast("double") /

@@ -164,16 +164,27 @@ object Selection {
     * lexicographically smallest class) is deterministic in any
     * summation order, and the DuckDB oracle replays every prediction.
     *
-    * Scale shape: one corpus token scan feeds BOTH the per-doc term
-    * counts and the (class, word) training counts (map-side-combined
-    * aggs); the dense vocab × classes weight table is
-    * vocabulary-sized metadata that reaches the doc-term stream as a
-    * broadcast join (AQE picks broadcast; the fan-out per doc-term
-    * row is exactly the class count). Vocabulary totals ride along as
-    * 1-row broadcast frames — the fact path never collects. For an
-    * unbounded vocabulary, compose with [[dsirScores]]-style feature
-    * hashing to pin the table size; here the table is the exact NB
-    * model.
+    * Scale shape — exact-dedup-first (the graft-wide convention, cf.
+    * [[Dedup]]'s nearDupPairsVerified): the token program runs at
+    * DISTINCT-TEXT size, not corpus size. Real corpora are twin-heavy
+    * (web crawls commonly exceed 30% exact duplicates; the ScaleUp
+    * twin stress makes every doc a 100-way twin), and for exact twins
+    * both sides of NB are literal repeats — training counts obey
+    * n_cw = Σ_h m(h,c)·n_hw and every twin of a text scores
+    * identically — so documents group by content hash once, one
+    * representative per hash is tokenized and scored, class counts
+    * are recovered EXACTLY by multiplicity weighting (integer
+    * identity, not an approximation), and predictions re-expand to
+    * documents with one narrow hash join at the end. One rep-token
+    * scan feeds both the per-text term counts and the (class, word)
+    * training counts (map-side-combined aggs); the dense vocab ×
+    * classes weight table is vocabulary-sized metadata that reaches
+    * the rep-term stream as a broadcast join (AQE picks broadcast;
+    * the fan-out per term row is exactly the class count).
+    * Vocabulary totals ride along as 1-row broadcast frames — the
+    * fact path never collects. For an unbounded vocabulary, compose
+    * with [[dsirScores]]-style feature hashing to pin the table size;
+    * here the table is the exact NB model.
     *
     * Output: (id, `classCol`, predicted, score6) — actual class kept
     * alongside the prediction so a confusion matrix is one groupBy
@@ -185,37 +196,54 @@ object Selection {
     */
   def naiveBayes(df: DataFrame, idCol: String, textCol: String,
       classCol: String): DataFrame = {
-    val tok = df
-      .select(col(idCol), col(classCol).as("__cls"),
-        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+    // group documents by content hash; all token work below runs per
+    // distinct text (md5 equality as content equality — the repo-wide
+    // dedup convention)
+    val docs = df.select(col(idCol), col(classCol).as("__cls"),
+        col(textCol).as("__txt"))
+      .withColumn("__h", md5(coalesce(col("__txt"), lit(""))))
+    val docsP = graft.HeavyPersist(docs)
+    // (hash, class) multiplicities: the exact weights that recover
+    // full-corpus class counts and priors from per-rep counts
+    val grpCls = docsP.groupBy(col("__h"), col("__cls"))
+      .agg(count(lit(1)).as("__m"))
+    // one representative text per hash (members are identical by md5)
+    val reps = docsP.groupBy(col("__h"))
+      .agg(first(col("__txt")).as("__txt"))
+    val tok = reps
+      .select(col("__h"), explode(TextAnalysis.wsTokens(col("__txt"))).as("w"))
       .filter(col("w") =!= "")
-    val tokP = graft.HeavyPersist(tok)
 
-    // per-doc term counts (the scoring side)
-    val dw = tokP.groupBy(col(idCol), col("__cls"), col("w"))
-      .agg(count(lit(1)).as("n_dw"))
-    // per-class term counts + totals (the training side). Persisted
-    // alongside tokP (freshScope=false appends to the registry) AND
-    // materialized EAGERLY: four consumers derive from this frame
-    // (class totals, vocab size, the vocab itself, the weight join),
-    // and a lazily-cached frame with N same-action consumers races —
-    // each stage recomputes the corpus-token aggregation before the
-    // cache lands (measured 32 → 12 s on the whole operator at the
-    // sf1 rehearsal). Eager materialization is safe exactly here
-    // because the frame is the MODEL: classes × vocab rows, consumed
-    // densely — there is no downstream pushdown to defeat (the
-    // HeavyPersist-stays-lazy rule is for corpus frames). tokP
-    // populates inside this same job, so dw reads it cached too.
-    val cw = graft.HeavyPersist(tokP.groupBy(col("__cls"), col("w"))
-      .agg(count(lit(1)).as("n_cw")), freshScope = false)
+    // per-distinct-text term counts (the scoring side, rep-sized)
+    val hw = graft.HeavyPersist(tok.groupBy(col("__h"), col("w"))
+      .agg(count(lit(1)).as("n_hw")), freshScope = false)
+    // per-class term counts + totals (the training side): the
+    // multiplicity-weighted sum is integer-identical to counting
+    // tokens over every document. Persisted alongside docsP/hw
+    // (freshScope=false appends to the registry) AND materialized
+    // EAGERLY: four consumers derive from this frame (class totals,
+    // vocab size, the vocab itself, the weight join), and a
+    // lazily-cached frame with N same-action consumers races — each
+    // stage recomputes the token aggregation before the cache lands
+    // (measured 32 → 12 s on the whole operator at the sf1
+    // rehearsal). Eager materialization is safe exactly here because
+    // the frame is the MODEL: classes × vocab rows, consumed densely
+    // — there is no downstream pushdown to defeat (the
+    // HeavyPersist-stays-lazy rule is for corpus frames). hw
+    // populates inside this same job, so the scoring join reads it
+    // cached too.
+    val cw = graft.HeavyPersist(
+      hw.join(grpCls, Seq("__h"))
+        .groupBy(col("__cls"), col("w"))
+        .agg(sum(col("__m") * col("n_hw")).as("n_cw")), freshScope = false)
     cw.count()
     val classTotals = cw.groupBy(col("__cls"))
       .agg(sum(col("n_cw")).as("n_c"))
     val vocabSize = cw.select(col("w")).distinct()
       .agg(count(lit(1)).as("v"))
-    val priors = df.groupBy(col(classCol).as("__cls"))
-      .agg(count(lit(1)).as("n_docs"))
-    val docsTotal = df.agg(count(lit(1)).as("n_docs_tot"))
+    val priors = grpCls.groupBy(col("__cls"))
+      .agg(sum(col("__m")).as("n_docs"))
+    val docsTotal = grpCls.agg(sum(col("__m")).as("n_docs_tot"))
 
     // dense vocab × classes weight table: unseen (class, word) pairs
     // get the Laplace floor 1/(N_c + V); log-probs quantized to
@@ -233,21 +261,27 @@ object Selection {
         floor(log(col("n_docs").cast("double") / col("n_docs_tot")) * 1e6
           + 0.5).cast("long").as("p6"))
 
-    // score every document against every class; exact integer sums
-    val scored = dw
-      .withColumnRenamed("__cls", "__actual")
+    // score every DISTINCT text against every class (exact integer
+    // sums), argmax per text, then re-expand to documents: a twin
+    // scores identically to its representative by construction
+    val scored = hw
       .join(weights, Seq("w"))
-      .groupBy(col(idCol), col("__actual"), col("__cls"))
-      .agg(sum(col("n_dw") * col("w6")).as("l6"))
+      .groupBy(col("__h"), col("__cls"))
+      .agg(sum(col("n_hw") * col("w6")).as("l6"))
       .join(prior6, Seq("__cls"))
-      .select(col(idCol), col("__actual"), col("__cls"),
+      .select(col("__h"), col("__cls"),
         (col("l6") + col("p6")).as("score6"))
     val best = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("score6").desc, col("__cls").asc)
-    scored
+      .partitionBy(col("__h")).orderBy(col("score6").desc, col("__cls").asc)
+    val pred = scored
       .withColumn("__rn", row_number().over(best))
       .filter(col("__rn") === 1)
-      .select(col(idCol), col("__actual").as(classCol),
-        col("__cls").as("predicted"), col("score6"))
+      .select(col("__h"), col("__cls").as("__pred"), col("score6"))
+    // inner join drops zero-token documents (no hw rows for their
+    // hash) — the declared policy above, unchanged
+    docsP
+      .join(pred, Seq("__h"))
+      .select(col(idCol), col("__cls").as(classCol),
+        col("__pred").as("predicted"), col("score6"))
   }
 }

@@ -107,4 +107,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(101L) == ((1L, 0.5)))
     assert(!out.contains(102L)) // zero overlap → no pair row
   }
+
+  test("containmentReport is exact-dedup-first: every twin of a " +
+      "contaminated text gets its own pair row") {
+    // the distinct-text path featurizes one rep per content hash; the
+    // matched pairs must re-expand to all member doc ids, and a doc
+    // whose text also repeats grams in-row must still count each gram
+    // once (array_distinct, not explode+distinct)
+    val evalDoc = "alpha beta gamma delta"
+    val train = Seq(
+      (100L, s"$evalDoc pad1 alpha beta gamma delta"), // grams repeat in-row
+      (200L, s"$evalDoc pad1 alpha beta gamma delta"), // exact twin of 100
+      (300L, "entirely unrelated words here")).toDF("doc_id", "text")
+    val eval = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val out = Decontaminate.containmentReport(
+        train, "doc_id", "text", eval, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared_grams"), r.getAs[Double]("containment"))))
+      .toMap
+    assert(out(100L) == ((2L, 1.0)))
+    assert(out(200L) == ((2L, 1.0)))
+    assert(!out.contains(300L))
+    assert(out.size == 2)
+  }
 }

@@ -174,6 +174,29 @@ class SelectionSpec extends SparkSpec {
     assert(got.values.forall { case (a, p, _) => a == p })
   }
 
+  test("naiveBayes is exact-dedup-first: a twin-heavy corpus matches " +
+      "the brute-force full-corpus model exactly") {
+    // 7 exact twins per doc: the distinct-text path must recover the
+    // FULL-corpus class counts (n_cw = Σ m·n_hw) and re-expand a
+    // prediction to every member id — refNb recomputes from the
+    // expanded rows, so any weighting error breaks the comparison
+    val twins = corpus.flatMap { case (id, text, src) =>
+      (0 until 7).map(k => (id + 1000L * k, text, src))
+    }
+    val got = Selection.naiveBayes(twins.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[String]("predicted"),
+          r.getAs[Long]("score6")))).toMap
+    assert(got.size == twins.size)
+    val want = refNb(twins)
+    twins.foreach { case (id, _, src) =>
+      val (pc, ps) = want(id)
+      assert(got(id) == ((src, pc, ps)), s"doc $id")
+    }
+  }
+
   test("naiveBayes breaks score ties on the lexicographically " +
       "smallest class") {
     // two classes with mirrored corpora: every doc scores identically
