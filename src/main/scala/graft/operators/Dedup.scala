@@ -1026,4 +1026,60 @@ object Dedup {
       labels
     } finally sym.unpersist(blocking = false)
   }
+
+  /** Substring-level duplication report via winnowing fingerprints
+    * (functions/WinnowExprs.scala; Schleimer et al., SIGMOD 2003) —
+    * the substring-granular sibling of [[dedupSpansAcrossCorpus]]:
+    * span dedup catches repeated PARAGRAPHS (delimiter-aligned);
+    * this catches repeated substrings at ANY offset, the signal the
+    * substring-dedup training-data pipelines (Lee et al. 2022) act
+    * on. Guarantee inherited from winnowing: any substring of
+    * >= k + w - 1 codepoints shared by two documents shares at least
+    * one selected anchor gram, so `n_dup_grams > 0` is a complete
+    * detector at that threshold.
+    *
+    * Per document: `n_grams` distinct anchor k-grams, `n_dup_grams`
+    * of them appearing in >= 2 distinct documents corpus-wide,
+    * `dup_frac` their ratio (floor-rounded to 6 decimals). Documents
+    * shorter than k codepoints produce no anchors and no output row.
+    *
+    * Scale shape — exact-dedup-first like every featurizing operator
+    * here: anchors are computed once per DISTINCT text (O(|text|)
+    * codegen'd expression, in-row `array_distinct`), gram document
+    * frequencies are recovered EXACTLY by multiplicity weighting
+    * (every twin holds the same anchor set, so distinct-doc counts
+    * are sums of rep multiplicities), and the per-rep report
+    * re-expands through one narrow hash join. Two corpus-linear
+    * shuffles total (gram frequency, per-rep rollup) — anchors are
+    * ~2/(w+1) of positions, 8-char strings, and nothing ever pairs
+    * documents.
+    */
+  def duplicateSubstringReport(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol).as("__txt"))
+      .withColumn("__h", md5(coalesce(col("__txt"), lit(""))))
+    val docsP = graft.HeavyPersist(docs)
+    val mult = docsP.groupBy(col("__h")).agg(count(lit(1)).as("__m"))
+    val reps = docsP.groupBy(col("__h")).agg(first(col("__txt")).as("__txt"))
+    // distinct anchor grams per distinct text; two consumers below
+    val repGrams = graft.HeavyPersist(
+      reps.select(col("__h"), explode(array_distinct(
+          graft.functions.WinnowExprs.winnowGrams(col("__txt"), k, w)))
+        .as("gram")), freshScope = false)
+    // corpus-wide distinct-document frequency per gram: exact via
+    // multiplicity sums. No broadcast hint — mult is distinct-text-
+    // sized (NOT bounded at corpus scale), but it and repGrams both
+    // descend from a groupBy(__h), so the join reuses that hash
+    // partitioning instead of shuffling either side again
+    val gramDf = repGrams.join(mult, Seq("__h"))
+      .groupBy(col("gram")).agg(sum(col("__m")).as("__nd"))
+    val perRep = repGrams.join(gramDf, Seq("gram"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    docsP.join(perRep, Seq("__h"))
+      .select(col(idCol), col("n_grams"), col("n_dup_grams"),
+        (floor(col("n_dup_grams").cast("double") / col("n_grams") * 1e6)
+          / 1e6).as("dup_frac"))
+  }
 }

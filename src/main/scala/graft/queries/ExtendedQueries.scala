@@ -1294,6 +1294,54 @@ object ExtendedQueries {
         |FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))(
       (s, dir) =>
         Similarity.graphTopKIndexed(s, graphIndexPath(s, dir),
-          "vec_id", queryVec(s, dir), k = 10))
+          "vec_id", queryVec(s, dir), k = 10)),
+
+    // Substring-level duplication report via winnowing fingerprints
+    // (Dedup.duplicateSubstringReport; Schleimer et al. SIGMOD 2003).
+    // The oracle replays the EXACT anchor selection — the polynomial
+    // rolling hash is deterministic integer math both engines compute
+    // bit-equally (the power table is baked in as literals), windows
+    // pick the rightmost minimum via list_reverse + list_position —
+    // then groups on the anchor k-gram STRING, so result equality
+    // never depends on hash-function parity between engines (the q37
+    // principle, extended from whole-document to substring grain).
+    Query("q181_winnow_dedup", Some(
+      """WITH cp AS (
+        |  SELECT doc_id, text,
+        |    [CAST(unicode(substr(text, i, 1)) AS BIGINT)
+        |     FOR i IN generate_series(1, length(text))] AS cps
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, text,
+        |    [list_sum([cps[i+j] *
+        |        ([617266377,913108910,579489385,294499921,
+        |          2248091,17161,131,1])[j+1]
+        |        FOR j IN generate_series(0, 7)]) % 1000000007
+        |     FOR i IN generate_series(1, len(cps) - 7)] AS h
+        |  FROM cp WHERE len(cps) >= 8),
+        |anch AS (
+        |  SELECT doc_id, text, list_distinct([
+        |      p - 1 + len(h[p:least(p+3, len(h))]) + 1
+        |        - list_position(list_reverse(h[p:least(p+3, len(h))]),
+        |                        list_min(h[p:least(p+3, len(h))]))
+        |      FOR p IN generate_series(1, greatest(1, len(h) - 3))]) AS pos
+        |  FROM hs),
+        |ex AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([substr(text, x, 8) FOR x IN pos])) AS gram
+        |  FROM anch),
+        |dfq AS (SELECT gram, count(DISTINCT doc_id) AS nd
+        |        FROM ex GROUP BY gram)
+        |SELECT e.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_grams,
+        |  FLOOR(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) * 1e6
+        |    / count(*)) / 1e6 AS dup_frac
+        |FROM ex e JOIN dfq d USING (gram)
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin))(
+      (s, dir) =>
+        Dedup.duplicateSubstringReport(
+            t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"))
   )
 }

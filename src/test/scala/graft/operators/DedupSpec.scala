@@ -538,4 +538,36 @@ class DedupSpec extends SparkSpec {
     // (a 2-cycle oscillates under sync LPA; that IS the contract)
     assert(lab == refLpa(Seq(1L, 2L, 9L), Seq((1L, 2L)), 5))
   }
+
+  test("duplicateSubstringReport: offset-shifted shared substrings are " +
+      "caught, unique docs stay clean, twins expand with exact counts") {
+    import org.apache.spark.sql.functions.{array_distinct, col, size => asize}
+    val shared = "zqxjvkwpbyfmg" // 13 >= k + w - 1: guarantee applies
+    val twinText = "twins share every anchor gram here obviously"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"a completely different and longer head $shared tail"),
+      (3L, "qqwweerrttyyuuiiooppaassddffgg"), // no 8-gram shared w/ others
+      (4L, twinText), (5L, twinText),
+      (6L, "short")). // < k codepoints: no anchors, no row
+      toDF("doc_id", "text")
+    val out = Dedup.duplicateSubstringReport(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // the shared 13-char substring guarantees >= 1 common anchor
+    assert(out(1L)._2 >= 1L && out(2L)._2 >= 1L)
+    // a document sharing no 8-gram with any other is fully clean
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    // exact twins: every anchor gram is corpus-duplicated, and the
+    // per-rep report re-expands to BOTH member ids identically
+    assert(out(4L) == out(5L))
+    val twinGramCount = Seq(twinText).toDF("t")
+      .select(asize(array_distinct(
+        graft.functions.WinnowExprs.winnowGrams(col("t")))).as("n"))
+      .as[Int].collect().head.toLong
+    assert(out(4L) == ((twinGramCount, twinGramCount, 1.0)))
+  }
 }
