@@ -1082,4 +1082,84 @@ object Dedup {
         (floor(col("n_dup_grams").cast("double") / col("n_grams") * 1e6)
           / 1e6).as("dup_frac"))
   }
+
+  private val wnIdxCache = new graft.SessionCache[String]
+
+  /** One-time winnow-anchor index of a corpus — the substring-grain
+    * sibling of [[minhashBucketIndex]], persisted as a catalog table
+    * bucketed on `gram` so DELTA INGESTION probes it without scanning
+    * or reshuffling the corpus. One row per distinct anchor k-gram:
+    * (gram, nd) where `nd` is the gram's distinct-document frequency
+    * (exact via multiplicity weighting — twins featurize once). The
+    * index is anchor-vocabulary-sized: ~2/(w+1) of corpus positions
+    * collapse onto distinct 8-char strings, orders of magnitude below
+    * corpus text volume. Built once per (session, spec) and memoized.
+    */
+  def winnowAnchorIndex(df: DataFrame, idCol: String, textCol: String,
+      spec: String, k: Int = 8, w: Int = 4, numBuckets: Int = 16): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$spec/$k/$w/$numBuckets".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val name = s"graft_wnidx_$hex"
+    wnIdxCache.get(df.sparkSession, name) {
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val docs = df.select(col(idCol), col(textCol).as("__txt"))
+        .withColumn("__h", md5(coalesce(col("__txt"), lit(""))))
+      // one aggregation carries both the representative text and the
+      // multiplicity, so the exact distinct-doc frequency per gram is
+      // one rep-sized explode + one gram shuffle
+      val grams = docs.groupBy(col("__h"))
+        .agg(first(col("__txt")).as("__txt"), count(lit(1)).as("__m"))
+        .select(col("__m"), explode(array_distinct(
+          graft.functions.WinnowExprs.winnowGrams(col("__txt"), k, w)))
+          .as("gram"))
+        .groupBy(col("gram")).agg(sum(col("__m")).as("nd"))
+      graft.sources.Layout.writeBucketed(grams, name, Seq("gram"),
+        numBuckets)
+      name
+    }
+  }
+
+  /** Probe a new batch against a [[winnowAnchorIndex]] table:
+    * per delta document, how many of its anchor k-grams already exist
+    * anywhere in the indexed corpus — the substring-level delta
+    * screen (is tonight's crawl mostly re-crawled text?), sibling of
+    * [[nearDupCandidatesAgainstIndex]]'s document-level probe.
+    * Output: (idCol, n_grams, n_hit_grams, hit_frac), hit_frac
+    * floor-rounded to 6 decimals; documents shorter than k produce
+    * no row.
+    *
+    * Scale shape: exact-dedup-first on the delta (one rep per
+    * content hash probes; members re-expand through a narrow hash
+    * join), and the probe join reads the gram-bucketed index without
+    * shuffling it — only delta anchors move.
+    */
+  def substringDupAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, indexTable: String, k: Int = 8,
+      w: Int = 4): DataFrame = {
+    val idx = newDf.sparkSession.table(indexTable)
+    val docs = newDf.select(col(idCol), col(textCol).as("__txt"))
+      .withColumn("__h", md5(coalesce(col("__txt"), lit(""))))
+    val docsP = graft.HeavyPersist(docs)
+    val repGrams = docsP.groupBy(col("__h"))
+      .agg(first(col("__txt")).as("__txt"))
+      .select(col("__h"), explode(array_distinct(
+        graft.functions.WinnowExprs.winnowGrams(col("__txt"), k, w)))
+        .as("gram"))
+    val perRep = repGrams
+      .join(idx.select(col("gram"), lit(1).as("__hit")), Seq("gram"), "left")
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .as("n_hit_grams"))
+    docsP.join(perRep, Seq("__h"))
+      .select(col(idCol), col("n_grams"), col("n_hit_grams"),
+        (floor(col("n_hit_grams").cast("double") / col("n_grams") * 1e6)
+          / 1e6).as("hit_frac"))
+  }
 }

@@ -143,9 +143,18 @@ object ExtendedQueries {
     Await.result(Future.sequence(Seq(
       Future(lshIndexPath(s, dir)), Future(ivfIndexPath(s, dir)),
       Future(deltaIndexTable(s, dir)), Future(pqIndexPath(s, dir)),
-      Future(graphIndexPath(s, dir)))),
+      Future(graphIndexPath(s, dir)), Future(winnowIndexTable(s, dir)))),
       Duration.Inf)
   }
+
+  /** The corpus winnow-anchor index q182 probes — one-time build per
+    * (session, sfDir), bucketed on gram; amortized in the bench
+    * prebuild step like the other delta/ANN indexes.
+    */
+  def winnowIndexTable(s: SparkSession, dir: String): String =
+    Dedup.winnowAnchorIndex(
+      Tables(s, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text", spec = s"$dir/documents/wnidx")
 
   /** The corpus minhash-bucket index q104 probes — one-time build per
     * (session, sfDir), co-located on (band, bucket); the bench builds
@@ -1342,6 +1351,67 @@ object ExtendedQueries {
       (s, dir) =>
         Dedup.duplicateSubstringReport(
             t(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Substring-level DELTA screen against the persisted winnow-anchor
+    // index (Dedup.substringDupAgainstIndex; built once in the bench
+    // prebuild like the q104 minhash index): a synthetic "tonight's
+    // crawl" — every 10th document re-crawled with a novel trailing
+    // payload — probed for how much of its text already exists in the
+    // corpus at substring grain. The oracle computes corpus and delta
+    // anchors in one CTE chain (sides tagged) and replays the exact
+    // anchor selection; hits group on gram content, never hash parity.
+    Query("q182_winnow_delta", Some(
+      """WITH base AS (
+        |  SELECT doc_id, text, 'c' AS side FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    text || ' qzjxvkw novel trailing payload absent from corpus',
+        |    'd'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cp AS (
+        |  SELECT doc_id, side, text,
+        |    [CAST(unicode(substr(text, i, 1)) AS BIGINT)
+        |     FOR i IN generate_series(1, length(text))] AS cps
+        |  FROM base),
+        |hs AS (
+        |  SELECT doc_id, side, text,
+        |    [list_sum([cps[i+j] *
+        |        ([617266377,913108910,579489385,294499921,
+        |          2248091,17161,131,1])[j+1]
+        |        FOR j IN generate_series(0, 7)]) % 1000000007
+        |     FOR i IN generate_series(1, len(cps) - 7)] AS h
+        |  FROM cp WHERE len(cps) >= 8),
+        |anch AS (
+        |  SELECT doc_id, side, text, list_distinct([
+        |      p - 1 + len(h[p:least(p+3, len(h))]) + 1
+        |        - list_position(list_reverse(h[p:least(p+3, len(h))]),
+        |                        list_min(h[p:least(p+3, len(h))]))
+        |      FOR p IN generate_series(1, greatest(1, len(h) - 3))]) AS pos
+        |  FROM hs),
+        |ex AS (
+        |  SELECT doc_id, side,
+        |    unnest(list_distinct([substr(text, x, 8) FOR x IN pos])) AS gram
+        |  FROM anch),
+        |cg AS (SELECT DISTINCT gram FROM ex WHERE side = 'c')
+        |SELECT e.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit_grams,
+        |  FLOOR(sum(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END) * 1e6
+        |    / count(*)) / 1e6 AS hit_frac
+        |FROM ex e LEFT JOIN cg ON e.gram = cg.gram
+        |WHERE e.side = 'd'
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin))(
+      (s, dir) => {
+        val delta = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"),
+              lit(" qzjxvkw novel trailing payload absent from corpus"))
+              .as("text"))
+        Dedup.substringDupAgainstIndex(delta, "doc_id", "text",
+            winnowIndexTable(s, dir))
+          .orderBy("doc_id")
+      })
   )
 }

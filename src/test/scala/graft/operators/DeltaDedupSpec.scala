@@ -81,4 +81,36 @@ class DeltaDedupSpec extends SparkSpec {
       pileIdx, maxBucketSize = 100)
     assert(open.count() == 20L)
   }
+
+  test("winnow-anchor index probe: re-crawled text hits at substring " +
+      "grain, novel text misses, twins expand") {
+    val wIdx = Dedup.winnowAnchorIndex(corpus, "id", "text",
+      spec = "deltaspec-wnidx", numBuckets = 4)
+    // no 8-codepoint window of this string occurs in the corpus (the
+    // first draft used real English words and "entirely" was a REAL
+    // substring hit on corpus doc 2 — the operator was right)
+    val novel = "qq ww ee rr tt yy uu ii oo zz xx cc vv bb nn mm kk jj"
+    val batch = Seq(
+      // exact re-crawl of corpus doc 1 → every anchor hits
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      // fully novel text → zero hits
+      (12L, novel),
+      // corpus text + novel tail → hit_frac strictly inside (0, 1)
+      (13L, "the quick brown fox jumps over the lazy dog tonight " + novel))
+      .toDF("id", "text")
+    val out = Dedup.substringDupAgainstIndex(batch, "id", "text", wIdx)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit_grams"),
+          r.getAs[Double]("hit_frac")))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    assert(out(10L)._1 == out(10L)._2 && out(10L)._3 == 1.0,
+      s"exact re-crawl must fully hit: ${out(10L)}")
+    assert(out(10L) == out(11L), "twin rows must re-expand identically")
+    assert(out(12L)._2 == 0L && out(12L)._3 == 0.0,
+      s"novel text must miss: ${out(12L)}")
+    assert(out(13L)._2 > 0L && out(13L)._2 < out(13L)._1,
+      s"mixed text must partially hit: ${out(13L)}")
+  }
 }
