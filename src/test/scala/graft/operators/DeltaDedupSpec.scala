@@ -113,4 +113,21 @@ class DeltaDedupSpec extends SparkSpec {
     assert(out(13L)._2 > 0L && out(13L)._2 < out(13L)._1,
       s"mixed text must partially hit: ${out(13L)}")
   }
+
+  test("winnow probe reads the gram-bucketed index co-located — no " +
+      "corpus-side shuffle") {
+    val wIdx = Dedup.winnowAnchorIndex(corpus, "id", "text",
+      spec = "deltaspec-wnidx", numBuckets = 4)
+    val batch = Seq((20L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val p = Dedup.substringDupAgainstIndex(batch, "id", "text", wIdx)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"), p.take(2000))
+    val lines = p.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("graft_wnidx"))
+    assert(scanIdx >= 0, p.take(2000))
+    val above = lines.take(scanIdx).reverse.take(2).mkString("\n")
+    assert(!above.contains("Exchange hashpartitioning"),
+      s"corpus side shuffled:\n$above")
+  }
 }
