@@ -1119,7 +1119,12 @@ object Dedup {
           graft.functions.WinnowExprs.winnowGrams(col("__txt"), k, w)))
           .as("gram"))
         .groupBy(col("gram")).agg(sum(col("__m")).as("nd"))
-      graft.sources.Layout.writeBucketed(grams, name, Seq("gram"),
+      // co-partition onto the bucket hash before the bucketed write:
+      // repartition(n, key) and bucketBy(n, key) share Murmur3 hash
+      // partitioning, so each writer task holds exactly one bucket —
+      // 16 files, not (shuffle-width x buckets) tiny ones
+      graft.sources.Layout.writeBucketed(
+        grams.repartition(numBuckets, col("gram")), name, Seq("gram"),
         numBuckets)
       name
     }
