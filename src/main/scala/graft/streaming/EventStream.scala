@@ -368,6 +368,54 @@ object EventStream {
       }
   }
 
+  /** STREAMING substring-level contamination screen — the online twin
+    * of the batch winnow-index probe (Dedup.substringDupAgainstIndex):
+    * per arriving document, how much of its text already exists in the
+    * indexed corpus at substring grain (is tonight's crawl re-crawled
+    * text?).
+    *
+    * Design for an unbounded stream: the corpus side collapses to a
+    * BLOOM FILTER of the index's anchor grams, built once at plan time
+    * (driver-side bounded metadata, the q75 bloom-decontamination
+    * pattern — sketch types have no expression form, so the probe is
+    * the repo's documented-bounded UDF use) and shipped in the
+    * predicate closure. The screen itself is then a narrow STATELESS
+    * projection — no stream-static join, no shuffle, no state store,
+    * append mode — each doc pays one winnow pass plus `n_grams` bloom
+    * probes. Bloom filters have no false negatives, so a full
+    * re-crawl screens at hit_frac exactly 1.0; `fpp` bounds the
+    * overcount on genuinely novel grams, the usual sketch trade.
+    *
+    * Output per document (append): (doc_id, n_grams, n_hit_grams,
+    * hit_frac floor-rounded to 6 decimals); documents shorter than k
+    * codepoints carry no anchors and emit nothing, matching the batch
+    * twin's inner-join contract.
+    */
+  def streamingSubstringScreen(docs: Dataset[Doc], indexTable: String,
+      k: Int = 8, w: Int = 4, fpp: Double = 0.001)(
+      implicit s: SparkSession): DataFrame = {
+    val idx = s.table(indexTable)
+    // sizing floor: at a tiny expected count the bitmap is a few
+    // hundred bits and real fpp lands far above the requested one
+    // (measured: a 12-gram index fired a false positive at 1e-6);
+    // 10k is still a trivially small filter, and real corpus indexes
+    // sit far above the floor anyway
+    val nGrams = math.max(idx.count(), 10000L)
+    val bf = idx.stat.bloomFilter("gram", nGrams, fpp)
+    val bloomHits = udf((gs: Seq[String]) => gs.count(bf.mightContain))
+    docs
+      .select(col("doc_id"), array_distinct(
+        graft.functions.WinnowExprs.winnowGrams(col("text"), k, w))
+        .as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col("doc_id"),
+        size(col("__g")).cast("long").as("n_grams"),
+        bloomHits(col("__g")).cast("long").as("n_hit_grams"))
+      .withColumn("hit_frac",
+        floor(col("n_hit_grams").cast("double") / col("n_grams") * 1e6)
+          / 1e6)
+  }
+
   /** Split time-ordered events into closed sessions (gap exceeded
     * before a successor) and the still-open tail.
     */

@@ -311,6 +311,54 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSubstringScreen: re-crawls screen at 1.0, novel text " +
+      "at 0, and every row matches the batch twin exactly") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark physical plans"))
+      .toDF("doc_id", "text")
+    val wIdx = graft.operators.Dedup.winnowAnchorIndex(corpus, "doc_id",
+      "text", spec = "stream-wnidx", numBuckets = 4)
+    val batch = Seq(
+      Doc(10, "the quick brown fox jumps over the lazy dog tonight"),
+      Doc(11, "qq ww ee rr tt yy uu ii oo zz xx cc vv bb nn mm kk jj"),
+      Doc(12, "the quick brown fox jumps over the lazy dog tonight " +
+        "qq ww ee rr tt yy uu ii oo zz xx"),
+      Doc(13, "short")) // < k codepoints: no anchors, no row
+    val mem = MemoryStream[Doc]
+    // fpp tight enough that the fixture's handful of grams cannot
+    // collide — the bloom is deterministic, so this is a fixed outcome
+    val q = streamingSubstringScreen(mem.toDS(), wIdx, fpp = 1e-6)
+      .writeStream.format("memory").queryName("wscreen_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(batch.drop(2): _*) // across micro-batches
+      q.processAllAvailable()
+      val got = spark.table("wscreen_out")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.keySet == Set(10L, 11L, 12L))
+      assert(got(10L)._1 == got(10L)._2 && got(10L)._3 == 1.0,
+        s"re-crawl must fully hit: ${got(10L)}")
+      assert(got(11L)._2 == 0L && got(11L)._3 == 0.0,
+        s"novel text must miss: ${got(11L)}")
+      assert(got(12L)._2 > 0L && got(12L)._2 < got(12L)._1,
+        s"mixed text must partially hit: ${got(12L)}")
+      // exact agreement with the batch twin (no false positive fired
+      // at this fpp, so the bloom screen IS the index join here)
+      val want = graft.operators.Dedup.substringDupAgainstIndex(
+          batch.toDF(), "doc_id", "text", wIdx)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streamingNearDupCandidates matches the batch pigeonhole contract on a planted perturbation") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
