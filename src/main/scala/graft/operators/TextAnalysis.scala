@@ -590,10 +590,14 @@ object TextAnalysis {
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       maxPostings: Int = 20): DataFrame = {
     require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    // per-doc term dedup is ROW-LOCAL (doc_id is part of the key), so
+    // it happens inside the row via array_distinct — the explode +
+    // frame-wide distinct() form paid a whole corpus shuffle for it
+    // (the q135 anti-pattern); the only shuffles left are the shared
+    // term-keyed ones below
     val terms = df.select(col(idCol).as("doc_id"),
-        explode(wsTokens(lower(col(textCol)))).as("term"))
+        explode(array_distinct(wsTokens(lower(col(textCol))))).as("term"))
       .filter(col("term") =!= "")
-      .distinct()
     val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("term").orderBy("doc_id")

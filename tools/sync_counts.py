@@ -35,9 +35,18 @@ def main() -> int:
               "oracle=%s" % (m_tests, m_suites, m_fail, m_oracle))
         return 1
     if m_fail.group(1) != "0":
-        print("refusing to sync counts from a FAILING run "
-              f"({m_fail.group(1)} failed)")
-        return 1
+        # chicken-and-egg at round close: after ADDING queries, the only
+        # red suite is CoverageCountsSpec itself — the pin this tool
+        # exists to satisfy. Allow exactly that case (re-run the spec
+        # after syncing to prove green); refuse any other failure.
+        failed_suites = set(re.findall(
+            r"^\[error\]\s+(\S+)$", sbt_log, re.MULTILINE))
+        if failed_suites != {"graft.CoverageCountsSpec"}:
+            print("refusing to sync counts from a FAILING run "
+                  f"({m_fail.group(1)} failed: {sorted(failed_suites)})")
+            return 1
+        print("syncing despite red CoverageCountsSpec (the count pin "
+              "itself) — re-run it after this to prove green")
     n_tests, n_suites = m_tests.group(1), m_suites.group(1)
     n_ok, n_all = m_oracle.group(1), m_oracle.group(2)
     if n_ok != n_all:
@@ -55,6 +64,9 @@ def main() -> int:
             (r"`sbt test` — \d+ specs", f"`sbt test` — {n_tests} specs"),
             (r"compares row-by-row: \d+/\d+",
              f"compares row-by-row: {n_ok}/{n_all}"),
+            # the bench query count — same surface as the oracle count;
+            # CoverageCountsSpec pins it, so the tool must write it
+            (r"for \d+ queries at sf0\.1", f"for {n_all} queries at sf0.1"),
         ]),
     ]
     for path, subs in edits:
