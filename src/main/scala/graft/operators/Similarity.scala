@@ -513,6 +513,52 @@ object Similarity {
       .select(col("id"), col("cluster"), col("__hit").isNull.as("keep"))
   }
 
+  /** SEMANTIC decontamination screen — the embedding-space sibling of
+    * [[graft.operators.Decontaminate]]'s n-gram overlap checks: for
+    * every corpus vector, the maximum cosine similarity to ANY vector
+    * of the evaluation set, with the best-matching eval id and a
+    * threshold flag. N-gram decontamination misses paraphrases and
+    * translations; this is the screen that catches them (the
+    * embedding-similarity contamination analyses that ship with
+    * modern model cards).
+    *
+    * Scale shape — [[Decontaminate]]'s broadcast-eval convention in
+    * embedding space: the eval set is benchmark-sized (bounded), so it
+    * broadcasts with precomputed norms and the corpus side is ONE
+    * narrow pass — dot products against the broadcast rows, then a
+    * map-side-combined per-id max (the |eval| candidate rows per
+    * corpus vector collapse to one before any exchange). The corpus is
+    * never reshuffled and never pairs with itself. Ties on the rounded
+    * similarity break to the smallest eval id via lexicographic
+    * (sim, -eid) struct ordering — deterministic in any combine order.
+    * Degenerate vectors (zero norm) are dropped like [[knnJoin]].
+    *
+    * Output: (idCol, max_sim, eval_id, contaminated).
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+      embCol: String, eval: DataFrame, evalIdCol: String,
+      evalEmbCol: String, threshold: Double): DataFrame = {
+    val ev = broadcast(eval.select(col(evalIdCol).cast("long").as("eid"),
+        toDouble(col(evalEmbCol)).as("evv"))
+      .select(col("eid"), col("evv"), norm(col("evv")).as("en")))
+    corpus
+      .select(col(idCol), toDouble(col(embCol)).as("v"))
+      .select(col(idCol), col("v"), norm(col("v")).as("vn"))
+      .crossJoin(ev)
+      // nullif guards the ANSI divide-by-zero on degenerate vectors;
+      // the null sim then falls to the drop filter below
+      .select(col(idCol),
+        round(dot(col("v"), col("evv")) /
+          nullif(col("vn") * col("en"), lit(0.0)), 6).as("sim"),
+        col("eid"))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("eid")).as("nid"))).as("b"))
+      .select(col(idCol), col("b.sim").as("max_sim"),
+        (-col("b.nid")).as("eval_id"),
+        (col("b.sim") >= threshold).as("contaminated"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column: adds
     * `scale` (double, max|x_i|), `q` (array<int> codes in [-127, 127])
     * and `err` (double, max absolute reconstruction error) via the

@@ -1412,6 +1412,38 @@ object ExtendedQueries {
         Dedup.substringDupAgainstIndex(delta, "doc_id", "text",
             winnowIndexTable(s, dir))
           .orderBy("doc_id")
+      }),
+
+    // Semantic decontamination (Similarity.semanticDecontaminate):
+    // every 50th vector plays the benchmark eval set; the rest of the
+    // corpus is screened for its max cosine against any eval vector.
+    // Oracle is the exact brute force — the operator IS exact (the
+    // eval side broadcasts whole, nothing approximates), so the twin
+    // replays every similarity with list_cosine_similarity at the
+    // shared 6-decimal rounding and the same (sim DESC, eid) tiebreak.
+    Query("q183_semantic_decontam", Some(
+      """WITH ev AS (
+        |  SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT e.vec_id, ev.eid,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      ev.evv), 6) AS sim
+        |  FROM embeddings e CROSS JOIN ev WHERE e.vec_id % 50 <> 0),
+        |r AS (
+        |  SELECT vec_id, sim, eid, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, eid) AS rn
+        |  FROM s)
+        |SELECT vec_id, sim AS max_sim, eid AS eval_id,
+        |  sim >= 0.3 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.semanticDecontaminate(
+            emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+            emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+            threshold = 0.3)
+          .orderBy("vec_id")
       })
   )
 }

@@ -413,4 +413,32 @@ class SimilaritySpec extends SparkSpec {
       s"projVar $pv vs lambda $lambda")
     assert(math.abs(m) < 1e-12)
   }
+
+  test("semanticDecontaminate: max cosine, min-eid tiebreak, threshold " +
+      "flag, zero-norm drop, broadcast eval plan") {
+    import spark.implicits._
+    val eval = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(2f, 0f)),  // 1.0 to e1, 0.0 to e2
+      (11L, Seq(1f, 1f)),  // 0.707107 to BOTH → tie → smaller eid 1
+      (12L, Seq(-1f, 0f)), // -1.0 to e1, 0.0 to e2 → max 0.0 via e2
+      (13L, Seq(0f, 0f)))  // zero norm → dropped
+      .toDF("vec_id", "embedding")
+    val df = Similarity.semanticDecontaminate(corpus, "vec_id",
+      "embedding", eval, "vec_id", "embedding", threshold = 0.9)
+    val got = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("max_sim"), r.getAs[Long]("eval_id"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(got == Map(
+      10L -> ((1.0, 1L, true)),
+      11L -> ((0.707107, 1L, false)),
+      12L -> ((0.0, 2L, false))))
+    // the eval side must reach the corpus as a broadcast — the corpus
+    // never shuffles for the screen (the map-side max collapses the
+    // |eval| candidate rows per corpus vector before the final agg)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
