@@ -523,14 +523,20 @@ object Similarity {
     * modern model cards).
     *
     * Scale shape — [[Decontaminate]]'s broadcast-eval convention in
-    * embedding space: the eval set is benchmark-sized (bounded), so it
-    * broadcasts with precomputed norms and the corpus side is ONE
-    * narrow pass — dot products against the broadcast rows, then a
-    * map-side-combined per-id max (the |eval| candidate rows per
-    * corpus vector collapse to one before any exchange). The corpus is
-    * never reshuffled and never pairs with itself. Ties on the rounded
-    * similarity break to the smallest eval id via lexicographic
-    * (sim, -eid) struct ordering — deterministic in any combine order.
+    * embedding space, distinct-VECTOR-first on both sides (the
+    * graft-wide exact-dedup-first convention, cf.
+    * [[blockedNearDupPairs]]): identical vectors produce identical
+    * cosines, so the eval set collapses to distinct vectors carrying
+    * their MIN member id (min-id tie-breaking survives the collapse
+    * exactly — a tie against any twin is a tie against the group's
+    * min), the corpus scores once per distinct vector, and members
+    * re-expand through one vector-keyed join. The distinct eval frame
+    * is benchmark-sized, so it broadcasts with precomputed norms and
+    * the scoring pass is narrow — dot products against the broadcast
+    * rows, then a map-side-combined per-vector max. Nothing ever
+    * pairs the corpus with itself. Ties on the rounded similarity
+    * break to the smallest eval id via lexicographic (sim, -eid)
+    * struct ordering — deterministic in any combine order.
     * Degenerate vectors (zero norm) are dropped like [[knnJoin]].
     *
     * Output: (idCol, max_sim, eval_id, contaminated).
@@ -538,22 +544,25 @@ object Similarity {
   def semanticDecontaminate(corpus: DataFrame, idCol: String,
       embCol: String, eval: DataFrame, evalIdCol: String,
       evalEmbCol: String, threshold: Double): DataFrame = {
-    val ev = broadcast(eval.select(col(evalIdCol).cast("long").as("eid"),
+    val ev = broadcast(eval
+      .select(col(evalIdCol).cast("long").as("eid"),
         toDouble(col(evalEmbCol)).as("evv"))
+      .groupBy(col("evv")).agg(min(col("eid")).as("eid"))
       .select(col("eid"), col("evv"), norm(col("evv")).as("en")))
-    corpus
-      .select(col(idCol), toDouble(col(embCol)).as("v"))
-      .select(col(idCol), col("v"), norm(col("v")).as("vn"))
+    val docs = corpus.select(col(idCol), toDouble(col(embCol)).as("v"))
+    val perVec = docs.select(col("v")).distinct()
+      .withColumn("vn", norm(col("v")))
       .crossJoin(ev)
       // nullif guards the ANSI divide-by-zero on degenerate vectors;
       // the null sim then falls to the drop filter below
-      .select(col(idCol),
+      .select(col("v"),
         round(dot(col("v"), col("evv")) /
           nullif(col("vn") * col("en"), lit(0.0)), 6).as("sim"),
         col("eid"))
       .filter(col("sim").isNotNull && !isnan(col("sim")))
-      .groupBy(col(idCol))
+      .groupBy(col("v"))
       .agg(max(struct(col("sim"), (-col("eid")).as("nid"))).as("b"))
+    docs.join(perVec, Seq("v"))
       .select(col(idCol), col("b.sim").as("max_sim"),
         (-col("b.nid")).as("eval_id"),
         (col("b.sim") >= threshold).as("contaminated"))

@@ -417,13 +417,16 @@ class SimilaritySpec extends SparkSpec {
   test("semanticDecontaminate: max cosine, min-eid tiebreak, threshold " +
       "flag, zero-norm drop, broadcast eval plan") {
     import spark.implicits._
-    val eval = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    // eval 3 is an exact twin of eval 1: the distinct-vector collapse
+    // must keep the GROUP MIN id (1) as the tie representative
+    val eval = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0f)))
       .toDF("vec_id", "embedding")
     val corpus = Seq(
       (10L, Seq(2f, 0f)),  // 1.0 to e1, 0.0 to e2
       (11L, Seq(1f, 1f)),  // 0.707107 to BOTH → tie → smaller eid 1
       (12L, Seq(-1f, 0f)), // -1.0 to e1, 0.0 to e2 → max 0.0 via e2
-      (13L, Seq(0f, 0f)))  // zero norm → dropped
+      (13L, Seq(0f, 0f)),  // zero norm → dropped
+      (20L, Seq(2f, 0f)))  // exact twin of 10 → identical row, own id
       .toDF("vec_id", "embedding")
     val df = Similarity.semanticDecontaminate(corpus, "vec_id",
       "embedding", eval, "vec_id", "embedding", threshold = 0.9)
@@ -434,7 +437,8 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(
       10L -> ((1.0, 1L, true)),
       11L -> ((0.707107, 1L, false)),
-      12L -> ((0.0, 2L, false))))
+      12L -> ((0.0, 2L, false)),
+      20L -> ((1.0, 1L, true))))
     // the eval side must reach the corpus as a broadcast — the corpus
     // never shuffles for the screen (the map-side max collapses the
     // |eval| candidate rows per corpus vector before the final agg)
