@@ -444,5 +444,16 @@ class SimilaritySpec extends SparkSpec {
     // |eval| candidate rows per corpus vector before the final agg)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // distinct-VECTOR-first pin: scoring must key on the vector (the
+    // distinct collapse + per-vector max), not on the document id —
+    // a revert to per-id scoring would re-pay the |eval| dot products
+    // for every twin and show up here as an id-keyed aggregate
+    assert("(Hash|Sort|ObjectHash)Aggregate\\(keys=\\[v#".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+    assert(!"(Hash|Sort|ObjectHash)Aggregate\\(keys=\\[vec_id#".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+    // and the member re-expansion is ONE vector-keyed equi-join
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
   }
 }
