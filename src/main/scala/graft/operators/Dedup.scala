@@ -1056,6 +1056,12 @@ object Dedup {
     */
   def duplicateSubstringReport(df: DataFrame, idCol: String,
       textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
+    // CONVENTION (repo-wide, all md5(coalesce(text,'')) sites): null
+    // text and empty string DELIBERATELY share one group. Both
+    // featurize to zero grams/shingles under every featurizer in this
+    // repo, so the collapse is behavior-neutral today; any future
+    // featurizer that distinguishes them (e.g. a null-aware token)
+    // must re-key on a tagged value instead of coalesce.
     val docs = df.select(col(idCol), col(textCol).as("__txt"))
       .withColumn("__h", md5(coalesce(col("__txt"), lit(""))))
     val docsP = graft.HeavyPersist(docs)

@@ -554,6 +554,18 @@ object Similarity {
   def semanticDecontaminate(corpus: DataFrame, idCol: String,
       embCol: String, eval: DataFrame, evalIdCol: String,
       evalEmbCol: String, threshold: Double): DataFrame = {
+    // the -eid max-struct tiebreak needs a numeric id; a string id
+    // would cast to null and silently emit null eval_id groups —
+    // fail loudly at plan time instead
+    eval.schema(evalIdCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"semanticDecontaminate needs an integral eval id column; " +
+          s"'$evalIdCol' is $dt")
+    }
     val ev = broadcast(eval
       .select(col(evalIdCol).cast("long").as("eid"),
         toDouble(col(evalEmbCol)).as("evv"))
@@ -855,11 +867,17 @@ object Similarity {
             pmod(col("id"), lit(nShards.toLong)).as("shard")),
         path, Seq("shard"), writeTasks)
       // per-cell medoid = member whose |v-c|² rank within its HOME cell
-      // is 1 (ties on id) — bounded metadata, one row per cell
+      // is 1 (ties on id) — bounded metadata, one row per cell.
+      // Zero-norm vectors are excluded (same guard as `assigned`): a
+      // zero-norm seed is unscorable at probe time — its row would be
+      // dropped by the score null-guard, silently losing the cell's
+      // entry point.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("home"))
         .orderBy(col("cells").getItem(0).getField("d"), col("id"))
-      base.select(col("id"), col("home"), col("cells"))
+      base.select(col("id"), col("home"), col("cells"), col("v"))
+        .filter(norm(col("v")) > 0)
+        .drop("v")
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
         .select(col("home").as("cell"), col("id"))
@@ -896,6 +914,14 @@ object Similarity {
     * (score desc, id) — so ties resolve to the smallest member ids,
     * exactly as the brute-force oracle orders them.
     */
+  /** Last graph probe's (rounds used, nodes scored, nodes expanded) —
+    * diagnostic-only telemetry so the 100x rehearsal can RECORD that
+    * the beam loop's driver-state bound holds at scale (SCALE.md q180
+    * row) instead of asserting it. Overwritten per probe; not part of
+    * any query result.
+    */
+  @volatile var lastGraphProbeStats: (Int, Int, Int) = (0, 0, 0)
+
   def graphTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, query: Seq[Double], k: Int,
       beam: Int = 32, maxRounds: Int = 8): DataFrame = {
@@ -910,7 +936,11 @@ object Similarity {
     var toScore: Seq[Long] = seeds.toSeq.distinct
     var rounds = 0
     while (toScore.nonEmpty && rounds < maxRounds) {
-      val shards = toScore.map(_ % nShards).distinct
+      // floorMod, NOT %: the index writes `shard` with pmod, so a
+      // negative id hashed with Scala `%` would produce a negative
+      // shard that matches no partition and silently prunes the row
+      val shards = toScore
+        .map(id => java.lang.Math.floorMod(id, nShards.toLong)).distinct
       val rows = indexFrame(spark, path)
         .filter(col("shard").isin(shards: _*) &&
           col("id").isin(toScore: _*))
@@ -934,6 +964,7 @@ object Similarity {
         .distinct.filterNot(scored.contains)
       rounds += 1
     }
+    lastGraphProbeStats = (rounds, scored.size, expanded.size)
     import spark.implicits._
     // member expansion: only the reps that can place members in the
     // top k matter — take the k best reps first (each contributes >= 1
