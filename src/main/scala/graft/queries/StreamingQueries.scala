@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.{EventStream, StreamReplay}
+
+/** ORACLE-GRADE streaming end-to-end (r10 verdict task #1): the two
+  * queries here run REAL Structured Streaming jobs — `readStream` file
+  * source, stateful operators, checkpointed append parquet sink — via
+  * [[graft.streaming.StreamReplay]], and their results hash-match
+  * DuckDB oracles that are the BATCH definitions of the same
+  * computations (q62's sessionization, q151's PSI). This moves the
+  * streaming family from spec-only evidence to the same
+  * CORRECTNESS-gate footing as every batch operator: identical rows,
+  * schema, and value hashes between the streaming engine and a
+  * portable SQL replay.
+  *
+  * Batch/stream unification is the design claim being proven: the
+  * streaming operators (EventStream.sessionizeExact, streamingPsi) are
+  * watermark-bounded programs whose finalized output on a bounded
+  * replay EQUALS the batch computation over the same rows.
+  */
+object StreamingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val HourUs = 3600000000L
+  private val DayUs = 86400000000L
+
+  /** Event time as µs-epoch (see TemporalQueries.tsUs). */
+  private val tsUs = expr("ts div 1000")
+
+  val all: Seq[Query] = Seq(
+
+    // Streaming sessionization, end to end: the events table is
+    // replayed through readStream -> sessionizeExact
+    // (flatMapGroupsWithState, event-time timeout) -> parquet sink,
+    // with two far-future negative-user sentinels (dropped inside the
+    // state function — see sessionizeExact on why a filter would be
+    // pushed below the watermark node) advancing the watermark so
+    // every open session flushes through the timeout path. The oracle is the BATCH definition (q62's lag/gap SQL) —
+    // the streaming state machine must reproduce it bit for bit:
+    // µs-exact gap splits, (ts, event_id) tie order, decimal-exact
+    // value sums (cents as longs).
+    Query("q184_stream_sessionize", Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+        |           FROM events),
+        |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 3600000000
+        |        THEN 1 ELSE 0 END AS st FROM l),
+        |s AS (SELECT *, CAST(SUM(st) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS session_idx FROM f)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(t) AS start_us, MAX(t) AS end_us,
+        |  CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_val
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, start_us""".stripMargin))(
+      (s, dir) => {
+        implicit val ss: SparkSession = s
+        import s.implicits._
+        val staged = t(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          timestamp_micros(tsUs).as("ts"), tsUs.as("ts_us"),
+          (coalesce(col("value"), lit(0.0)).cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val maxUs = staged.agg(max(col("ts_us"))).head().getLong(0)
+        def sentinel(k: Int): DataFrame = s.range(1).select(
+          lit(-1L).as("user_id"), lit(-(k.toLong)).as("event_id"),
+          timestamp_micros(lit(maxUs + k * DayUs)).as("ts"),
+          lit(maxUs + k * DayUs).as("ts_us"), lit(0L).as("cents"))
+        StreamReplay.replay(s, staged, Seq(sentinel(1), sentinel(2)),
+            df => EventStream.sessionizeExact(
+              df.as[EventStream.UsEvent], HourUs).toDF())
+          .orderBy("user_id", "start_us")
+      }),
+
+    // Streaming drift monitor, end to end: per-1-day-window PSI of
+    // event values against the corpus-marginal reference histogram
+    // (the q151 dashboard convention), replayed through readStream ->
+    // streamingPsi (windowed agg + static reference baked as
+    // literals) -> parquet sink. Sentinels are NON-null values in
+    // far-future windows: a null value would be dropped by
+    // streamingPsi's isNotNull filter, which Catalyst pushes BELOW
+    // the watermark node (so it would never advance event time); a
+    // non-null sentinel instead advances the watermark and lands in
+    // its own window. Spark's trailing no-data micro-batch
+    // (spark.sql.streaming.noDataMicroBatches.enabled, default true)
+    // runs after the last sentinel and finalizes the FIRST sentinel's
+    // window too, so the replay result is clipped to the real data
+    // span (win_start <= the data's own last day) — the sentinel
+    // windows are replay scaffolding, not data. Same smoothing and
+    // r12 per-term floor as the batch Drift operators; the term sum
+    // is exact 1e-12 fixed-point long arithmetic on both sides (see
+    // streamingPsi on why a projection-level decimal chain cannot be
+    // used), so the oracle is portable SQL.
+    Query("q185_stream_psi", Some(
+      """WITH v AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |    CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS BIGINT)
+        |      AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bucket, bin, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        |r AS (SELECT b.bin, COALESCE(SUM(c2.cnt), 0) AS cnt_ref
+        |      FROM (SELECT UNNEST(range(20)) AS bin) b
+        |      LEFT JOIN c c2 ON c2.bin = b.bin GROUP BY 1),
+        |nr AS (SELECT SUM(cnt_ref) AS n_ref FROM r),
+        |sp AS (SELECT b.bucket, r.bin, r.cnt_ref, COALESCE(c.cnt, 0) AS cnt
+        |       FROM (SELECT DISTINCT bucket FROM c) b CROSS JOIN r
+        |       LEFT JOIN c ON c.bucket = b.bucket AND c.bin = r.bin),
+        |p AS (SELECT bucket, cnt,
+        |        (cnt + 0.5)
+        |          / ((SUM(cnt) OVER (PARTITION BY bucket)) + 0.5 * 20)
+        |          AS pc,
+        |        (cnt_ref + 0.5) / (nr.n_ref + 0.5 * 20) AS pr
+        |      FROM sp CROSS JOIN nr)
+        |SELECT bucket * 86400000000 AS win_start_us,
+        |  CAST(SUM(cnt) AS BIGINT) AS n,
+        |  FLOOR(CAST(SUM(CAST(FLOOR((pc - pr) * LN(pc / pr) * 1e12 + 0.5)
+        |      AS BIGINT)) AS DOUBLE) / 1e6 + 0.5) / 1e6
+        |    AS psi
+        |FROM p GROUP BY bucket ORDER BY win_start_us""".stripMargin))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        // static reference: corpus marginal over [0, 500) in 20 bins —
+        // bounded driver metadata (20 longs), the streamingPsi contract
+        val refHist = graft.operators.Profiling
+          .histogram(ev, col("value"), 0.0, 500.0, 20)
+          .orderBy("bin").select("cnt").collect().map(_.getLong(0)).toSeq
+        val staged = ev.select(timestamp_micros(tsUs).as("ts"),
+          col("value"))
+        val maxUs = ev.agg(max(tsUs)).head().getLong(0)
+        def sentinel(k: Int): DataFrame = s.range(1).select(
+          timestamp_micros(lit(maxUs + k * DayUs)).as("ts"),
+          lit(0.0).as("value"))
+        StreamReplay.replay(s, staged, Seq(sentinel(1), sentinel(2)),
+            df => EventStream.streamingPsi(df, "value", refHist,
+                0.0, 500.0, "1 day", "2 hours")
+              .select(unix_micros(col("win_start")).as("win_start_us"),
+                col("n"), col("psi")))
+          .filter(col("win_start_us") <= lit((maxUs / DayUs) * DayUs))
+          .orderBy("win_start_us")
+      }))
+}

@@ -65,13 +65,25 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         (0 until nBins).map(i =>
           sum(when(bin === i, 1L).otherwise(0L)).as(s"__c$i")): _*)
+    // Per-bin terms as 1e-12 fixed-point LONGS, summed exactly. Not a
+    // double reduce (term order / last-bit drift vs the oracle) and
+    // NOT a decimal(24,12) addition chain: 20 chained decimal adds
+    // blow Spark's precision cap (38) and adjustPrecisionScale sheds
+    // scale digits — measured: the chain rounded a window's term sum
+    // to SEVEN decimals and flipped the 1e-6 presentation rounding.
+    // The batch Drift operators are immune (their decimal sum is one
+    // AGGREGATE, which widens precision once); a projection-level sum
+    // must use integer arithmetic instead. |term|·1e12 ≤ ~1e11 per
+    // bin, so the long sum is exact and the final /1e6 is one
+    // correctly-rounded IEEE op both engines agree on.
     val terms = (0 until nBins).map { i =>
       val pr = (refHist(i) + 0.5) / (nRef + 0.5 * nBins)
       val pc = (col(s"__c$i") + 0.5) / (col("n") + 0.5 * nBins)
-      floor((pc - lit(pr)) * log(pc / lit(pr)) * 1e12 + 0.5) / 1e12
+      floor((pc - lit(pr)) * log(pc / lit(pr)) * 1e12 + 0.5).cast("long")
     }
+    val termSum = terms.reduce(_ + _).cast("double")
     binned.select(col("window.start").as("win_start"), col("n"),
-      (floor(terms.reduce(_ + _) * 1e6 + 0.5) / 1e6).as("psi"))
+      (floor(termSum / 1e6 + 0.5) / 1e6).as("psi"))
   }
 
   /** STREAMING drift monitor #2: per-tumbling-window Kolmogorov–
@@ -290,6 +302,86 @@ object EventStream {
             if (open.nonEmpty)
               state.setTimeoutTimestamp(open.last.ts.getTime + gapMs)
             closed.map(mkSession(userId, _)).iterator
+          }
+      }
+  }
+
+  /** Event shape for the ORACLE-GRADE streaming sessionization (q184):
+    * `ts` (timestamp) exists solely for the watermark; all session
+    * arithmetic runs on `ts_us` (µs-epoch long — `java.sql.Timestamp`
+    * would silently truncate sub-ms gaps in the state machine) and
+    * `cents` (exact decimal(18,2)·100 — double summation order could
+    * otherwise diverge from the oracle's decimal sum in the last bit).
+    */
+  final case class UsEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, ts_us: Long, cents: Long)
+
+  final case class UsSession(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, sum_val: Double)
+
+  /** Exact-arithmetic streaming sessionization — the q184 engine: the
+    * same inactivity-gap state machine as [[sessionize]], but µs-exact
+    * (gap compares µs longs, never ms-truncated Timestamps) and
+    * cents-exact (Long sum ≡ the oracle's DECIMAL(18,2) sum), so a
+    * bounded replay hash-matches the batch q62 DuckDB oracle bit for
+    * bit. Rows with `user_id < 0` are watermark-advancing sentinels:
+    * they are dropped INSIDE the state function — NOT with a filter
+    * between `withWatermark` and `groupByKey`, because Catalyst pushes
+    * predicates that don't reference the event-time column BELOW the
+    * EventTimeWatermark node, which would drop the sentinels before
+    * their event times ever advance the watermark (measured: the last
+    * open sessions never flushed). Inside the function nothing is
+    * pushable, so a replay can flush every open session through the
+    * event-time timeout without fabricating sessions.
+    */
+  def sessionizeExact(events: Dataset[UsEvent], gapUs: Long,
+      watermark: String = "2 hours")(
+      implicit s: SparkSession): Dataset[UsSession] = {
+    import s.implicits._
+    val gapMs = gapUs / 1000L
+    def mk(userId: Long, es: List[(Long, Long, Long)]): UsSession =
+      UsSession(userId, es.length.toLong, es.head._1, es.last._1,
+        es.map(_._3).sum.toDouble / 100.0)
+    def split(buf: List[(Long, Long, Long)])
+        : (List[List[(Long, Long, Long)]], List[(Long, Long, Long)]) = {
+      if (buf.isEmpty) return (Nil, Nil)
+      val groups = buf.tail.foldLeft(List(List(buf.head))) { (acc, e) =>
+        val cur = acc.head
+        if (e._1 - cur.last._1 <= gapUs) (cur :+ e) :: acc.tail
+        else List(e) :: acc
+      }.reverse
+      (groups.init, groups.last)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], UsSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[UsEvent],
+            state: GroupState[List[(Long, Long, Long)]]) =>
+          if (userId < 0) {
+            it.foreach(_ => ()) // sentinel group: advance-only, no state
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(Nil)
+            state.remove()
+            val (closed, open) = split(buf)
+            (closed ++ (if (open.nonEmpty) List(open) else Nil))
+              .map(mk(userId, _)).iterator
+          } else {
+            val incoming = it.map(e => (e.ts_us, e.event_id, e.cents)).toList
+            val buf = (state.getOption.getOrElse(Nil) ++ incoming)
+              .sortBy(t => (t._1, t._2))
+            val (closed, open) = split(buf)
+            state.update(open)
+            if (open.nonEmpty)
+              // timeout must sit strictly above the current watermark
+              // (Spark rejects it otherwise when a batch arrives after
+              // the watermark already passed the session's horizon)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                open.last._1 / 1000L + gapMs + 1))
+            closed.map(mk(userId, _)).iterator
           }
       }
   }

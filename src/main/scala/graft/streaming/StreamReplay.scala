@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bounded END-TO-END replay of a batch frame through a REAL
+  * Structured Streaming query — the oracle-grade evidence path for the
+  * streaming surface (r10 verdict task #1): the input is staged as
+  * parquet, read back through `spark.readStream` (file source), run
+  * through the caller's streaming transform into a checkpointed
+  * parquet APPEND sink, and the sink is returned as a batch frame a
+  * DuckDB oracle can hash-compare against the batch twin.
+  *
+  * Append-mode emission mechanics the harness encodes:
+  *   - The whole staged input lands in the FIRST micro-batch (the file
+  *     source takes every available file when `maxFilesPerTrigger` is
+  *     unset), so stateful operators see the data in one event-time-
+  *     coherent pass regardless of file count — no cross-batch
+  *     reordering hazard.
+  *   - Watermarks advance one batch BEHIND the data (batch N's
+  *     watermark is computed from batches < N), and event-time
+  *     timeouts / window finalization fire only in a RUNNING batch. So
+  *     the caller supplies sentinel frames (rows the transform must
+  *     treat as watermark-only — e.g. negative ids or null values)
+  *     with event times far past the data; each is appended as its own
+  *     micro-batch (`processAllAvailable` between writes), and TWO
+  *     far-future sentinels guarantee every real window/session
+  *     crosses the finalization horizon: sentinel A's batch runs on
+  *     the data's watermark, sentinel B's on sentinel A's.
+  *
+  * Scratch layout lives under one java.io.tmpdir directory per call
+  * (stage/out/checkpoint); transient by design, like the bench's
+  * warehouse artifacts. The returned frame READS the sink directory —
+  * callers that need it after JVM tmp cleanup must copy it out.
+  */
+object StreamReplay {
+
+  def replay(spark: SparkSession, input: DataFrame,
+      sentinels: Seq[DataFrame],
+      transform: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val stage = s"$base/stage"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    input.write.parquet(stage)
+    val stream = spark.readStream.schema(input.schema).parquet(stage)
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      sentinels.foreach { sdf =>
+        sdf.write.mode("append").parquet(stage)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(out)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The oracle-grade streaming end-to-end contract (q184/q185): a REAL
+  * readStream replay of a bounded frame must EQUAL the batch twin —
+  * not approximately, row-for-row. The DuckDB CORRECTNESS gate checks
+  * the same thing against portable SQL at sf0.01; this spec pins the
+  * stream-vs-batch identity inside `sbt test` on the sf0.001 tables,
+  * including the two mechanics the harness exists to encode:
+  * watermark-advancing sentinels (pushed-filter hazard: see
+  * sessionizeExact's scaladoc) and append-mode finalization via the
+  * trailing no-data micro-batch.
+  */
+class StreamReplaySpec extends SparkSpec {
+
+  test("q184 stream sessionization replay equals the batch q62-shape " +
+      "computation row for row") {
+    val got = graft.SparkEntry.queries("q184_stream_sessionize")(spark, sf)
+    // batch twin: the q62 operator path re-aggregated to the q184 shape
+    val tsUs = expr("ts div 1000")
+    val batch = graft.operators.Temporal.sessionize(
+        graft.Tables(spark, sf, "events").select(col("user_id"),
+          col("event_id"), tsUs.as("ts"), col("value")),
+        "user_id", "ts", "event_id", gap = 3600000000L)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_us"), max(col("ts")).as("end_us"),
+        graft.queries.Query.dsum(col("value")).as("sum_val"))
+      .select("user_id", "n_events", "start_us", "end_us", "sum_val")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming replay diverged from the batch sessionization")
+  }
+
+  test("q185 stream PSI replay equals the batch Drift.psi twin per " +
+      "window (dense-bin reference, same smoothing/rounding)") {
+    // NOT psiTimeline as the twin: its reference spine carries only
+    // bins the corpus populates, while streamingPsi (like Drift.psi's
+    // dense Profiling.histogram spine) scores all nBins including
+    // corpus-empty ones — at sf0.001 some [0,500)/20 bins are empty
+    // and the smoothed empty-bin terms differ by construction.
+    val got = graft.SparkEntry.queries("q185_stream_psi")(spark, sf)
+      .withColumn("bucket",
+        (col("win_start_us") / 86400000000L).cast("long"))
+      .select(col("bucket"), col("n"), col("psi"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val ev = graft.Tables(spark, sf, "events")
+      .select((expr("ts div 1000").cast("long") / 86400000000L)
+        .cast("long").as("day"), col("value"))
+    val days = got.keys.toSeq.sorted
+    assert(days.nonEmpty)
+    // spot-check first/middle/last window against the independently
+    // oracled batch Drift.psi (q137) with the corpus-marginal ref
+    Seq(days.head, days(days.size / 2), days.last).foreach { d =>
+      val row = graft.operators.Drift.psi(ev, ev.filter(col("day") === d),
+        col("value"), lo = 0.0, hi = 500.0, nBins = 20).head()
+      assert(row.getAs[Long]("n_cur") == got(d)._1,
+        s"day $d n: batch ${row.getAs[Long]("n_cur")} vs stream ${got(d)._1}")
+      assert(row.getAs[Double]("psi") == got(d)._2,
+        s"day $d psi: batch ${row.getAs[Double]("psi")} vs stream ${got(d)._2}")
+    }
+  }
+
+  test("sentinel groups leave no trace: no negative user sessions, no " +
+      "sentinel-day PSI windows") {
+    val sess = graft.SparkEntry.queries("q184_stream_sessionize")(spark, sf)
+    assert(sess.filter(col("user_id") < 0).isEmpty)
+    val maxUs = graft.Tables(spark, sf, "events")
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    val psi = graft.SparkEntry.queries("q185_stream_psi")(spark, sf)
+    assert(psi.filter(col("win_start_us") > maxUs).isEmpty)
+  }
+}
