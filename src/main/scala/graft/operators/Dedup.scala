@@ -328,6 +328,110 @@ object Dedup {
     cross.unionAll(intraCross).unionAll(intraTwin).distinct()
   }
 
+  /** Delta ingestion, VERIFIED, as one fused pipeline — candidates +
+    * exact-Jaccard verification + member expansion without the
+    * probe-then-re-featurize chain q104 originally ran (r10 verdict
+    * task #2: the staged form carried ~7 s of fixed exchange overhead
+    * at sf0.1). The folds:
+    *
+    *   - ONE featurization of the delta's content representatives
+    *     produces BOTH the probe's band hashes and the verify pass's
+    *     shingle sets ([[bandedShingleFeatures]], persisted) — the
+    *     staged form re-tokenized and re-shingled every matched text
+    *     a second time.
+    *   - Verification happens at REPRESENTATIVE grain before any
+    *     member expansion: delta-delta rep pairs join the persisted
+    *     feature frame directly; cross pairs fetch ONLY the matched
+    *     corpus ids (broadcast semi-join on the text source — the
+    *     corpus is never rescanned wholesale), content-dedup them,
+    *     and verify once per (delta rep, corpus content).
+    *   - Member expansion runs AFTER the >= minJaccard filter, so
+    *     only verified pairs expand, and each output pair arises
+    *     exactly once (each id has one group; rep/content pairs are
+    *     distinct) — no final distinct shuffle.
+    *   - The within-batch rep self-join rides the (band, bucket)
+    *     partitioning the bucket-size window just produced on the
+    *     persisted bucket frame — no fresh exchange.
+    *
+    * Candidate semantics (bucket join, hot-bucket caps on both sides)
+    * are IDENTICAL to [[nearDupCandidatesAgainstIndex]]; output adds
+    * the verified `jacc` per pair. `textSource` must cover every id
+    * in the index (it is the corpus the index was built from).
+    * Intra-group twin pairs carry jacc 1 (exact duplicates), except
+    * degenerate sub-n-token content (empty shingles ⇒ Jaccard 0 by
+    * convention ⇒ dropped), matching the all-pairs oracle.
+    */
+  def deltaDedupVerified(newDf: DataFrame, idCol: String, textCol: String,
+      indexTable: String, textSource: DataFrame, n: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, maxBucketSize: Int = 10000,
+      minJaccard: Double = 0.8): DataFrame = {
+    val spark = newDf.sparkSession
+    val corpus = spark.table(indexTable).filter(col("bsz") <= maxBucketSize)
+    val grouped = exactGroups(newDf, idCol, textCol,
+      concat_ws(" ", TextAnalysis.wsTokens(col("text"))))
+    val members = grouped.select(col("id"), col("gid"))
+    val feat = persistHeavy(
+      bandedShingleFeatures(grouped.filter(col("id") === col("gid")),
+        "gid", "text", n, numHashes, bands), freshScope = false)
+    // bucket rows WITHOUT the shingle arrays — they must not ride the
+    // (band, bucket) shuffle twice over
+    val deltaBuckets = persistHeavy(
+      explodeBuckets(feat, Seq(col("gid").as("rid")))
+        .withColumn("__bsz", count(lit(1)).over(
+          Window.partitionBy("band", "bucket")))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select(col("rid"), col("band"), col("bucket")),
+      freshScope = false)
+    // probe: co-located corpus read (index bucketed on the join key)
+    val crossRep = persistHeavy(
+      deltaBuckets.as("a").join(corpus.as("c"),
+          col("a.band") === col("c.band") &&
+          col("a.bucket") === col("c.bucket"))
+        .select(col("a.rid").as("gid"), col("c.id").as("cid")).distinct(),
+      freshScope = false)
+    // fetch + featurize ONLY matched corpus documents, content-deduped
+    val cids = crossRep.select(col("cid").as("__cid")).distinct()
+    val corpusKeyed = persistHeavy(
+      textSource
+        .join(broadcast(cids), col(idCol) === col("__cid"), "left_semi")
+        .select(col(idCol).as("cid"),
+          TextAnalysis.wsTokens(col(textCol)).as("__w"))
+        .select(col("cid"), md5(concat_ws(" ", col("__w"))).as("ck"),
+          TextAnalysis.shinglesFromTokens(col("__w"), n).as("csh")),
+      freshScope = false)
+    val corpusRepSh = corpusKeyed.groupBy("ck")
+      .agg(min_by(col("csh"), col("cid")).as("csh"))
+    val crossKey = crossRep
+      .join(corpusKeyed.select(col("cid"), col("ck")), "cid")
+    val crossVerified = crossKey.select(col("gid"), col("ck")).distinct()
+      .join(feat.select(col("gid"), col("sh")), "gid")
+      .join(corpusRepSh, "ck")
+      .select(col("gid"), col("ck"),
+        round(jaccardFromShingles(col("sh"), col("csh")), 6).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+    val cross = crossKey.join(crossVerified, Seq("gid", "ck"))
+      .join(members, "gid")
+      .select(least(col("id"), col("cid")).as("id_a"),
+        greatest(col("id"), col("cid")).as("id_b"), col("jacc"))
+      .filter(col("id_a") =!= col("id_b"))
+    val repPairs = deltaBuckets.as("a").join(deltaBuckets.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("ga"), col("b.rid").as("gb")).distinct()
+    val withinVerified = repPairs
+      .join(feat.select(col("gid").as("ga"), col("sh").as("sh_a")), "ga")
+      .join(feat.select(col("gid").as("gb"), col("sh").as("sh_b")), "gb")
+      .select(col("ga"), col("gb"),
+        round(jaccardFromShingles(col("sh_a"), col("sh_b")), 6).as("jacc"))
+      .filter(col("jacc") >= minJaccard)
+    val withinCross = expandCross(withinVerified, members, Seq("jacc"))
+    val intra = intraPairs(members)
+      .join(feat.filter(size(col("sh")) > 0).select(col("gid")), "gid")
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jacc"))
+    cross.unionAll(withinCross).unionAll(intra)
+  }
+
   /** The full verified near-dup pipeline, exact-dedup FIRST (the
     * canonical order): documents are grouped by their token-normalized
     * content, near-dup discovery (minhash → LSH buckets → Jaccard

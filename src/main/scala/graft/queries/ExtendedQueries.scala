@@ -1166,62 +1166,16 @@ object ExtendedQueries {
         |   AND least(a.ln, b.ln) >= 0.8 * greatest(a.ln, b.ln))
         |WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin))(
       (s, dir) => {
+        // probe + verify + expand fused in ONE operator (r11): the
+        // delta reps are featurized once (band hashes AND shingles),
+        // verification runs at representative/content grain before
+        // member expansion, and only matched corpus ids are fetched —
+        // see Dedup.deltaDedupVerified for the exchange-count story
         val docs = t(s, dir, "documents").select("doc_id", "text")
         val idx = deltaIndexTable(s, dir)
         val delta = docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-        // the candidate frame feeds THREE consumers (the id semi-join
-        // plus both verify joins) and the shingle frame two — without a
-        // persist each consumer re-runs the delta featurization + index
-        // probe, tripling the query's real cost (measured 2× at sf0.1).
-        // freshScope = false: the operator's internal exact-dedup
-        // grouping already opened this pipeline's scope, and the
-        // candidate plan depends on that grouped frame
-        val cand = graft.HeavyPersist(Dedup.nearDupCandidatesAgainstIndex(
-          delta, "doc_id", "text", idx), freshScope = false)
-        // verify on matched documents only: candidate ids semi-join
-        // the text source, so the exact-Jaccard pass never featurizes
-        // unmatched corpus rows. Verification is DEDUP-FIRST too:
-        // identical token sequences have identical shingle sets, so
-        // Jaccard is computed once per distinct CONTENT pair (rep
-        // shingles only) and joined back onto the member pairs — on a
-        // twin-heavy delta this turns O(member pairs) array
-        // intersections into O(content pairs) plus two hash joins
-        val ids = cand.select(col("id_a").as("doc_id"))
-          .unionAll(cand.select(col("id_b").as("doc_id"))).distinct()
-        val keyed = graft.HeavyPersist(docs.unionAll(delta)
-          .join(ids, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("text"))
-          .withColumn("k", md5(concat_ws(" ",
-            graft.operators.TextAnalysis.wsTokens(col("text"))))),
-          freshScope = false)
-        // one deterministic representative text per content key;
-        // tokens materialize as a named column first — inlined into
-        // the shingle lambda, every element_at re-runs the regex split
-        val repFeats = keyed.groupBy("k")
-          .agg(min_by(col("text"), col("doc_id")).as("text"))
-          .select(col("k"),
-            graft.operators.TextAnalysis.wsTokens(col("text")).as("__t"))
-          .select(col("k"),
-            graft.operators.TextAnalysis.shinglesFromTokens(
-              col("__t"), 3).as("sh"))
-        val keyedIds = keyed.select(col("doc_id"), col("k"))
-        val candK = graft.HeavyPersist(cand
-          .join(keyedIds.select(col("doc_id").as("id_a"), col("k").as("ka")),
-            "id_a")
-          .join(keyedIds.select(col("doc_id").as("id_b"), col("k").as("kb")),
-            "id_b"), freshScope = false)
-        val verified = candK.select(col("ka"), col("kb")).distinct()
-          .join(repFeats.select(col("k").as("ka"), col("sh").as("sh_a")),
-            "ka")
-          .join(repFeats.select(col("k").as("kb"), col("sh").as("sh_b")),
-            "kb")
-          .select(col("ka"), col("kb"),
-            round(Dedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 6)
-              .as("jacc"))
-          .filter(col("jacc") >= 0.8)
-        candK.join(verified, Seq("ka", "kb"))
-          .select(col("id_a"), col("id_b"), col("jacc"))
+        Dedup.deltaDedupVerified(delta, "doc_id", "text", idx, docs)
           .orderBy("id_a", "id_b")
       }),
 

@@ -82,6 +82,45 @@ class DeltaDedupSpec extends SparkSpec {
     assert(open.count() == 20L)
   }
 
+  test("deltaDedupVerified equals the brute-force all-pairs Jaccard " +
+      "definition restricted to pairs touching the batch") {
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "an entirely different document about spark physical plans"),
+      (12L, "completely unrelated content with no shared shingles at all"),
+      (13L, "the quick brown fox jumps over the lazy dog today"),
+      // near-identical to 10 with one appended token — above 0.8
+      (14L, "the quick brown fox jumps over the lazy dog today indeed")
+    ).toDF("id", "text")
+    val got = Dedup.deltaDedupVerified(batch, "id", "text", idx, corpus)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: every pair of corpus ∪ batch touching the batch
+    def sh(t: String): Set[String] =
+      t.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val all = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark physical plans"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight")) ++
+      Seq((10L, "the quick brown fox jumps over the lazy dog today"),
+        (11L, "an entirely different document about spark physical plans"),
+        (12L, "completely unrelated content with no shared shingles at all"),
+        (13L, "the quick brown fox jumps over the lazy dog today"),
+        (14L, "the quick brown fox jumps over the lazy dog today indeed")))
+    val want = (for {
+      (ia, ta) <- all; (ib, tb) <- all
+      if ia < ib && ib >= 10L
+      sa = sh(ta); sb = sh(tb)
+      inter = (sa & sb).size
+      uni = sa.size + sb.size - inter
+      if uni > 0
+      j = math.floor(inter.toDouble / uni * 1e6 + 0.5) / 1e6
+      if j >= 0.8
+    } yield (ia, ib, j)).toSet
+    assert(want.nonEmpty && got == want,
+      s"got ${got.toSeq.sorted}\nwant ${want.toSeq.sorted}")
+  }
+
   test("winnow-anchor index probe: re-crawled text hits at substring " +
       "grain, novel text misses, twins expand") {
     val wIdx = Dedup.winnowAnchorIndex(corpus, "id", "text",
