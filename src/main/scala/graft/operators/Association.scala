@@ -43,13 +43,21 @@ object Association {
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2, maxBasketSize: Int = 10000): DataFrame = {
-    val items = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-      .distinct()
-    val itemCounts = items.groupBy(col("__it")).agg(count(lit(1)).as("n"))
-    val nBaskets = items.select(count_distinct(col("__bk")).as("n_baskets"))
-    val baskets = items.groupBy("__bk")
-      .agg(array_sort(collect_list(col("__it"))).as("its"))
+    // ONE basket-key shuffle builds the distinct item sets directly
+    // (collect_set dedups in the aggregation buffer) — the previous
+    // distinct-then-collect form shuffled the full membership frame
+    // twice. Persisted: the set frame feeds the item counts, the
+    // basket total AND the pair expansion; unpersisted, each consumer
+    // re-runs the basket aggregation (measured 3 scans in the plan).
+    val sets = graft.HeavyPersist(
+      df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+        .groupBy("__bk").agg(collect_set(col("__it")).as("its")))
+    val itemCounts = sets.select(explode(col("its")).as("__it"))
+      .groupBy(col("__it")).agg(count(lit(1)).as("n"))
+    val nBaskets = sets.select(count(lit(1)).as("n_baskets"))
+    val baskets = sets
       .filter(size(col("its")) <= maxBasketSize)
+      .select(array_sort(col("its")).as("its"))
     // ordered pairs (i < j) from the sorted per-basket array — the
     // expansion is size(its)² / 2 structs inside ONE row, bounded by
     // the cap above
@@ -69,5 +77,36 @@ object Association {
         r6(col("n_ab").cast("double") / col("n_a")).as("confidence"),
         r6(col("n_ab").cast("double") * col("n_baskets") /
           (col("n_a").cast("double") * col("n_b"))).as("lift"))
+  }
+
+  /** COUNT-ONLY twin of [[basketPairs]] (r10 verdict lever a): exact
+    * per-item co-occurrence pair-instance counts via multiplicity
+    * algebra — an item in a basket of size k participates in (k − 1)
+    * pair instances, so per-item totals are one join of the membership
+    * frame against basket sizes plus one aggregation. NO pair row is
+    * ever materialized: the sibling's Σ k²/2 explode (the 100×-heavy
+    * step) is replaced by work linear in the membership rows. Use this
+    * for the census questions (how co-connected is each item, how big
+    * would the pair expansion be) and fall back to [[basketPairs]]
+    * only when the per-(a, b) rows themselves are needed.
+    *
+    * Same `maxBasketSize` cap semantics as the sibling (over-cap
+    * baskets contribute NOTHING — not memberships, not pair counts),
+    * so the census predicts the sibling's workload exactly. Output per
+    * item: `n_baskets` (capped baskets containing it) and `n_copairs`
+    * (Σ (k − 1) over those baskets — its pair-instance degree).
+    */
+  def basketPairCounts(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int = 10000): DataFrame = {
+    // two shuffles total: basket-key set build (collect_set dedups —
+    // no separate membership distinct), then the item-key census agg
+    // over the exploded sets with each item tagged by its basket size
+    df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .groupBy("__bk").agg(collect_set(col("__it")).as("its"))
+      .filter(size(col("its")) <= maxBasketSize)
+      .select(size(col("its")).as("__k"), explode(col("its")).as("it"))
+      .groupBy(col("it"))
+      .agg(count(lit(1)).as("n_baskets"),
+        sum(col("__k") - 1).as("n_copairs"))
   }
 }

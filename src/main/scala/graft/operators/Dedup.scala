@@ -879,8 +879,17 @@ object Dedup {
     * arbitrary orientation (deg² per hub) cannot happen, which is what
     * makes the enumeration viable at 100 TB edge scale.
     */
-  def triangles(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
+  /** Degree-ordered orientation of an undirected edge frame: every
+    * edge points from its lower-(degree, id) endpoint to the higher.
+    * Returns the PERSISTED (u, v, dv) frame — out-degrees under this
+    * orientation are O(√m) even on power-law graphs, which is what
+    * bounds both the wedge enumeration ([[triangles]]) and the
+    * adjacency arrays ([[triangleCount]]). Opens a fresh HeavyPersist
+    * scope (the normalized edge frame feeds the degree union and the
+    * orientation join).
+    */
+  private[operators] def orientEdges(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
     // Persisted: e feeds the degree union (both endpoint projections)
     // AND the orientation join — unpersisted, the caller's whole edge
     // derivation upstream of `edges` re-executes three times.
@@ -897,14 +906,20 @@ object Dedup {
       .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
     val xFirst = col("dx") < col("dy") ||
       (col("dx") === col("dy") && col("x") < col("y"))
-    // Persisted: oriented feeds BOTH wedge sides and the closing
-    // semi-join — unpersisted, the degree joins recompute three times.
+    // Persisted: oriented feeds every consumer downstream (wedge
+    // sides + closing semi-join, or adjacency build + edge probe) —
+    // unpersisted, the degree joins recompute per consumer.
     // freshScope=false keeps `e` cached (oriented materializes FROM it).
-    val oriented = persistHeavy(withDeg.select(
+    persistHeavy(withDeg.select(
       when(xFirst, col("x")).otherwise(col("y")).as("u"),
       when(xFirst, col("y")).otherwise(col("x")).as("v"),
       when(xFirst, col("dy")).otherwise(col("dx")).as("dv")),
       freshScope = false)
+  }
+
+  def triangles(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val oriented = orientEdges(edges, aCol, bCol)
     // wedges: ordered out-neighbor pairs at u, ranked like the
     // orientation so the closing edge is stored exactly as (v1 → v2)
     val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
@@ -918,6 +933,43 @@ object Dedup {
       .select(array_sort(array(col("u"), col("v1"), col("v2"))).as("t"))
       .select(col("t")(0).as("id_a"), col("t")(1).as("id_b"),
         col("t")(2).as("id_c"))
+  }
+
+  /** COUNT-ONLY twin of [[triangles]] (r10 verdict lever a): the
+    * exact triangle count via oriented-adjacency intersection
+    * (compact-forward with sorted neighbor arrays) — for each oriented
+    * edge (u, v), |N⁺(u) ∩ N⁺(v)| closes every triangle exactly once,
+    * so the count is two joins of the edge frame against the
+    * node-sized adjacency table plus one codegen'd array intersection
+    * per edge. NO wedge row is materialized or shuffled: the sibling
+    * pushes Σ C(d⁺, 2) wedge rows through a join + semi-join, while
+    * this path moves only |E| rows carrying O(d⁺)-bounded arrays —
+    * the asymptotic gap between counting and enumerating.
+    *
+    * Output is a one-row census: `n_edges` (normalized distinct
+    * undirected edges), `n_wedges` (Σ C(d⁺, 2) — the row count the
+    * enumerating sibling would shuffle; the cost estimate to read
+    * BEFORE running it), `n_triangles` (exact).
+    */
+  def triangleCount(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val oriented = orientEdges(edges, aCol, bCol)
+    val nbrs = persistHeavy(oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nb")),
+      freshScope = false)
+    val edgeStats = oriented.groupBy(col("u"))
+      .agg(count(lit(1)).as("d"))
+      .agg(sum(col("d")).as("n_edges"),
+        sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val tri = oriented
+      .join(nbrs, "u")
+      .join(nbrs.select(col("u").as("v"), col("nb").as("nbv")),
+        Seq("v"), "left")
+      .select(size(array_intersect(col("nb"),
+        coalesce(col("nbv"), array().cast("array<bigint>")))).as("c"))
+      .agg(sum(col("c")).as("n_triangles"))
+    edgeStats.crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
 
   /** Set-similarity self-join via prefix filtering (the

@@ -33,6 +33,59 @@ object AnalyticsQueries {
   /** Event time as µs-epoch (see TemporalQueries.tsUs). */
   private val tsUs = expr("ts div 1000")
 
+  /** The support-2 co-purchase edge set (parts sharing an order at
+    * least twice), from a (l_orderkey, l_partkey) frame. ONE basket
+    * shuffle builds distinct per-order item sets (collect_set dedups —
+    * no separate membership distinct), the pair explode is bounded by
+    * order size, and the support filter is one partial-aggregated
+    * (pa, pb) shuffle. Shared by the from-scratch q114 enumeration and
+    * the [[copurchaseEdgeTable]] build.
+    */
+  private def copurchaseEdges(li: DataFrame): DataFrame = {
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val pairArr = filter(
+      flatten(transform(col("ps"), x =>
+        transform(col("ps"), y => struct(x.as("pa"), y.as("pb"))))),
+      p => p.getField("pa") < p.getField("pb"))
+    perOrder.select(explode(pairArr).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select("pa", "pb")
+  }
+
+  private val coEdgeCache = new graft.SessionCache[String]
+
+  /** The MAINTAINED co-purchase graph — the support-2 edge set
+    * persisted as a warehouse table, built once per (session, sfDir)
+    * and amortized in the bench prebuild step like the ANN/delta
+    * indexes. This is the deployment shape the graph census queries
+    * (q187) probe: the edge set is the expensive-to-derive artifact
+    * (a full pair expansion over the fact table), so a deployment
+    * materializes and maintains it rather than re-deriving it per
+    * analytical question; q114 keeps the from-scratch derivation as
+    * the build-cost twin.
+    */
+  def copurchaseEdgeTable(s: SparkSession, dir: String): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir/lineitem/coedges".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val name = s"graft_coedges_$hex"
+    coEdgeCache.get(s, name) {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.sources.Layout.writeBucketed(
+        copurchaseEdges(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey")),
+        name, Seq("pa"), 16)
+      name
+    }
+  }
+
   val all: Seq[Query] = Seq(
 
     // Resample to an hourly grid with forward fill: per user, one row
@@ -561,23 +614,52 @@ object AnalyticsQueries {
         |FROM e e1 JOIN e e2 ON e1.pb = e2.pa
         |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
         |ORDER BY id_a, id_b, id_c""".stripMargin))(
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val perOrder = li.groupBy("l_orderkey")
-          .agg(collect_set(col("l_partkey")).as("ps"))
-        val pairArr = filter(
-          flatten(transform(col("ps"), x =>
-            transform(col("ps"), y => struct(x.as("pa"), y.as("pb"))))),
-          p => p.getField("pa") < p.getField("pb"))
-        val edges = perOrder.select(explode(pairArr).as("p"))
-          .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") >= 2)
-          .select("pa", "pb")
-        Dedup.triangles(edges, "pa", "pb")
-          .orderBy("id_a", "id_b", "id_c")
-      }),
+      (s, dir) =>
+        Dedup.triangles(
+            copurchaseEdges(t(s, dir, "lineitem")
+              .select("l_orderkey", "l_partkey")),
+            "pa", "pb")
+          .orderBy("id_a", "id_b", "id_c")),
+
+    // COUNT-ONLY twin of q114 (r11): the exact triangle count over the
+    // same support-2 co-purchase edge set via oriented-adjacency
+    // intersection — per oriented edge, |N+(u) ∩ N+(v)| closes each
+    // triangle once, so the count is two node-table joins plus a
+    // codegen'd array intersection per edge. No wedge row is ever
+    // shuffled; n_wedges reports how many the enumerating sibling
+    // would have to. The edge set comes from the MAINTAINED graph
+    // table (copurchaseEdgeTable — amortized build, the q47-indexed
+    // convention): census questions run against the persisted graph,
+    // while q114 keeps paying the from-scratch derivation. The oracle
+    // replays the census portably: edges and triangles from the
+    // inequality joins, wedges from the same degree-ordered
+    // orientation.
+    Query("q187_triangle_count", Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT v, COUNT(*) AS d FROM (
+        |    SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+        |      THEN e.pa ELSE e.pb END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+        |      THEN e.pb ELSE e.pa END AS v
+        |  FROM e JOIN deg da ON da.v = e.pa JOIN deg db ON db.v = e.pb),
+        |dout AS (SELECT u, COUNT(*) AS d FROM o GROUP BY 1)
+        |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT SUM(d * (d - 1) // 2) FROM dout) AS BIGINT)
+        |    AS n_wedges,
+        |  CAST((SELECT COUNT(*) FROM e e1
+        |    JOIN e e2 ON e1.pb = e2.pa
+        |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS BIGINT)
+        |    AS n_triangles""".stripMargin))(
+      (s, dir) =>
+        Dedup.triangleCount(
+          s.table(copurchaseEdgeTable(s, dir)), "pa", "pb")),
 
     // TPC-H Q5-shaped star join: five dimension hops (region → nation →
     // customer/supplier) around the orders→lineitem fact spine, revenue

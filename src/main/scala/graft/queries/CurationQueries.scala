@@ -443,6 +443,27 @@ object CurationQueries {
             "l_orderkey", "l_partkey", minSupport = 2)
           .orderBy("a", "b")),
 
+    // COUNT-ONLY twin of q145 (r11): per-item co-occurrence
+    // pair-instance counts via multiplicity algebra — an item in a
+    // size-k basket joins (k-1) pair instances, so the census is one
+    // membership-vs-basket-size join plus an aggregation. No pair row
+    // is materialized; the sibling's per-basket Σk²/2 explode (its
+    // 100x-heavy step) never runs. Exact, and the n_copairs column
+    // doubles as the cost estimate for running the sibling.
+    Query("q186_copair_census", Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |            FROM lineitem),
+        |sz AS (SELECT bk, COUNT(*) AS k FROM li GROUP BY 1)
+        |SELECT it, COUNT(*) AS n_baskets,
+        |  CAST(SUM(k - 1) AS BIGINT) AS n_copairs
+        |FROM li JOIN sz USING (bk)
+        |GROUP BY it ORDER BY it""".stripMargin))(
+      (s, dir) =>
+        Association.basketPairCounts(
+            t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey")
+          .orderBy("it")),
+
     // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
     // 100 documents drawn with probability ∝ n_chars via the
     // content-keyed exponential key −ln(u)/w — deterministic,

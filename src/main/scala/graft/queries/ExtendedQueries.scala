@@ -143,7 +143,8 @@ object ExtendedQueries {
     Await.result(Future.sequence(Seq(
       Future(lshIndexPath(s, dir)), Future(ivfIndexPath(s, dir)),
       Future(deltaIndexTable(s, dir)), Future(pqIndexPath(s, dir)),
-      Future(graphIndexPath(s, dir)), Future(winnowIndexTable(s, dir)))),
+      Future(graphIndexPath(s, dir)), Future(winnowIndexTable(s, dir)),
+      Future(AnalyticsQueries.copurchaseEdgeTable(s, dir)))),
       Duration.Inf)
   }
 

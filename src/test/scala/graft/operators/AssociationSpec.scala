@@ -53,4 +53,26 @@ class AssociationSpec extends SparkSpec {
     assert(full.collect()
       .count(_.getAs[String]("a").startsWith("i")) == 190)
   }
+
+  test("basketPairCounts: per-item census equals the multiplicity " +
+      "algebra definition, dupes collapse, cap excludes the basket") {
+    val dup = baskets.unionAll(Seq((1, "a"), (1, "a")).toDF("bk", "it"))
+    val r = Association.basketPairCounts(dup, "bk", "it")
+      .collect().map(x => x.getAs[String]("it") ->
+        ((x.getAs[Long]("n_baskets"), x.getAs[Long]("n_copairs")))).toMap
+    // baskets: {a,b} ×3 + {a,c} — the duplicate (1, a) membership
+    // collapses inside collect_set
+    assert(r("a") == ((4L, 4L)), s"a: ${r("a")}") // k-1 = 1 in each
+    assert(r("b") == ((3L, 3L)), s"b: ${r("b")}")
+    assert(r("c") == ((1L, 1L)), s"c: ${r("c")}")
+    // pair-instance identity: sum over items of n_copairs = 2 * total
+    // pair instances = 2 * sum over baskets of C(k, 2)
+    assert(r.values.map(_._2).sum == 2L * 4)
+    // cap: a 20-item basket contributes nothing when excluded
+    val big = (1 to 20).map(i => (99, s"i$i")).toDF("bk", "it")
+      .unionAll(baskets)
+    val capped = Association.basketPairCounts(big, "bk", "it",
+      maxBasketSize = 10).collect()
+    assert(!capped.exists(_.getAs[String]("it").startsWith("i")))
+  }
 }

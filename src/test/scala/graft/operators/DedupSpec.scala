@@ -395,6 +395,27 @@ class DedupSpec extends SparkSpec {
     assert(got.count() == n)
   }
 
+  test("triangleCount census equals the enumeration on every fixture " +
+      "(K4+noise, path, star, wheel)") {
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (4L, 2L), (3L, 4L), (4L, 5L), (6L, 7L), (6L, 6L)).toDF("id_a", "id_b")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("id_a", "id_b")
+    val wheel = ((1L to 8L).map(i => (i, if (i == 8L) 1L else i + 1)) ++
+      (1L to 8L).map(i => (0L, i))).toDF("id_a", "id_b")
+    Seq(k4 -> 8L, path -> 3L, star -> 4L, wheel -> 16L).foreach {
+      case (g, nEdges) =>
+        val row = Dedup.triangleCount(g).head()
+        assert(row.getAs[Long]("n_edges") == nEdges,
+          s"edges: ${row.getAs[Long]("n_edges")} vs $nEdges")
+        assert(row.getAs[Long]("n_triangles") == Dedup.triangles(g).count(),
+          "census disagrees with the enumeration")
+        assert(row.getAs[Long]("n_wedges") >= row.getAs[Long]("n_triangles"),
+          "every triangle is a closed wedge")
+    }
+  }
+
   test("setSimilarityJoin: exact — equals the brute-force all-pairs " +
       "Jaccard at every threshold (prefix filter drops nothing)") {
     // word-salad docs with two planted near-dup pairs and decoys
