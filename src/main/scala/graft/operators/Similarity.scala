@@ -837,11 +837,17 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // hot-cell guard: size counts ride the same cell partitioning the
-      // self-join shuffles on
-      val cellSizes = assigned.groupBy("cell")
-        .agg(count(lit(1)).as("__sz"))
-        .filter(col("__sz") <= maxCellSize)
-        .select(col("cell"))
+      // self-join shuffles on; the full counts are tiny (nCells rows)
+      // and also persist as `_cellsizes` metadata AFTER the main write
+      // (which overwrite-clears the index root) so a delta insert
+      // reproduces the cap decision without re-scanning the corpus
+      val rawSizes = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("sz")).collect()
+      val cellSizes = {
+        import spark.implicits._
+        rawSizes.map(r => (r.getInt(0), r.getLong(1))).toSeq
+          .filter(_._2 <= maxCellSize).map(_._1).toDF("cell")
+      }
       val bounded = assigned.join(cellSizes, "cell")
       val a = bounded.select(col("cell"), col("id"), col("v"), col("n"))
       val b = bounded.select(col("cell"), col("id").as("id_b"),
@@ -856,13 +862,23 @@ object Similarity {
         .distinct()
       val adjacency = pairs.groupBy("id")
         .agg(TopKAgg.topK(m)(col("id_b"), col("s")).as("top"))
-        .select(col("id"), col("top.id").as("nbrs"))
+        .select(col("id"), col("top.id").as("nbrs"),
+          col("top.score").as("nscores"))
+      // The written row carries everything a DELTA INSERT needs to
+      // reproduce rebuild semantics without re-pairing the corpus:
+      // `home`/`cells` (the deterministic assignment — touched-cell
+      // pruning and exact-twin detection), `nscores` (edge scores —
+      // merging new edges under the same top-m order requires the old
+      // edges' scores, which ids alone cannot recover).
       graft.sources.Layout.writePartitioned(
-        base.select(col("id"), col("v"), col("home"))
+        base.select(col("id"), col("v"), col("home"),
+            col("cells").getField("i").as("cells"))
           .join(adjacency, Seq("id"), "left")
           .join(members.withColumnRenamed("gid", "id"), Seq("id"))
-          .select(col("id"), col("v"),
+          .select(col("id"), col("v"), col("home"), col("cells"),
             coalesce(col("nbrs"), typedlit(Seq.empty[Long])).as("nbrs"),
+            coalesce(col("nscores"), typedlit(Seq.empty[Double]))
+              .as("nscores"),
             col("members"),
             pmod(col("id"), lit(nShards.toLong)).as("shard")),
         path, Seq("shard"), writeTasks)
@@ -883,14 +899,231 @@ object Similarity {
         .select(col("home").as("cell"), col("id"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_seeds")
       import spark.implicits._
-      Seq((m, nCells, nShards)).toDF("m", "n_cells", "n_shards")
+      // build parameters + the trained centroids ride as bounded
+      // metadata so a delta insert can reproduce the assignment and
+      // cap decisions a rebuild would make
+      Seq((m, nCells, nShards, buildProbes, maxCellSize))
+        .toDF("m", "n_cells", "n_shards", "build_probes", "max_cell_size")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+      rawSizes.map(r => (r.getInt(0), r.getLong(1))).toSeq
+        .toDF("cell", "sz")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_cellsizes")
       idxFrameCache.put(spark, path, spark.read.parquet(path))
       idxMetaCache.put(spark, s"$path/_seeds",
         spark.read.parquet(s"$path/_seeds").collect())
       idxMetaCache.put(spark, s"$path/_meta",
         spark.read.parquet(s"$path/_meta").collect())
     } finally assigned.unpersist(blocking = false)
+  }
+
+  /** INCREMENTAL DELTA INSERT into a persisted k-NN graph index
+    * (r10 verdict lever c) — tonight's batch joins the graph without a
+    * corpus rebuild, completing the index-maintenance story the
+    * minhash (q104) and winnow-anchor (q182) indexes already have:
+    *
+    *   1. Delta rows exact-dedup on the vector value; groups whose
+    *      vector ALREADY EXISTS in the index merge into that node's
+    *      member list (detected by a (home, v) equality join against
+    *      the stored assignment — identical vectors assign
+    *      identically, so the join is bounded by the touched home
+    *      cells, never the corpus).
+    *   2. NOVEL vectors assign to their `build_probes` nearest cells
+    *      using the PERSISTED centroids (`_centroids`) — the same
+    *      deterministic expression the builder ran.
+    *   3. Pairing happens ONLY in touched cells: novel reps score
+    *      against the existing nodes assigned there (read off the
+    *      stored `cells` column) plus each other, under the rebuilt
+    *      cell-size cap (`max_cell_size` from `_meta`, counts =
+    *      existing + delta, exactly what a rebuild would see).
+    *   4. Adjacency merges under the SAME top-m order the builder's
+    *      heap used ((score desc, id asc)): novel nodes take the
+    *      top-m of their pairs; touched existing nodes merge their
+    *      stored (nbrs, nscores) edges with the new pairs — top-m of
+    *      a union equals the merge of top-m lists, so the result is
+    *      bit-identical to a full rebuild's adjacency.
+    *   5. Seeds of touched HOME cells are re-ranked (a novel vector
+    *      can dethrone a medoid); untouched cells keep theirs.
+    *
+    * The refreshed index is written to `outPath` (the base is left
+    * intact — versioned-index deployment shape; at petabyte scale the
+    * final copy-through write becomes a dynamic partition overwrite of
+    * the touched shards). Rebuild-equivalence caveats, both declared:
+    * delta ids must exceed existing ids (else the rebuild would pick a
+    * different group representative id — member-level results are
+    * unchanged either way), and a cell crossing its size cap mid-life
+    * needs a rebuild (the cap drops pairs retroactively; inserts never
+    * remove edges).
+    */
+  def deltaInsertKnnGraph(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, delta: DataFrame, embCol: String, idCol: String,
+      outPath: String, writeTasks: Int = 8): Unit = {
+    import graft.functions.TopKAgg
+    val meta = spark.read.parquet(s"$basePath/_meta").head()
+    val m = meta.getAs[Int]("m")
+    val nShards = meta.getAs[Int]("n_shards")
+    val buildProbes = meta.getAs[Int]("build_probes")
+    val maxCellSize = meta.getAs[Int]("max_cell_size")
+    val centroids = spark.read.parquet(s"$basePath/_centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val cellStructs = array_sort(array(centroids.zipWithIndex.map {
+      case (c, i) => struct(
+        (lit(sq(c)) - lit(2.0) * dot(col("v"), typedlit(c))).as("d"),
+        lit(i).as("i"))
+    }: _*))
+    val baseIdx = spark.read.parquet(basePath)
+    // 1. delta exact-dedup + deterministic assignment
+    val dGroups = graft.HeavyPersist(delta
+      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("id"), toDouble(col(embCol)).as("v"))
+      .groupBy(col("v"))
+      .agg(min(col("id")).as("id"),
+        sort_array(collect_list(col("id"))).as("dmembers"))
+      .select(col("id"), col("v"), col("dmembers"),
+        slice(cellStructs, 1, buildProbes).getField("i").as("cells"),
+        cellStructs.getItem(0).getField("i").as("home")))
+    val deltaHomes = dGroups.select(col("home")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    // twin split: vector already a node -> members merge only
+    val twins = graft.HeavyPersist(dGroups
+      .join(baseIdx.filter(col("home").isin(deltaHomes.toSeq: _*))
+          .select(col("id").as("eid"), col("home"), col("v")),
+        Seq("home", "v"))
+      .select(col("id").as("dgid"), col("eid"), col("dmembers")),
+      freshScope = false)
+    val novel = graft.HeavyPersist(dGroups
+      .join(twins.select(col("dgid").as("id")), Seq("id"), "left_anti"),
+      freshScope = false)
+    // 2-3. touched-cell pairing under the rebuilt cap
+    val novelAssigned = novel
+      .select(col("id"), col("v"), explode(col("cells")).as("cell"),
+        norm(col("v")).as("n"))
+      .filter(col("n") > 0)
+    val touchedCells = novel.select(explode(col("cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val existAssigned = baseIdx
+      .filter(arrays_overlap(col("cells"),
+        typedlit(touchedCells.toSeq.sorted)))
+      .select(col("id"), col("v"), explode(col("cells")).as("cell"),
+        norm(col("v")).as("n"))
+      .filter(col("cell").isin(touchedCells.toSeq: _*) && col("n") > 0)
+    // rebuild-equivalent cap: stored per-cell assignment counts
+    // (bounded `_cellsizes` metadata) plus the delta's — no corpus
+    // scan. The UPDATED counts are rewritten below so the next insert
+    // sees tonight's batch in its cap arithmetic too.
+    val storedSizes = spark.read.parquet(s"$basePath/_cellsizes")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val novelSizes = novelAssigned.groupBy("cell")
+      .agg(count(lit(1)).as("sz")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mergedSizes = (storedSizes.keySet ++ novelSizes.keySet).toSeq
+      .map(c => c -> (storedSizes.getOrElse(c, 0L) +
+        novelSizes.getOrElse(c, 0L)))
+    val okCells = mergedSizes.filter(_._2 <= maxCellSize).map(_._1)
+    val cellSizes = {
+      import spark.implicits._
+      okCells.toDF("cell")
+    }
+    val novelCapped = graft.HeavyPersist(
+      novelAssigned.join(broadcast(cellSizes), "cell"), freshScope = false)
+    val pool = existAssigned.join(broadcast(cellSizes), "cell")
+      .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
+        col("n").as("n_b"))
+      .unionAll(novelCapped.select(col("cell"), col("id").as("id_b"),
+        col("v").as("v_b"), col("n").as("n_b")))
+    val pairs = graft.HeavyPersist(
+      novelCapped.join(pool, Seq("cell"))
+        .filter(col("id") =!= col("id_b"))
+        .select(col("id"), col("id_b"),
+          (dot(col("v"), col("v_b")) / (col("n") * col("n_b"))).as("s"))
+        .filter(col("s").isNotNull && !isnan(col("s")))
+        .distinct(), freshScope = false)
+    // 4. adjacency: novel top-m; existing merge old+new under the
+    //    same (score desc, id asc) order
+    val novelAdj = pairs.groupBy("id")
+      .agg(TopKAgg.topK(m)(col("id_b"), col("s")).as("top"))
+    val novelIds = novel.select(col("id").as("id_b"))
+    val existNew = pairs.join(novelIds, Seq("id_b"), "left_anti")
+      .select(col("id_b").as("id"), col("id").as("id_b"), col("s"))
+      .groupBy("id")
+      .agg(TopKAgg.topK(m)(col("id_b"), col("s")).as("newtop"))
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1)
+        .otherwise(0)
+    val updatedExisting = baseIdx
+      .join(existNew, Seq("id"), "left")
+      .join(twins, baseIdx("id") === twins("eid"), "left")
+      .withColumn("__merged",
+        when(col("newtop").isNotNull,
+          slice(array_sort(concat(
+            zip_with(col("nbrs"), col("nscores"),
+              (i, s) => struct(i.as("id"), s.as("score"))),
+            col("newtop")), cmp), 1, m)))
+      .select(col("id"), col("v"), col("home"), col("cells"),
+        when(col("__merged").isNotNull, col("__merged").getField("id"))
+          .otherwise(col("nbrs")).as("nbrs"),
+        when(col("__merged").isNotNull, col("__merged").getField("score"))
+          .otherwise(col("nscores")).as("nscores"),
+        when(col("dmembers").isNotNull,
+          sort_array(concat(col("members"), col("dmembers"))))
+          .otherwise(col("members")).as("members"),
+        col("shard"))
+    val newRows = novel
+      .join(novelAdj, Seq("id"), "left")
+      .select(col("id"), col("v"), col("home"), col("cells"),
+        coalesce(col("top").getField("id"), typedlit(Seq.empty[Long]))
+          .as("nbrs"),
+        coalesce(col("top").getField("score"), typedlit(Seq.empty[Double]))
+          .as("nscores"),
+        col("dmembers").as("members"),
+        pmod(col("id"), lit(nShards.toLong)).as("shard"))
+    graft.sources.Layout.writePartitioned(
+      updatedExisting.unionAll(newRows), outPath, Seq("shard"), writeTasks)
+    // 5. seeds: re-rank touched HOME cells over existing + novel
+    val touchedHomes = novel.select(col("home")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val oldSeeds = spark.read.parquet(s"$basePath/_seeds")
+    val mergedSeeds = if (touchedHomes.isEmpty) oldSeeds else {
+      val dHome = touchedHomes.toSeq.sorted.foldLeft(lit(null).cast("double")) {
+        (acc, c) => when(col("home") === c,
+          lit(sq(centroids(c))) - lit(2.0) * dot(col("v"), typedlit(centroids(c))))
+          .otherwise(acc)
+      }
+      val candidates = baseIdx.select(col("id"), col("home"), col("v"))
+        .unionAll(novel.select(col("id"), col("home"), col("v")))
+        .filter(col("home").isin(touchedHomes.toSeq: _*) &&
+          norm(col("v")) > 0)
+        .withColumn("__d", dHome)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("home")).orderBy(col("__d"), col("id"))
+      oldSeeds.filter(!col("cell").isin(touchedHomes.toSeq: _*))
+        .unionAll(candidates.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .select(col("home").as("cell"), col("id")))
+    }
+    mergedSeeds.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outPath/_seeds")
+    spark.read.parquet(s"$basePath/_meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_meta")
+    spark.read.parquet(s"$basePath/_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_centroids")
+    locally {
+      import spark.implicits._
+      mergedSizes.toDF("cell", "sz")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_cellsizes")
+    }
+    idxFrameCache.put(spark, outPath, spark.read.parquet(outPath))
+    idxMetaCache.put(spark, s"$outPath/_seeds",
+      spark.read.parquet(s"$outPath/_seeds").collect())
+    idxMetaCache.put(spark, s"$outPath/_meta",
+      spark.read.parquet(s"$outPath/_meta").collect())
   }
 
   /** Best-first beam search over the persisted k-NN graph — the query

@@ -126,6 +126,32 @@ object ExtendedQueries {
         "vec_id", p, m = 12, nCells = 8, buildProbes = 2)
       p
     }
+  private val graphDeltaCache = new graft.SessionCache[String]
+
+  /** The q188 REFRESHED graph index: tonight's delta (every 10th
+    * vector re-ingested under new ids — exact twins — plus every
+    * (10k+5)th vector with its first coordinate shifted by +0.25 —
+    * novel vectors) inserted incrementally into the q180 base index.
+    * The insert is timed as part of q188's first run in a session
+    * (the daily-ingest cost); the base index stays untouched for
+    * q180.
+    */
+  private def graphDeltaIndexPath(s: SparkSession, dir: String): String =
+    graphDeltaCache.get(s, dir) {
+      val base = graphIndexPath(s, dir)
+      val p = newIdxDir("graft_knng_delta_idx")
+      val emb = t(s, dir, "embeddings")
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 3000000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              (x, i) => when(i === 0, x + lit(0.25)).otherwise(x))
+              .as("embedding")))
+      Similarity.deltaInsertKnnGraph(s, base, delta, "embedding",
+        "vec_id", p)
+      p
+    }
 
   /** Build the four persisted index artifacts (LSH, IVF, PQ, and the
     * delta-dedup bucket table) for `dir` eagerly. Bench calls
@@ -1399,6 +1425,37 @@ object ExtendedQueries {
             emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
             threshold = 0.3)
           .orderBy("vec_id")
-      })
+      }),
+
+    // ANN probe over the INCREMENTALLY REFRESHED graph index (r11,
+    // lever c): the q180 base index plus tonight's delta — exact
+    // twins under new ids AND genuinely novel (perturbed) vectors —
+    // inserted via Similarity.deltaInsertKnnGraph without a rebuild
+    // (touched-cell pairing, heap-order adjacency merge, member
+    // merge, touched-seed re-rank). The oracle is the brute-force
+    // exact top-10 over corpus ∪ delta: a hash match proves the
+    // refreshed index ranks the delta rows (twin members AND new
+    // nodes) exactly as a full rebuild would.
+    Query("q188_graph_ann_delta", Some(
+      """WITH uni AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 3000000,
+        |    [CASE WHEN i = 1 THEN dv[i] + 0.25 ELSE dv[i] END
+        |     FOR i IN generate_series(1, len(dv))]
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+        |        FROM embeddings)
+        |  WHERE vec_id % 10 = 5)
+        |SELECT vec_id, ROUND(list_cosine_similarity(v,
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS score
+        |FROM uni ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))(
+      (s, dir) =>
+        Similarity.graphTopKIndexed(s, graphDeltaIndexPath(s, dir),
+          "vec_id", queryVec(s, dir), k = 10))
   )
 }
