@@ -95,7 +95,13 @@ object Bench {
     // queries will fail individually into `failed` like any other
     // broken query, and the rest of the inventory still reports.
     val tIdx = System.nanoTime()
-    val idxSec = try {
+    // profiling escape hatch: subset runs of non-index queries can
+    // skip the one-time artifact builds (they'd dominate a 2-query
+    // A/B); index-probing queries (q47/q49/q117/q180/q182/q187/q188,
+    // q66) need the prebuild and will fail without it — never set
+    // this for a full run
+    val skipPrebuild = sys.env.contains("SPARK_GRAFT_SKIP_PREBUILD")
+    val idxSec = if (skipPrebuild) 0.0 else try {
       // the four artifacts are independent one-time builds; Spark
       // schedules concurrent jobs fine, so overlap them — the metric
       // is wall-clock, the way a deployment would run them

@@ -28,9 +28,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the data's watermark, sentinel B's on sentinel A's.
   *
   * Scratch layout lives under one java.io.tmpdir directory per call
-  * (stage/out/checkpoint); transient by design, like the bench's
-  * warehouse artifacts. The returned frame READS the sink directory —
-  * callers that need it after JVM tmp cleanup must copy it out.
+  * (stage/out/checkpoint) and is DELETED before returning: the staged
+  * input copy plus the batch-1 state snapshots are ~the input size in
+  * dirty page cache (400 MB+ per replay at 100×), and leaving them
+  * for the OS to write back made the NEXT query pay the disk
+  * contention (measured: q186 2.7 s standalone vs 10-46 s right after
+  * q184/q185 at 100×, plus 30 GB of accumulated scratch across a
+  * bench run). The sink is pinned into the block manager
+  * (localCheckpoint) first, so the returned frame survives the
+  * deletion; unlinking the never-synced scratch drops most of its
+  * pages instead of flushing them.
   */
 object StreamReplay {
 
@@ -55,7 +62,28 @@ object StreamReplay {
         sdf.write.mode("append").parquet(stage)
         q.processAllAvailable()
       }
-    } finally q.stop()
-    spark.read.parquet(out)
+    } finally {
+      q.stop()
+      // Release executor-side state NOW, not at the next 60 s
+      // maintenance tick: the stopped query's providers retain the
+      // last in-memory state versions (for replays whose batch 1
+      // buffers the whole input — sessionization — that is GBs), and
+      // parking them degrades whatever runs next. See
+      // GraftStateStoreHooks for the measured effect.
+      org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreHooks.unloadProviders()
+    }
+    // pin the sink into the block manager, then drop the scratch (see
+    // class doc: the staged copy + state snapshots are the input-sized
+    // dirty-page bomb; the pinned result is the small aggregated tail)
+    val result = spark.read.parquet(out).localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    result
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

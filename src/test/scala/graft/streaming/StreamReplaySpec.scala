@@ -65,6 +65,33 @@ class StreamReplaySpec extends SparkSpec {
     }
   }
 
+  test("q189 stream windowed agg replay equals the batch windowedStats " +
+      "twin (q41's operator) row for row") {
+    val got = graft.SparkEntry.queries("q189_stream_window_agg")(spark, sf)
+    val batch = EventStream.windowedStats(
+        graft.Tables(spark, sf, "events").select(
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("event_type"), col("value")))
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("cnt"), col("sum_val"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming windowed agg replay diverged from the batch twin")
+    assert(got.filter(col("event_type") === "__sentinel").isEmpty)
+  }
+
+  test("q190 stream dedup replay equals batch DISTINCT over the dedup " +
+      "key") {
+    val got = graft.SparkEntry.queries("q190_stream_dedup")(spark, sf)
+    val batch = graft.Tables(spark, sf, "events").select(col("user_id"),
+        col("event_type"),
+        expr("((ts div 1000) div 86400000000) * 86400000000").as("day_us"))
+      .distinct()
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming dedup replay diverged from batch DISTINCT")
+  }
+
   test("sentinel groups leave no trace: no negative user sessions, no " +
       "sentinel-day PSI windows") {
     val sess = graft.SparkEntry.queries("q184_stream_sessionize")(spark, sf)
