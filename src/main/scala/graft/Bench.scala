@@ -143,17 +143,34 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // Inter-query storage isolation: drop the previous query's
+    // persisted frames (HeavyPersist scope) and pinned replay sinks
+    // (localCheckpoints) before each timed pass. Without this, the
+    // last pipeline's multi-GB frame squats the PROTECTED half of the
+    // storage pool (spark.memory.storageFraction) across every
+    // unrelated query that follows — measured q186 8 s isolated vs
+    // 39-46 s mid-suite. Per-query reset mirrors per-job submission
+    // on a real cluster and makes each number the query's own cost;
+    // maintained index/bucketed TABLES live on disk and are not
+    // touched.
+    def resetStorage(): Unit = {
+      HeavyPersist.clear(spark)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     val results = selected.flatMap { case (name, fn) =>
+      resetStorage()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val t1 = (System.nanoTime() - t0) / 1e9
         // min-of-2 for anything slow enough to matter: the second pass
-        // runs IMMEDIATELY (same HeavyPersist scope, steady caches) so
-        // it measures the engine, and min(t1,t2) is robust against a
+        // runs IMMEDIATELY (same storage-reset discipline) so it
+        // measures the engine, and min(t1,t2) is robust against a
         // contention spike landing on one pass. Both raw times are
         // reported — an honest t2 >> clean history is itself signal.
         if (t1 > rerunThresholdSec) {
+          resetStorage()
           val r0 = System.nanoTime()
           fn(spark, sfDir).count()
           val t2 = (System.nanoTime() - r0) / 1e9

@@ -39,4 +39,18 @@ private[graft] object HeavyPersist {
       caches.update(df.sparkSession, p :: prev)
       p
     }
+
+  /** Drop every frame this session has registered, now. Inter-query
+    * isolation for the bench/verify loops: "latest pipeline wins"
+    * evicts only at the NEXT apply(), so the last pipeline's multi-GB
+    * frame otherwise squats the protected storage region
+    * (spark.memory.storageFraction) across every unrelated query that
+    * follows, starving their execution memory (measured: q186 8 s
+    * isolated vs 39-46 s mid-suite with q157's frames still live).
+    */
+  def clear(spark: org.apache.spark.sql.SparkSession): Unit =
+    caches.synchronized {
+      caches.remove(spark).toList.flatten
+        .foreach(_.unpersist(blocking = false))
+    }
 }

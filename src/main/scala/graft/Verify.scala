@@ -17,6 +17,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // inter-query storage isolation, same rationale as the bench
+      // loop: the previous pipeline's HeavyPersist frames and pinned
+      // replay sinks must not squat the storage pool across the
+      // other 189 queries
+      HeavyPersist.clear(spark)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
