@@ -16,7 +16,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=<prefix,prefix,...> restricts the dump to
+    // matching query names (the Bench convention) for fast targeted
+    // re-verification; oracle_sql.json is filtered to the same subset
+    // so the checker never looks for dumps that weren't written.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // inter-query storage isolation, same rationale as the bench
       // loop: the previous pipeline's HeavyPersist frames and pinned
       // replay sinks must not squat the storage pool across the
@@ -42,14 +50,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full declared-query manifest, so the checker can flag a query
     // that failed to even write its output (a missing dir must not
     // silently pass the rows-only check)
     Files.writeString(Paths.get(s"$outDir/queries.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+      SparkEntry.queries.keys.toSeq.filter(selected).sorted.mkString("\n"))
     spark.stop()
   }
 }

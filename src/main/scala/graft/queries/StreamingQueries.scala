@@ -207,5 +207,170 @@ object StreamingQueries {
                 Seq("user_id", "event_type", "day_us"), "2 hours")
               .select("user_id", "event_type", "day_us"))
           .orderBy("user_id", "event_type", "day_us")
+      }),
+
+    // Streaming KS drift monitor, end to end: per-1-day-window KS
+    // statistic against the corpus-marginal reference CDF, evaluated
+    // at a FIXED cutoff grid (the streaming form cannot evaluate at
+    // every distinct value — unbounded evaluation points are exactly
+    // what one append-legal windowed aggregation cannot produce; see
+    // streamingKsAtCutoffs). The reference cumulative counts are
+    // bounded driver metadata (19 longs), the q185 reference-literal
+    // convention. Sentinels are non-null far-future values (a null
+    // would be dropped below the watermark node); their windows are
+    // clipped to the data span. The per-cutoff |ecdf - refcdf| terms
+    // are pure IEEE from integer counts on both sides, so the oracle
+    // replays the max bit for bit.
+    Query("q191_stream_ks", Some(
+      """WITH v AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |             value AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |cut AS (SELECT 25.0 * UNNEST(range(1, 20)) AS c),
+        |tot AS (SELECT COUNT(*) AS refn FROM v),
+        |ref AS (SELECT c, SUM(CASE WHEN v.v <= cut.c THEN 1 ELSE 0 END)
+        |          AS refcum
+        |        FROM cut CROSS JOIN v GROUP BY c),
+        |le AS (SELECT bucket, c, COUNT(*) AS n,
+        |         SUM(CASE WHEN v.v <= cut.c THEN 1 ELSE 0 END) AS le
+        |       FROM v CROSS JOIN cut GROUP BY bucket, c)
+        |SELECT bucket * 86400000000 AS win_start_us,
+        |  CAST(MAX(n) AS BIGINT) AS n,
+        |  FLOOR(MAX(ABS(CAST(le AS DOUBLE) / n
+        |      - CAST(refcum AS DOUBLE) / refn)) * 1e6 + 0.5) / 1e6 AS ks
+        |FROM le JOIN ref USING (c) CROSS JOIN tot
+        |GROUP BY bucket ORDER BY win_start_us""".stripMargin))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cuts = (1 to 19).map(_ * 25.0)
+        // reference CDF at the grid: one bounded aggregate over the
+        // corpus (20 longs of driver metadata)
+        val refRow = ev.filter(col("value").isNotNull)
+          .agg(count(lit(1)).as("refn"),
+            cuts.zipWithIndex.map { case (c, i) =>
+              sum(when(col("value") <= c, 1L).otherwise(0L)).as(s"c$i")
+            }: _*).head()
+        val refN = refRow.getLong(0)
+        val refCum = cuts.indices.map(i => refRow.getLong(i + 1))
+        val staged = ev.select(timestamp_micros(tsUs).as("ts"),
+          col("value"))
+        val maxUs = ev.agg(max(tsUs)).head().getLong(0)
+        def sentinel(k: Int): DataFrame = s.range(1).select(
+          timestamp_micros(lit(maxUs + k * DayUs)).as("ts"),
+          lit(0.0).as("value"))
+        StreamReplay.replay(s, staged, Seq(sentinel(1), sentinel(2)),
+            df => EventStream.streamingKsAtCutoffs(df, "value", cuts,
+                refCum, refN, "1 day", "2 hours")
+              .select(unix_micros(col("win_start")).as("win_start_us"),
+                col("n"), col("ks")))
+          .filter(col("win_start_us") <= lit((maxUs / DayUs) * DayUs))
+          .orderBy("win_start_us")
+      }),
+
+    // Stream-static enrichment, end to end: the q57 operator (attach
+    // customer attributes at ingest) as a REAL streaming job. The
+    // static dimension side is broadcast, the stream side is stateless
+    // — no watermark, no sentinels, no state store: each micro-batch
+    // joins and emits, which is why this is the one streaming shape
+    // that needs no finalization scaffolding. Row-level output (not an
+    // aggregate): every event leaves with its segment attached, the
+    // strongest possible equivalence with the batch left join.
+    Query("q192_stream_static_join", Some(
+      """SELECT e.event_id, e.user_id,
+        |  COALESCE(c.c_mktsegment, '<none>') AS segment, e.value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin))(
+      (s, dir) => {
+        val staged = t(s, dir, "events").select(
+          timestamp_micros(tsUs).as("ts"), col("event_id"),
+          col("user_id"), col("value"))
+        val dim = t(s, dir, "customer")
+        StreamReplay.replay(s, staged, Seq.empty,
+            df => EventStream.enriched(df, dim, "user_id", "c_custkey",
+                Seq("c_mktsegment"))
+              .select(col("event_id"), col("user_id"),
+                coalesce(col("c_mktsegment"), lit("<none>")).as("segment"),
+                col("value")))
+          .orderBy("event_id")
+      }),
+
+    // Streaming CDC upsert sink, end to end: the events changelog
+    // (q111's op/ord convention — 'error' deletes, latest (tus,
+    // event_id) wins) replayed through upsertSnapshotSink's
+    // foreachBatch versioned-snapshot machinery, seeded with the
+    // customer base as version v=-1 (strictly below the first batch
+    // id, so batch 0 folds on top of it exactly like a restarted
+    // production sink folds on its last durable version). The final
+    // readSnapshot must equal the batch applyChangelog — q111's
+    // oracle SQL verbatim — proving the sink's version selection,
+    // fold, and read path end to end, not just the fold operator.
+    Query("q193_stream_cdc_snapshot", Some(
+      """WITH base AS (SELECT c_custkey AS user_id, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey < 200),
+        |ch AS (SELECT user_id, value AS bal,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    epoch_us(ts) AS tus, event_id FROM events),
+        |u AS (
+        |  SELECT user_id, bal, op, 1 AS pri, tus, event_id FROM ch
+        |  UNION ALL
+        |  SELECT user_id, bal, '__base', 0, NULL, NULL FROM base),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY pri DESC, tus DESC, event_id DESC) AS rn FROM u)
+        |SELECT user_id, bal FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin))(
+      (s, dir) => {
+        val base = t(s, dir, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_custkey").as("user_id"),
+            col("c_acctbal").as("bal"))
+        val changes = t(s, dir, "events").select(col("user_id"),
+          col("value").as("bal"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          tsUs.as("tus"), col("event_id"))
+        StreamReplay.replaySink(s, changes,
+            (stream, work, ckpt) => {
+              base.write.parquet(s"$work/v=-1")
+              EventStream.upsertSnapshotSink(stream, work, ckpt,
+                "user_id", Seq("tus", "event_id"), "op", deleteOp = "D")
+            },
+            (sp, work) => EventStream.readSnapshot(sp, work))
+          .orderBy("user_id")
+      }),
+
+    // Stream-stream interval join, end to end: purchases pair with the
+    // same user's clicks in the following hour — the attribution shape
+    // — as a REAL two-stream join (both sides watermarked, two-sided
+    // time bounds making state evictable; see intervalJoin). Both
+    // sides derive from one staged source (the self-join shape the
+    // l_/r_ prefixing exists for). Inner-join emission is immediate on
+    // match, so no sentinels are needed; the whole span arrives in one
+    // event-time-coherent micro-batch.
+    Query("q194_stream_interval_join", Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |             event_type
+        |           FROM events)
+        |SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS click_id,
+        |  r.t - l.t AS gap_us
+        |FROM e l JOIN e r ON l.user_id = r.user_id
+        |  AND l.event_type = 'purchase' AND r.event_type = 'click'
+        |  AND r.t >= l.t AND r.t < l.t + 3600000000
+        |ORDER BY purchase_id, click_id""".stripMargin))(
+      (s, dir) => {
+        val staged = t(s, dir, "events").select(
+          timestamp_micros(tsUs).as("ts"), col("user_id"),
+          col("event_id"), col("event_type"))
+        StreamReplay.replay(s, staged, Seq.empty,
+            df => {
+              val l = df.filter(col("event_type") === "purchase")
+                .drop("event_type")
+              val r = df.filter(col("event_type") === "click")
+                .drop("event_type")
+              EventStream.intervalJoin(l, r, "user_id",
+                  "0 seconds", "1 hour")
+                .select(col("l_user_id").as("user_id"),
+                  col("l_event_id").as("purchase_id"),
+                  col("r_event_id").as("click_id"),
+                  (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+                    .as("gap_us"))
+            })
+          .orderBy("purchase_id", "click_id")
       }))
 }

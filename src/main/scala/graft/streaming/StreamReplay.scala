@@ -81,6 +81,40 @@ object StreamReplay {
     result
   }
 
+  /** Replay variant for operators that ARE sinks (foreachBatch /
+    * custom StreamingQuery builders, e.g.
+    * [[EventStream.upsertSnapshotSink]]) rather than
+    * frame-to-frame transforms: the caller builds the StreamingQuery
+    * from the staged stream and a scratch work directory (writing any
+    * seed state it needs first — the callback runs BEFORE the query
+    * starts), and reads the final sink state back as a batch frame
+    * once the replay drains. Same scratch hygiene as [[replay]]: the
+    * result is pinned via localCheckpoint and the whole scratch tree
+    * (staged input + checkpoint + sink versions) is deleted before
+    * returning.
+    */
+  def replaySink(spark: SparkSession, input: DataFrame,
+      start: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+      read: (SparkSession, String) => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val stage = s"$base/stage"
+    val work = s"$base/work"
+    val ckpt = s"$base/ckpt"
+    input.write.parquet(stage)
+    val stream = spark.readStream.schema(input.schema).parquet(stage)
+    val q = start(stream, work, ckpt)
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreHooks.unloadProviders()
+    }
+    val result = read(spark, work).localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    result
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

@@ -92,6 +92,86 @@ class StreamReplaySpec extends SparkSpec {
       "streaming dedup replay diverged from batch DISTINCT")
   }
 
+  test("q191 stream KS replay equals the batch KS-at-cutoffs twin per " +
+      "window (corpus-marginal reference)") {
+    val got = graft.SparkEntry.queries("q191_stream_ks")(spark, sf)
+    val cuts = (1 to 19).map(_ * 25.0)
+    val ev = graft.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select((expr("ts div 1000").cast("long") / 86400000000L)
+        .cast("long").as("day"), col("value"))
+    val refRow = ev.agg(count(lit(1)).as("refn"),
+      cuts.zipWithIndex.map { case (c, i) =>
+        sum(when(col("value") <= c, 1L).otherwise(0L)).as(s"c$i")
+      }: _*).head()
+    val refN = refRow.getLong(0)
+    val batch = ev.groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        cuts.zipWithIndex.map { case (c, i) =>
+          sum(when(col("value") <= c, 1L).otherwise(0L)).as(s"__le$i")
+        }: _*)
+      .select(col("day") * 86400000000L as "win_start_us", col("n"),
+        (floor(cuts.indices.map(i =>
+            abs(col(s"__le$i").cast("double") / col("n") -
+              lit(refRow.getLong(i + 1).toDouble / refN)))
+          .reduce(greatest(_, _)) * 1e6 + 0.5) / 1e6).as("ks"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming KS replay diverged from the batch KS-at-cutoffs twin")
+  }
+
+  test("q192 stream-static enrich replay equals the batch left join " +
+      "row for row") {
+    val got = graft.SparkEntry.queries("q192_stream_static_join")(spark, sf)
+    val ev = graft.Tables(spark, sf, "events")
+    val dim = graft.Tables(spark, sf, "customer")
+    val batch = ev.join(dim, ev("user_id") === dim("c_custkey"), "left")
+      .select(ev("event_id"), ev("user_id"),
+        coalesce(col("c_mktsegment"), lit("<none>")).as("segment"),
+        ev("value"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming enrich replay diverged from the batch left join")
+  }
+
+  test("q193 CDC snapshot sink replay equals batch applyChangelog over " +
+      "the same base and changes") {
+    val got = graft.SparkEntry.queries("q193_stream_cdc_snapshot")(spark, sf)
+    val base = graft.Tables(spark, sf, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("bal"))
+    val changes = graft.Tables(spark, sf, "events").select(col("user_id"),
+      col("value").as("bal"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      expr("ts div 1000").as("tus"), col("event_id"))
+    val batch = graft.operators.Temporal.applyChangelog(
+      base, changes, "user_id", Seq("tus", "event_id"), "op", "D")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "CDC snapshot sink replay diverged from batch applyChangelog")
+  }
+
+  test("q194 stream-stream interval join replay equals the batch " +
+      "range self-join row for row") {
+    val got = graft.SparkEntry.queries("q194_stream_interval_join")(spark, sf)
+    val e = graft.Tables(spark, sf, "events").select(col("user_id"),
+      col("event_id"), expr("ts div 1000").as("t"), col("event_type"))
+    val l = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("t").as("lt"))
+    val r = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_uid"), col("event_id").as("click_id"),
+        col("t").as("rt"))
+    val batch = l.join(r, col("user_id") === col("r_uid") &&
+        col("rt") >= col("lt") &&
+        col("rt") < col("lt") + 3600000000L)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("rt") - col("lt")).as("gap_us"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream-stream interval join replay diverged from the batch twin")
+  }
+
   test("sentinel groups leave no trace: no negative user sessions, no " +
       "sentinel-day PSI windows") {
     val sess = graft.SparkEntry.queries("q184_stream_sessionize")(spark, sf)
