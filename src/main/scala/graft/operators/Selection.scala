@@ -19,6 +19,43 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
+  /** 2-D Pareto frontier (skyline): the rows not dominated on two
+    * maximize-criteria — multi-criteria data selection (e.g. keep
+    * documents no other document beats on BOTH length and lexical
+    * diversity). `p` dominates `q` iff px ≥ qx ∧ py ≥ qy with at
+    * least one strict; exact ties on (x, y) dominate neither way, so
+    * both survive.
+    *
+    * Shape — the distributed sort-sweep, fully declarative (never the
+    * O(n²) dominance self-join):
+    *   1. group by x, keep max(y) per x — a distributed partial-agg
+    *      shuffle; within an x-group only max-y rows can survive
+    *      (anything lower is dominated by the group max, strict in y).
+    *   2. sweep the per-x frame: a point's x-group survives iff its
+    *      gy exceeds the running max of gy over all STRICTLY greater
+    *      x (otherwise some higher-x point has ≥ its y, strict in x).
+    *      The unpartitioned window runs over |distinct x| rows — the
+    *      aggregate frame, not the data; for continuous x at 100 TB,
+    *      pre-bucket x and sweep bucket maxima the same way.
+    *   3. broadcast-semi-join the surviving (x, gy) pairs (≤ skyline
+    *      size, bounded small) back onto the full frame to recover
+    *      every tied row.
+    */
+  def skyline2d(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = df.groupBy(col(xCol).as("x"))
+      .agg(max(col(yCol)).as("gy"))
+      .withColumn("__prevmax", max(col("gy")).over(w))
+      .filter(col("__prevmax").isNull || col("gy") > col("__prevmax"))
+      .select(col("x"), col("gy"))
+    df.join(broadcast(frontier),
+        df(xCol) === frontier("x") && df(yCol) === frontier("gy"), "left_semi")
+      .select(col(idCol), col(xCol), col(yCol))
+  }
+
   /** DSIR-style hashed importance weights: score every document by
     * how target-like its hashed unigram distribution is.
     *

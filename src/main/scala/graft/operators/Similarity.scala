@@ -240,6 +240,46 @@ object Similarity {
       .select(col("qid"), col("s.id").as(idCol), col("s.score").as("score"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for
+    * each query vector, the k most similar corpus vectors that are
+    * (a) a DIFFERENT class (`labelCol` ≠ the query's label — a
+    * positive is never a negative) and (b) below the near-duplicate
+    * ceiling (cosine ≤ `nearDupCeiling` — an unlabeled twin of the
+    * query is a false negative, not a hard one). The canonical "mine
+    * hard negatives per anchor" batch op.
+    *
+    * Same scale shape as [[knnJoin]]: bounded query set broadcast,
+    * one codegen'd scoring pass (BroadcastNestedLoopJoin, never a
+    * shuffled cartesian), label/ceiling filters applied IN that pass
+    * before the bounded-heap [[graft.functions.TopKAgg]] per-query
+    * top-k — each partition ships ≤ k candidates per query. The
+    * ceiling compares the ROUNDED score (the engine's 6-decimal
+    * similarity convention), so the cut is engine-portable.
+    */
+  def hardNegatives(corpus: DataFrame, embCol: String, idCol: String,
+      labelCol: String, queries: DataFrame, k: Int,
+      nearDupCeiling: Double): DataFrame = {
+    import graft.functions.TopKAgg
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+        toDouble(col(embCol)).as("qv"), col(labelCol).as("qlabel"))
+      .select(col("qid"), col("qv"), col("qlabel"), norm(col("qv")).as("qn")))
+    val scored = corpus
+      .select(col(idCol).as("id"), toDouble(col(embCol)).as("v"),
+        col(labelCol).as("lbl"))
+      .select(col("id"), col("v"), col("lbl"), norm(col("v")).as("vn"))
+      .crossJoin(q)
+      .filter(col("lbl") =!= col("qlabel"))
+      .select(col("qid"), col("id"),
+        round(dot(col("v"), col("qv")) / (col("vn") * col("qn")), 6)
+          .as("score"))
+      .filter(col("score").isNotNull && !isnan(col("score")) &&
+        col("score") <= nearDupCeiling)
+    scored.groupBy("qid")
+      .agg(TopKAgg.topK(k)(col("id"), col("score")).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.id").as(idCol), col("s.score").as("score"))
+  }
+
   /** Deterministic random-hyperplane family for LSH bucketing: `p`
     * signed planes over `dims` dimensions, seeded — the same family on
     * every executor and every run.

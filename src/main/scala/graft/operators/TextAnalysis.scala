@@ -610,6 +610,53 @@ object TextAnalysis {
     dfreq.join(postings, Seq("term"))
   }
 
+  /** Positional phrase search: find every occurrence of an exact
+    * token phrase (case-folded, whitespace tokens) in the corpus —
+    * the adjacency query a doc-level inverted index (q115) cannot
+    * answer. Per matching document: occurrence count and first match
+    * position (0-based token offset).
+    *
+    * Shape: one posexplode builds positional postings, and a LITERAL
+    * term→slots map (bounded: the phrase itself) turns each posting
+    * into its candidate anchor positions — `explode` of a null map
+    * lookup emits nothing, so every non-phrase term is dropped inside
+    * the same codegen'd projection, no join against a term list. A
+    * phrase matches at an anchor iff all `k` slots are filled:
+    * `count(distinct slot) == k` grouped by (doc, anchor). Duplicate
+    * phrase terms are exactly why the slot index (not the term) is
+    * counted.
+    *
+    * Scale shape: the corpus-sized frame is filtered to phrase-term
+    * postings BEFORE any shuffle (for a real phrase that is a tiny
+    * fraction of tokens), so both aggregations — (doc, anchor) then
+    * doc — shuffle only candidate rows. With a persisted positional
+    * index this becomes a k-way partition-pruned posting read; the
+    * one-pass form here is the index-free equivalent with the same
+    * candidate volume.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(t => t.nonEmpty && t == t.toLowerCase),
+      s"phrase must be non-empty lower-case tokens, got $phrase")
+    val k = phrase.size
+    // term -> every slot index it fills (duplicate terms fill several)
+    val slots: Map[String, Seq[Int]] =
+      phrase.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val slotMap = typedlit(slots)
+    val postings = df.select(col(idCol).as("doc_id"),
+        posexplode(wsTokens(lower(col(textCol)))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos"),
+        explode(element_at(slotMap, col("term"))).as("slot"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"),
+        col("slot"))
+      .filter(col("anchor") >= 0)
+    postings.groupBy("doc_id", "anchor")
+      .agg(countDistinct(col("slot")).as("__ns"))
+      .filter(col("__ns") === k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
+
   /** Gopher-style rule-based quality gate (the public DeepMind Gopher
     * / MassiveText heuristics): per document — word count bounds,
     * mean word length bounds, symbol-to-word ratio ('#' and '…'/'...'

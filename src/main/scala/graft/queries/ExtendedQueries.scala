@@ -1457,5 +1457,37 @@ object ExtendedQueries {
       (s, dir) =>
         Similarity.graphTopKIndexed(s, graphDeltaIndexPath(s, dir),
           "vec_id", queryVec(s, dir), k = 10))
+  ,
+
+    // Hard-negative mining for contrastive/retrieval training: per
+    // anchor (vec_id < 10), the top-3 most-similar corpus vectors of
+    // a DIFFERENT label (a positive is never a negative) under the
+    // near-duplicate ceiling (rounded cosine <= 0.95 — an unlabeled
+    // twin is a false negative, not a hard one). Same broadcast +
+    // bounded-heap shape as q58; the oracle ranks the identically
+    // filtered scored cross product.
+    Query("q197_hard_negatives", Some(
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS qlabel
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |      q.qv), 6) AS score
+        |  FROM embeddings v CROSS JOIN q
+        |  WHERE v.label <> q.qlabel),
+        |f AS (SELECT * FROM scored WHERE score <= 0.95)
+        |SELECT qid, vec_id, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM f)
+        |WHERE rn <= 3 ORDER BY qid, score DESC, vec_id""".stripMargin))(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, "embedding", "vec_id", "label",
+            emb.filter(col("vec_id") < 10), k = 3, nearDupCeiling = 0.95)
+          .orderBy(col("qid"), col("score").desc, col("vec_id"))
+      })
   )
 }

@@ -554,5 +554,33 @@ object SelectionQueries {
         TextAnalysis.tokenizerFertility(t(s, dir, "documents"), "source",
             "text")
           .orderBy("source"))
+  ,
+
+    // 2-D Pareto frontier (skyline) over (length, lexical diversity):
+    // multi-criteria data selection — keep the documents no other
+    // document beats on BOTH n_chars and distinct-token count. The
+    // engine runs the distributed sort-sweep (group-by-x max, strict-
+    // prefix-max window over the |distinct x| aggregate frame,
+    // broadcast semi-join back — never the O(n²) dominance self-join
+    // the oracle is allowed to brute-force at verify scale).
+    Query("q196_skyline", Some(
+      """WITH a AS (SELECT doc_id, n_chars,
+        |    len(list_distinct(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> w <> ''))) AS n_distinct
+        |  FROM documents)
+        |SELECT a.doc_id, a.n_chars, a.n_distinct FROM a
+        |WHERE NOT EXISTS (SELECT 1 FROM a b
+        |  WHERE b.n_chars >= a.n_chars AND b.n_distinct >= a.n_distinct
+        |    AND (b.n_chars > a.n_chars OR b.n_distinct > a.n_distinct))
+        |ORDER BY doc_id""".stripMargin))(
+      (s, dir) => {
+        val a = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          size(array_distinct(filter(
+            TextAnalysis.wsTokens(lower(col("text"))), _ =!= "")))
+            .as("n_distinct"))
+        Selection.skyline2d(a, "doc_id", "n_chars", "n_distinct")
+          .orderBy("doc_id")
+      })
   )
 }

@@ -208,4 +208,34 @@ class SelectionSpec extends SparkSpec {
         r.getAs[String]("predicted")).toMap
     assert(got == Map(1L -> "a", 2L -> "a"))
   }
+
+  test("skyline2d equals brute-force dominance, keeps all (x,y) ties") {
+    val pts = Seq((1L, 10L, 1L), (2L, 8L, 5L), (3L, 8L, 5L), // tie pair
+      (4L, 8L, 3L),  // dominated by 2/3 (same x, higher y)
+      (5L, 5L, 9L), (6L, 4L, 9L), // 6 dominated by 5 (same y, higher x)
+      (7L, 1L, 12L), (8L, 10L, 1L), // 8 ties 1
+      (9L, 3L, 3L)) // interior
+    val df = pts.toDF("id", "x", "y")
+    val got = Selection.skyline2d(df, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y) }
+    }.map(_._1).toSet
+    assert(got == brute && got == Set(1L, 2L, 3L, 5L, 7L, 8L))
+  }
+
+  test("skyline2d matches brute force on a pseudo-random frame") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 200L).map(i =>
+      (i, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val got = Selection.skyline2d(df, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y) }
+    }.map(_._1).toSet
+    assert(got == brute)
+  }
 }

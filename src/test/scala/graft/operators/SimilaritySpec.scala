@@ -456,4 +456,21 @@ class SimilaritySpec extends SparkSpec {
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
       .findFirstIn(plan).isDefined, plan.take(2000))
   }
+
+  test("hardNegatives excludes same-label vectors and near-dup twins " +
+      "above the ceiling") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // anchor
+      (1L, Seq(1.0f, 0.001f), 1), // diff label but near-dup: excluded
+      (2L, Seq(0.9f, 0.5f), 1),   // hard negative
+      (3L, Seq(0.9f, 0.5f), 0),   // same label: excluded
+      (4L, Seq(0.0f, 1.0f), 2),   // easy negative
+      (5L, Seq(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus, "embedding", "vec_id",
+        "label", corpus.filter(col("vec_id") === 0), k = 3,
+        nearDupCeiling = 0.95)
+      .collect().map(r => r.getLong(1)).toSeq
+    // ranked: 2 (cos~0.874), 4 (0.0), 5 (-1.0); 1 and 3 excluded
+    assert(got == Seq(2L, 4L, 5L))
+  }
 }

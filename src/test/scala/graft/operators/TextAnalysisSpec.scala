@@ -470,4 +470,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("a") == ((2L, 4L, 6L, 1.5)))
     assert(got("b") == ((1L, 1L, 1L, 1.0)))
   }
+
+  test("phraseSearch finds all occurrences with 0-based first position") {
+    val df = Seq(
+      (1L, "x slow hash batch y slow hash batch"),
+      (2L, "slow hash batch"),
+      (3L, "slow hash x batch"),
+      (4L, "SLOW Hash BATCH"), // case-folded
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(df, "doc_id", "text",
+        Seq("slow", "hash", "batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 1L, 0), (4L, 1L, 0)))
+  }
+
+  test("phraseSearch handles duplicate phrase terms and overlaps via " +
+      "slot counting") {
+    val df = Seq(
+      (1L, "a b a b a"), // "a b a" matches at 0 and 2 (overlapping)
+      (2L, "a a a"),     // no "a b a"
+      (3L, "b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(df, "doc_id", "text",
+        Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
 }
