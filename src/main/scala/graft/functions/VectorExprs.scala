@@ -97,6 +97,65 @@ object VectorExprs {
     override def prettyName: String = "vec_dot"
   }
 
+  /** Squared euclidean distance of two numeric arrays, computed in
+    * double with SEQUENTIAL Σ(aᵢ−bᵢ)² accumulation — the same term
+    * order the DuckDB oracle's `list_sum(list_transform(...))` fold
+    * uses, so 6-decimal parity holds for distance ARGMAX selections
+    * (greedy k-center), where a monotone rewrite via [[DotProductExpr]]
+    * (|a|²−2a·b+|b|²) would round differently. Pairs with a null
+    * element are skipped in both engines' conventions (non-null
+    * synthetic embeddings make this moot in practice). doGenCode keeps
+    * the k-per-row distance scans of the selection loop inside
+    * whole-stage codegen.
+    */
+  final case class SqDistExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val readL = readerFn(left.dataType)
+    private lazy val readR = readerFn(right.dataType)
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i)) {
+          val d = readL(a, i) - readR(b, i)
+          s += d * d
+        }
+        i += 1
+      }
+      s
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val ax = elemReader(left.dataType, a, i)
+        val bx = elemReader(right.dataType, b, i)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    double $d = ((double)$ax) - ((double)$bx);
+           |    $acc += $d * $d;
+           |  }
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
+    override def prettyName: String = "vec_sqdist"
+  }
+
   /** SimHash-64 of a token array: one pass — per-token XXH64, ±1 votes
     * per bit, sign → bit. Replaces 64 interpreted `aggregate` passes;
     * doGenCode calls the compiled kernel so the projection stays in
@@ -271,6 +330,9 @@ object VectorExprs {
 
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def vecSqDist(a: Column, b: Column): Column =
+    Bridge.column(SqDistExpr(Bridge.expression(a), Bridge.expression(b)))
 
   def tokenEntropy(tokens: Column): Column =
     Bridge.column(TokenEntropyExpr(Bridge.expression(tokens)))

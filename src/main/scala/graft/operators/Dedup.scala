@@ -567,6 +567,67 @@ object Dedup {
     } finally sym.unpersist(blocking = false)
   }
 
+  /** k-core decomposition for one fixed `k` (iterated peeling,
+    * Matula–Beck / Batagelj–Zaveršnik semantics): the maximal subgraph
+    * in which every node keeps degree ≥ k after all lower-degree
+    * nodes are recursively removed. The graph-robustness census the
+    * component/PageRank/triangle family lacks: a near-dup or
+    * co-occurrence cluster's k-core is its load-bearing kernel —
+    * peripheral one-link members peel away, so the core is what
+    * survives of a mirror family or an item community when weak ties
+    * are discounted.
+    *
+    * Shape per round: degree-within-alive = the symmetric membership
+    * frame semi-joined against the alive set on BOTH endpoints, then
+    * one partial-aggregated count on the node key; survivors filter ≥
+    * k. The membership frame is hash-partitioned on its node key ONCE
+    * and persisted (the [[connectedComponents]] convention) so every
+    * round's first join reads co-located partitions; the alive set
+    * only shrinks, so per-round cost is monotone non-increasing.
+    * Rounds are localCheckpoint'ed (lineage doubles per iteration
+    * otherwise) and the fixpoint test rides the same count() action
+    * that materializes the round. Real degeneracy ladders are shallow
+    * (tens of rounds — each round removes every currently-under-k
+    * node at once); throws past `maxRounds` because a partial peel is
+    * a wrong answer, not an approximation.
+    *
+    * Output: (`node`, `core_degree`) — degree WITHIN the final core,
+    * the per-node coreness evidence (≥ k by construction).
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = edges.select(col(aCol).as("v"), col(bCol).as("w"))
+      .unionAll(edges.select(col(bCol).as("v"), col(aCol).as("w")))
+      .repartition(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def degrees(alive: DataFrame): DataFrame =
+        m.join(alive, "v")
+          .join(alive.withColumnRenamed("v", "w"), "w")
+          .groupBy("v").agg(count(lit(1)).as("d"))
+      var alive = m.select(col("v")).distinct().localCheckpoint(false)
+      var n = alive.count()
+      var rounds = 0
+      while (rounds < maxRounds) {
+        val next = degrees(alive).filter(col("d") >= k).select(col("v"))
+          .localCheckpoint(false)
+        val nn = next.count()
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(alive)
+        alive = next
+        if (nn == n) {
+          return degrees(alive)
+            .select(col("v").as("node"), col("d").as("core_degree"))
+        }
+        n = nn
+        rounds += 1
+      }
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds — degeneracy " +
+          "ladder exceeds the bound; raise maxRounds")
+    } finally m.unpersist(blocking = false)
+  }
+
   /** Fixed-iteration PageRank over an undirected edge list — the
     * centrality signal for picking CANONICAL representatives out of
     * near-dup clusters (the best-connected member, not just min-id)

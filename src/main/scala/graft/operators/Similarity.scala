@@ -280,6 +280,115 @@ object Similarity {
       .select(col("qid"), col("s.id").as(idCol), col("s.score").as("score"))
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal,
+    * Gonzalez 1985 — the 2-approximation): pick `k` maximally-diverse
+    * representatives of an embedding corpus. The data-selection
+    * primitive for "cover the distribution with a bounded sample"
+    * (seeding clusters, picking eval probes, diversity-constrained
+    * subset selection) — the opposite objective of top-k similarity.
+    *
+    * Round r selects the point whose min squared distance to the
+    * already-selected set is LARGEST (rounded to the engine's
+    * 6-decimal convention, ties by min id — both required for
+    * cross-engine determinism, because the selection feeds the next
+    * round). Seed = the min-id row.
+    *
+    * Scale shape: `k` is bounded (the selected set is driver metadata
+    * of the IVF-codebook class), and each round is ONE codegen'd
+    * corpus scan — the selected vectors ride as plan literals, min
+    * distance is a [[graft.functions.VectorExprs.vecSqDist]] chain
+    * under `least`, and the argmax is `orderBy().limit(1)` =
+    * TakeOrderedAndProject (bounded per-partition heap + driver
+    * merge; never a global sort). Total cost O(k·scan) with no
+    * shuffle beyond the top-1 merges. For k beyond literal-plan
+    * comfort (~hundreds), the published alternative is to keep a
+    * persisted per-row running-min column updated once per round —
+    * same scan count, state in the frame instead of the plan.
+    *
+    * Output: (`sel_rank` 1..k, idCol, `min_dist` — the rounded
+    * selection-time distance, null for the seed).
+    */
+  def kcenterSelect(corpus: DataFrame, embCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.VectorExprs.vecSqDist
+    val spark = corpus.sparkSession
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      toDouble(col(embCol)).as("v"))
+    val seed = base.orderBy(col("id")).limit(1).collect()(0)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (seed.getLong(0), seed.getSeq[Double](1).toIndexedSeq,
+        Option.empty[Double]))
+    while (picked.size < k) {
+      val mind = picked.map { case (_, c, _) =>
+        vecSqDist(col("v"), typedlit(c)) }.reduce(least(_, _))
+      val next = base
+        .filter(!col("id").isin(picked.map(_._1).toSeq: _*))
+        .select(col("id"), col("v"), r6(mind).as("d"))
+        .orderBy(col("d").desc, col("id"))
+        .limit(1).collect()(0)
+      picked += ((next.getLong(0), next.getSeq[Double](1).toIndexedSeq,
+        Some(next.getDouble(2))))
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }.toSeq
+      .toDF("sel_rank", idCol, "min_dist")
+  }
+
+  /** Sparse random projection (Achlioptas 2003, the database-friendly
+    * Johnson–Lindenstrauss transform): project `dims`-dimensional
+    * embeddings to `kOut` dimensions with the {+1, 0, −1} /
+    * {1/6, 2/3, 1/6} sign matrix and the √(3/kOut) variance
+    * correction — the 100 TB scale path for every downstream
+    * embedding op (dedup, clustering, ANN candidate generation) that
+    * doesn't need full dimensionality: 8× fewer multiplies and bytes
+    * with JL-bounded distortion, and 2/3 of the entries contribute
+    * nothing at all.
+    *
+    * The sign matrix is derived at PLAN time from md5(tag_j_d) — a
+    * deterministic, engine-portable seed — and baked into the
+    * projection as an explicit ± term chain in ascending-dimension
+    * order, so the whole operator is one narrow zero-shuffle
+    * codegen'd projection (no matrix join, no UDF, nothing shipped
+    * but the plan). The oracle SQL is generated from the SAME sign
+    * derivation with the same term order, so IEEE accumulation
+    * matches bit for bit before the 6-decimal rounding.
+    */
+  def sparseRandomProjection(df: DataFrame, embCol: String, idCol: String,
+      dims: Int, kOut: Int, tag: String = "rp"): DataFrame = {
+    val vd = toDouble(col(embCol))
+    val projCols = (0 until kOut).map { j =>
+      val terms = (0 until dims).flatMap { d =>
+        achlioptasSign(tag, j, d) match {
+          case 1  => Some(element_at(vd, d + 1))
+          case -1 => Some(-element_at(vd, d + 1))
+          case _  => None
+        }
+      }
+      val s = if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)
+      (floor(s * math.sqrt(3.0 / kOut) * 1e6 + 0.5) / 1e6).as(s"p$j")
+    }
+    df.select(col(idCol) +: projCols: _*)
+  }
+
+  /** The {+1, −1, 0} Achlioptas sign for output dim `j`, input dim
+    * `d`: md5-derived (first 24 hash bits mod 6 → {0→+1, 1→−1,
+    * else 0}), so the engine plan and the generated oracle SQL agree
+    * on the exact sparsity pattern without sharing state.
+    */
+  def achlioptasSign(tag: String, j: Int, d: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${tag}_${j}_${d}".getBytes("UTF-8"))
+      .take(3).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 6) match {
+      case 0 => 1
+      case 1 => -1
+      case _ => 0
+    }
+  }
+
   /** Deterministic random-hyperplane family for LSH bucketing: `p`
     * signed planes over `dims` dimensions, seeded — the same family on
     * every executor and every run.

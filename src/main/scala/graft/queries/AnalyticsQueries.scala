@@ -1018,5 +1018,55 @@ object AnalyticsQueries {
         TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id",
             "text", Seq("slow", "hash", "batch"))
           .orderBy("doc_id"))
+  ,
+
+    // 3-core of the maintained co-purchase graph (iterated peeling):
+    // the load-bearing kernel that survives after every node with
+    // fewer than 3 surviving co-purchase partners is recursively
+    // removed — the graph-robustness census beside q187's triangle
+    // count, probing the same persisted edge table. The engine peels
+    // to a TRUE fixpoint (co-partitioned membership joins per round,
+    // localCheckpoint truncation); the oracle unrolls 16 peel stages
+    // (fixpoint at verify scale is ~10; extra stages are no-ops), so
+    // a non-converged engine answer cannot silently match.
+    Query("q199_kcore", Some(kcoreOracleSql(k = 3, rounds = 16)))(
+      (s, dir) =>
+        Dedup.kCore(s.table(copurchaseEdgeTable(s, dir)), "pa", "pb",
+            k = 3)
+          .orderBy("node"))
   )
+
+  /** Oracle SQL for q199: the co-purchase edge reconstruction (the
+    * q187 convention) + `rounds` UNROLLED peel stages — each stage
+    * keeps nodes whose degree among the previous stage's survivors is
+    * ≥ k. Plain CTEs, because monotone REMOVAL doesn't fit a
+    * UNION-accumulating recursive CTE; the stage count just has to
+    * cover the verify-scale fixpoint depth (engine throws past its
+    * own bound, and any shortfall here is a visible hash mismatch,
+    * not a silent pass).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED on m and every stage: each stage references its
+    // predecessor TWICE, so DuckDB's default CTE inlining doubles the
+    // plan tree per stage — 2^rounds parquet scans (observed as a
+    // too-many-open-files error at 16 stages) instead of `rounds`
+    // linear passes
+    val stages = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT m.v FROM m
+         |  JOIN a${i - 1} x ON m.v = x.v JOIN a${i - 1} y ON m.w = y.v
+         |  GROUP BY m.v HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |m AS MATERIALIZED (SELECT pa AS v, pb AS w FROM e
+       |      UNION ALL SELECT pb, pa FROM e),
+       |a0 AS (SELECT DISTINCT v FROM m),
+       |$stages
+       |SELECT m.v AS node, COUNT(*) AS core_degree FROM m
+       |  JOIN a$rounds x ON m.v = x.v JOIN a$rounds y ON m.w = y.v
+       |GROUP BY m.v ORDER BY node""".stripMargin
+  }
 }

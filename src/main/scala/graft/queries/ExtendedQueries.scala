@@ -1489,5 +1489,86 @@ object ExtendedQueries {
             emb.filter(col("vec_id") < 10), k = 3, nearDupCeiling = 0.95)
           .orderBy(col("qid"), col("score").desc, col("vec_id"))
       })
+  ,
+
+    // Greedy k-center coreset (farthest-point traversal, Gonzalez
+    // 1985): 8 maximally-diverse representatives — the "cover the
+    // distribution" selection primitive, the opposite objective of
+    // top-k similarity. Each round is one codegen'd scan (selected
+    // vectors ride as plan literals) + a TakeOrderedAndProject top-1;
+    // argmax on the rounded min squared distance with min-id ties so
+    // the selection chain is engine-portable. The oracle replays the
+    // greedy recursion with a recursive CTE + LATERAL argmax.
+    Query("q198_kcenter", Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |sel(step, ids, dists) AS (
+        |  SELECT 1, [(SELECT MIN(vec_id) FROM e)], CAST([] AS DOUBLE[])
+        |  UNION ALL
+        |  SELECT s.step + 1, list_append(s.ids, nxt.vec_id),
+        |    list_append(s.dists, nxt.d)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id,
+        |      FLOOR(MIN(list_sum(list_transform(range(1, 65),
+        |          i -> (c.v[i] - p.v[i]) * (c.v[i] - p.v[i]))))
+        |        * 1e6 + 0.5) / 1e6 AS d
+        |    FROM e c JOIN e p ON list_contains(s.ids, p.vec_id)
+        |    WHERE NOT list_contains(s.ids, c.vec_id)
+        |    GROUP BY c.vec_id
+        |    ORDER BY d DESC, c.vec_id LIMIT 1) nxt
+        |  WHERE s.step < 8)
+        |SELECT g.i AS sel_rank, ids[g.i] AS vec_id,
+        |  CASE WHEN g.i = 1 THEN NULL ELSE dists[g.i - 1] END
+        |    AS min_dist
+        |FROM (SELECT ids, dists FROM sel WHERE step = 8),
+        |  generate_series(1, 8) g(i)
+        |ORDER BY sel_rank""".stripMargin))(
+      (s, dir) =>
+        Similarity.kcenterSelect(t(s, dir, "embeddings"), "embedding",
+            "vec_id", k = 8)
+          .orderBy("sel_rank"))
+  ,
+
+    // Sparse random projection (Achlioptas 2003 JL transform): 64-dim
+    // embeddings down to 8 dims with the {+1,0,-1}/{1/6,2/3,1/6} sign
+    // matrix and the sqrt(3/8) variance correction — the scale path
+    // for downstream embedding ops that don't need full
+    // dimensionality. The md5-seeded sign matrix is baked into the
+    // plan as an explicit ± term chain (one narrow zero-shuffle
+    // codegen'd projection), and the SAME Scala derivation generates
+    // the oracle SQL, so term order — hence IEEE accumulation —
+    // matches bit for bit before the 6-decimal rounding.
+    Query("q200_randproj", Some(randprojOracleSql))(
+      (s, dir) =>
+        Similarity.sparseRandomProjection(t(s, dir, "embeddings"),
+            "embedding", "vec_id", dims = 64, kOut = 8)
+          .orderBy("vec_id"))
   )
+
+  /** Oracle SQL for q200 — generated from the same Achlioptas sign
+    * derivation the engine bakes into its plan (see
+    * [[graft.operators.Similarity.sparseRandomProjection]]); the ±
+    * term chains are emitted in the same ascending-dimension order.
+    */
+  private def randprojOracleSql: String = {
+    val proj = (0 until 8).map { j =>
+      val terms = (0 until 64).flatMap { d =>
+        Similarity.achlioptasSign("rp", j, d) match {
+          case 1  => Some(s"+ v[${d + 1}]")
+          case -1 => Some(s"- v[${d + 1}]")
+          case _  => None
+        }
+      }
+      val chain =
+        if (terms.isEmpty) "0.0"
+        else (terms.head.stripPrefix("+ ") +: terms.tail).mkString(" ")
+      s"  FLOOR(($chain) * sqrt(3.0/8) * 1e6 + 0.5) / 1e6 AS p$j"
+    }.mkString(",\n")
+    s"""SELECT vec_id,
+       |$proj
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+  }
 }

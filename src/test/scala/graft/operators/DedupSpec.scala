@@ -198,6 +198,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("kCore peels cascades: a triangle with a pendant chain") {
+    // triangle 1-2-3 is the 2-core; chain 3-4-5 peels in TWO rounds
+    // (5 first, then 4 — the cascade a single-pass filter would miss)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.kCore(edges, "id_a", "id_b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore matches brute-force peeling on a pseudo-random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    for (k <- Seq(2, 3, 4)) {
+      var alive = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val drop = alive.filter(v => (adj(v) & alive).size < k)
+        changed = drop.nonEmpty
+        alive = alive -- drop
+      }
+      val want = alive.map(v => v -> (adj(v) & alive).size.toLong).toMap
+      val got = Dedup.kCore(edges.toDF("id_a", "id_b"), "id_a", "id_b", k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("kCore returns empty when everything peels, throws past bound") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(Dedup.kCore(chain, "id_a", "id_b", k = 2).count() == 0L)
+    assertThrows[IllegalStateException] {
+      Dedup.kCore(chain, "id_a", "id_b", k = 2, maxRounds = 1)
+    }
+  }
+
   test("pageRank: star center dominates, rank mass conserved, leaves tie") {
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
     val r = Dedup.pageRank(edges).as[(Long, Double)].collect().toMap

@@ -473,4 +473,55 @@ class SimilaritySpec extends SparkSpec {
     // ranked: 2 (cos~0.874), 4 (0.0), 5 (-1.0); 1 and 3 excluded
     assert(got == Seq(2L, 4L, 5L))
   }
+
+  test("kcenterSelect matches brute-force greedy farthest-point") {
+    val rnd = new scala.util.Random(3)
+    val pts = (0L until 60L).map(i =>
+      (i, Seq.fill(4)(rnd.nextDouble() * 2 - 1).map(_.toFloat)))
+    val df = pts.toDF("vec_id", "embedding")
+    val k = 6
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        val d = x.toDouble - y.toDouble; s + d * d
+      }
+    val sel = scala.collection.mutable.ArrayBuffer(
+      (0L, Option.empty[Double]))
+    while (sel.size < k) {
+      val cand = pts.filter(p => !sel.exists(_._1 == p._1))
+        .map { case (id, v) =>
+          (id, r6(sel.map(s => d2(pts(s._1.toInt)._2, v)).min))
+        }
+      val best = cand.minBy { case (id, d) => (-d, id) }
+      sel += ((best._1, Some(best._2)))
+    }
+    val got = Similarity.kcenterSelect(df, "embedding", "vec_id", k)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == sel.toSeq)
+  }
+
+  test("sparseRandomProjection: deterministic signs, hand-checked " +
+      "projection, JL sparsity") {
+    // signs are a pure function of (tag, j, d)
+    val signs = (0 until 8).flatMap(j => (0 until 64).map(d =>
+      Similarity.achlioptasSign("rp", j, d)))
+    assert(signs == (0 until 8).flatMap(j => (0 until 64).map(d =>
+      Similarity.achlioptasSign("rp", j, d))))
+    // roughly 1/3 nonzero (binomial(512, 1/3): ±5 sigma ~ 53)
+    val nz = signs.count(_ != 0)
+    assert(nz > 170 - 53 && nz < 170 + 53, s"nonzero=$nz")
+    // projection of a one-hot vector picks out sign(j, d) * sqrt(3/8)
+    val hot = Seq((0L, Seq.tabulate(64)(i => if (i == 5) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val row = Similarity.sparseRandomProjection(hot, "embedding",
+      "vec_id", dims = 64, kOut = 8).collect()(0)
+    val scale = math.sqrt(3.0 / 8)
+    (0 until 8).foreach { j =>
+      val want = math.floor(
+        Similarity.achlioptasSign("rp", j, 5) * scale * 1e6 + 0.5) / 1e6
+      assert(row.getDouble(j + 1) == want, s"p$j")
+    }
+  }
 }
