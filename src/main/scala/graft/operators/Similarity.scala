@@ -358,12 +358,16 @@ object Similarity {
     */
   def sparseRandomProjection(df: DataFrame, embCol: String, idCol: String,
       dims: Int, kOut: Int, tag: String = "rp"): DataFrame = {
-    val vd = toDouble(col(embCol))
+    // cast the ELEMENT, not the array: a whole-array transform-cast
+    // alias gets CollapseProject-inlined into every ± term, silently
+    // re-casting all `dims` elements per term (O(dims²) per row) and
+    // dragging a lambda into what should be a plain codegen chain
+    def at(d: Int): Column = element_at(col(embCol), d + 1).cast("double")
     val projCols = (0 until kOut).map { j =>
       val terms = (0 until dims).flatMap { d =>
         achlioptasSign(tag, j, d) match {
-          case 1  => Some(element_at(vd, d + 1))
-          case -1 => Some(-element_at(vd, d + 1))
+          case 1  => Some(at(d))
+          case -1 => Some(-at(d))
           case _  => None
         }
       }

@@ -622,9 +622,12 @@ object TextAnalysis {
     * lookup emits nothing, so every non-phrase term is dropped inside
     * the same codegen'd projection, no join against a term list. A
     * phrase matches at an anchor iff all `k` slots are filled:
-    * `count(distinct slot) == k` grouped by (doc, anchor). Duplicate
-    * phrase terms are exactly why the slot index (not the term) is
-    * counted.
+    * `bit_or(1 << slot) == 2^k − 1` grouped by (doc, anchor) — a
+    * declarative (partial-agg, codegen'd) aggregate, where the
+    * obvious `count(distinct slot)` plans a THIRD exchange (Spark
+    * expands distinct-aggregates into a dedup aggregation plus a
+    * count aggregation). Duplicate phrase terms are exactly why the
+    * slot index (not the term) is tracked.
     *
     * Scale shape: the corpus-sized frame is filtered to phrase-term
     * postings BEFORE any shuffle (for a real phrase that is a tiny
@@ -638,6 +641,7 @@ object TextAnalysis {
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty && phrase.forall(t => t.nonEmpty && t == t.toLowerCase),
       s"phrase must be non-empty lower-case tokens, got $phrase")
+    require(phrase.size <= 63, s"phrase slot mask is a long: ${phrase.size}")
     val k = phrase.size
     // term -> every slot index it fills (duplicate terms fill several)
     val slots: Map[String, Seq[Int]] =
@@ -651,8 +655,8 @@ object TextAnalysis {
         col("slot"))
       .filter(col("anchor") >= 0)
     postings.groupBy("doc_id", "anchor")
-      .agg(countDistinct(col("slot")).as("__ns"))
-      .filter(col("__ns") === k)
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), slot))").as("__m"))
+      .filter(col("__m") === (1L << k) - 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
   }

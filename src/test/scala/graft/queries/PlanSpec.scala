@@ -298,6 +298,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(1200))
   }
 
+  test("phrase search shuffles only candidate rows — two keyed " +
+      "exchanges, none corpus-wide (q195)") {
+    val p = plan("q195_phrase_search")
+    // (doc_id, anchor) then doc_id; the posting cut happens inside the
+    // projection (explode of a null map lookup), never as a join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(1200))
+  }
+
+  test("skyline recovers ties via a broadcast semi join, never a " +
+      "dominance self-join (q196)") {
+    val p = plan("q196_skyline")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("hard negatives score via broadcast nested loop, then bounded " +
+      "per-anchor heaps (q197)") {
+    val p = plan("q197_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("partial_topk") || p.contains("objectagg") ||
+      p.contains("TopKAgg") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate"), p.take(1200))
+  }
+
+  test("random projection is one narrow lambda-free projection — no " +
+      "exchange before the output sort (q200)") {
+    val p = plan("q200_randproj")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    // a lambda here means the array-cast collapsed into the ± terms
+    // (O(dims²) per row) instead of per-element casts
+    assert(!p.contains("lambdafunction"), p.take(1200))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
