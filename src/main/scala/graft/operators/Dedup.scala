@@ -628,6 +628,65 @@ object Dedup {
     } finally m.unpersist(blocking = false)
   }
 
+  /** Multi-source BFS hop distance: for every node reachable from the
+    * seed set, the minimum number of edges to ANY seed — the graph
+    * traversal member of the family (components/PageRank/core answer
+    * connectivity, centrality, robustness; this answers PROXIMITY:
+    * crawl depth from trusted roots, blast radius of a contaminated
+    * cluster, curriculum rings around curated seed docs).
+    *
+    * Frontier-parallel: round r joins the CURRENT FRONTIER (not the
+    * discovered set) against the once-partitioned symmetric edge
+    * frame, anti-joins what's already discovered, and labels the
+    * remainder hop r — per-round cost ∝ the frontier's edge
+    * neighborhood, the textbook distributed BFS. Frontier and
+    * discovered frames are localCheckpoint'ed per round (the
+    * [[connectedComponents]] lineage convention) and the round's
+    * count() action doubles as the empty-frontier convergence test.
+    * Terminates in eccentricity rounds — bounded by graph diameter —
+    * and throws past `maxRounds` (a partial BFS is a wrong answer).
+    * Unreachable nodes are absent from the output by design.
+    *
+    * Output: (`node`, `hops`), seeds at 0.
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val m = edges.select(col(aCol).as("v"), col(bCol).as("w"))
+      .unionAll(edges.select(col(bCol).as("v"), col(aCol).as("w")))
+      .repartition(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var discovered = seeds.select(col(seeds.columns.head).as("v"))
+        .distinct().select(col("v"), lit(0).as("hops"))
+        .localCheckpoint(false)
+      var frontier = discovered.select(col("v")).localCheckpoint(false)
+      var r = 0
+      while (r < maxRounds) {
+        val next = m.join(frontier, "v").select(col("w").as("v")).distinct()
+          .join(discovered.select(col("v")), Seq("v"), "left_anti")
+          .localCheckpoint(false)
+        val grew = next.count() > 0
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(frontier)
+        if (!grew) {
+          return discovered.select(col("v").as("node"), col("hops"))
+        }
+        val merged = discovered
+          .unionAll(next.select(col("v"), lit(r + 1).as("hops")))
+          .localCheckpoint(false)
+        // materialize BEFORE releasing the parent: localCheckpoint is
+        // lazy, and merged still reads discovered's blocks until then
+        merged.count()
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(discovered)
+        discovered = merged
+        frontier = next
+        r += 1
+      }
+      throw new IllegalStateException(
+        s"bfsHops did not converge in $maxRounds rounds — eccentricity " +
+          "exceeds the bound; raise maxRounds")
+    } finally m.unpersist(blocking = false)
+  }
+
   /** Fixed-iteration PageRank over an undirected edge list — the
     * centrality signal for picking CANONICAL representatives out of
     * near-dup clusters (the best-connected member, not just min-id)

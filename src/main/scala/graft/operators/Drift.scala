@@ -191,4 +191,51 @@ object Drift {
         col(c).cast("string").as(s"old_$c"),
         col(s"__new_$c").cast("string").as(s"new_$c"))): _*)
   }
+
+  /** One-sided CUSUM change-point detection over per-bucket row
+    * counts (Page 1954) — the sequential monitoring statistic PSI/KS
+    * timelines lack: those compare each window to a reference
+    * independently; CUSUM accumulates small sustained deviations
+    * until a persistent volume shift (ingestion stall, duplicate
+    * flood) crosses the alarm line, catching drifts no single window
+    * would.
+    *
+    * The textbook recursion S_t = max(0, S_{t−1} + (x_t − μ)) looks
+    * inherently sequential, but has the closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) over the deviation prefix sum
+    * P — so the whole statistic is TWO window passes (running sum,
+    * then running min) over the bucket frame. That frame is the
+    * AGGREGATE (one bucket per day/hour — bounded), which is the only
+    * thing the unpartitioned windows ever see; the fact table itself
+    * contributes one partial-aggregated count shuffle. μ and σ derive
+    * from EXACT integer count sums (explicit (Σx²−(Σx)²/n)/(n−1) on
+    * BIGINTs), so both engines run the identical IEEE chain; a
+    * single-bucket frame yields null σ (and null alarm) rather than a
+    * division by zero.
+    *
+    * Output per bucket: (`bucket`, `n_events`, `cusum` 6-decimal,
+    * `alarm` = cusum > thresholdSigma·σ).
+    */
+  def cusumCounts(df: DataFrame, bucket: Column,
+      thresholdSigma: Double = 3.0): DataFrame = {
+    val counts = df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val g = counts.agg(count(lit(1)).as("nb"), sum(col("n")).as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r6l = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val cusum = col("p") - least(lit(0.0), col("pmin"))
+    counts.crossJoin(broadcast(g))
+      .withColumn("mu", col("s1").cast("double") / col("nb"))
+      .withColumn("sigma", when(col("nb") > 1, sqrt(
+        (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("nb")) /
+          (col("nb") - 1))))
+      .withColumn("p", sum(col("n").cast("double") - col("mu")).over(w))
+      .withColumn("pmin", min(col("p")).over(w))
+      .select(col("bucket"), col("n").as("n_events"),
+        r6l(cusum).as("cusum"),
+        (cusum > col("sigma") * thresholdSigma).as("alarm"))
+  }
 }

@@ -1034,6 +1034,24 @@ object AnalyticsQueries {
         Dedup.kCore(s.table(copurchaseEdgeTable(s, dir)), "pa", "pb",
             k = 3)
           .orderBy("node"))
+  ,
+
+    // Multi-source BFS over the maintained co-purchase graph: minimum
+    // hops from the 5 lowest-id parts to every reachable part — the
+    // PROXIMITY census beside q187 (robustness) and q199 (core). The
+    // engine expands frontier-parallel to a true fixpoint (per-round
+    // cost ∝ the frontier's edge neighborhood); the oracle unrolls 14
+    // materialized BFS rounds (eccentricity at verify scale is 9;
+    // extra rounds are no-ops, so a premature engine stop cannot
+    // silently match).
+    Query("q201_bfs", Some(bfsOracleSql(nSeeds = 5, rounds = 14)))(
+      (s, dir) => {
+        val edges = s.table(copurchaseEdgeTable(s, dir))
+        val seeds = edges.select(col("pa").as("v"))
+          .union(edges.select(col("pb").as("v")))
+          .distinct().orderBy("v").limit(5)
+        Dedup.bfsHops(edges, "pa", "pb", seeds).orderBy("node")
+      })
   )
 
   /** Oracle SQL for q199: the co-purchase edge reconstruction (the
@@ -1068,5 +1086,36 @@ object AnalyticsQueries {
        |SELECT m.v AS node, COUNT(*) AS core_degree FROM m
        |  JOIN a$rounds x ON m.v = x.v JOIN a$rounds y ON m.w = y.v
        |GROUP BY m.v ORDER BY node""".stripMargin
+  }
+
+  /** Oracle SQL for q201: the co-purchase edge reconstruction +
+    * `rounds` unrolled BFS expansions from the `nSeeds` lowest-id
+    * nodes — stage i adds `hops = i` for frontier neighbors not yet
+    * discovered. `AS MATERIALIZED` for the same reason as
+    * [[kcoreOracleSql]] (each stage references its predecessor more
+    * than once).
+    */
+  private def bfsOracleSql(nSeeds: Int, rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT * FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT v, $i AS hops FROM (
+         |    SELECT DISTINCT m.w AS v FROM m
+         |    JOIN d${i - 1} f ON m.v = f.v AND f.hops = ${i - 1})
+         |  WHERE v NOT IN (SELECT v FROM d${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |m AS MATERIALIZED (SELECT pa AS v, pb AS w FROM e
+       |      UNION ALL SELECT pb, pa FROM e),
+       |s AS (SELECT v FROM (SELECT DISTINCT v FROM m)
+       |      ORDER BY v LIMIT $nSeeds),
+       |d0 AS MATERIALIZED (SELECT v, 0 AS hops FROM s),
+       |$stages
+       |SELECT v AS node, hops FROM d$rounds ORDER BY node""".stripMargin
   }
 }

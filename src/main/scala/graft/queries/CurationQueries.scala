@@ -885,5 +885,37 @@ object CurationQueries {
               col("n_tokens") <= length(col("__squash"))).as("bounds_ok"))
           .orderBy("doc_id")
       })
+  ,
+
+    // One-sided CUSUM change-point monitor (Page 1954) on daily event
+    // volume: the sequential statistic the PSI/KS timelines lack —
+    // small sustained deviations accumulate until a persistent shift
+    // crosses 3σ. The recursion max(0, S+(x−μ)) runs in closed form
+    // (prefix sum minus running prefix-min), so it is two window
+    // passes over the bounded day frame; μ/σ derive from exact BIGINT
+    // count sums and both engines run the identical IEEE chain.
+    Query("q202_cusum", Some(
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |    COUNT(*) AS n FROM events GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS nb, SUM(n) AS s1, SUM(n * n) AS s2
+        |  FROM c),
+        |p1 AS (SELECT bucket, n,
+        |    SUM(CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nb) OVER (
+        |      ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM c CROSS JOIN g),
+        |p2 AS (SELECT bucket, n, p, MIN(p) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+        |  FROM p1)
+        |SELECT bucket, n AS n_events,
+        |  FLOOR((p - LEAST(0.0, pmin)) * 1e6 + 0.5) / 1e6 AS cusum,
+        |  (p - LEAST(0.0, pmin)) > 3.0 * (SELECT CASE WHEN nb > 1
+        |    THEN SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+        |      / nb) / (nb - 1)) END FROM g) AS alarm
+        |FROM p2 ORDER BY bucket""".stripMargin))(
+      (s, dir) =>
+        Drift.cusumCounts(t(s, dir, "events"),
+            expr("ts div 86400000000000"))
+          .orderBy("bucket"))
   )
 }

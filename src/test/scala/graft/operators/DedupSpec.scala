@@ -235,6 +235,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bfsHops matches brute-force multi-source BFS; unreachable " +
+      "nodes absent") {
+    // seeds 1,8: chain 1-2-3-4, square 5-6-7-8(-5), isolated pair 9-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (7L, 8L), (5L, 8L), (9L, 10L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 8L).toDF("v")
+    val got = Dedup.bfsHops(edges, "id_a", "id_b", seeds)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3,
+      8L -> 0, 5L -> 1, 7L -> 1, 6L -> 2))
+  }
+
+  test("bfsHops throws when the eccentricity exceeds the round bound") {
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("v")
+    assertThrows[IllegalStateException] {
+      Dedup.bfsHops(edges, "id_a", "id_b", seeds, maxRounds = 3)
+    }
+  }
+
   test("kCore returns empty when everything peels, throws past bound") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     assert(Dedup.kCore(chain, "id_a", "id_b", k = 2).count() == 0L)

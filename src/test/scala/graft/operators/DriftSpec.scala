@@ -108,4 +108,30 @@ class DriftSpec extends SparkSpec {
     assert(r.forall(x => !x.getAs[Double]("psi").isInfinite &&
       !x.getAs[Double]("psi").isNaN))
   }
+
+  test("cusumCounts equals the textbook max(0, S + (x - mu)) recursion " +
+      "and alarms only on the sustained shift") {
+    // 6 quiet buckets of 10 rows, then 4 buckets of 30 — a sustained
+    // level shift the recursion accumulates across buckets
+    val ns = Seq(10, 10, 10, 10, 10, 10, 30, 30, 30, 30)
+    val rows = ns.zipWithIndex.flatMap { case (n, b) =>
+      Seq.fill(n)(b.toLong)
+    }
+    val got = Drift.cusumCounts(rows.toDF("b"), col("b"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val mu = ns.sum.toDouble / ns.length
+    val sigma = math.sqrt(
+      ns.map(n => (n - mu) * (n - mu)).sum / (ns.length - 1))
+    var s = 0.0
+    val want = ns.zipWithIndex.map { case (n, b) =>
+      s = math.max(0.0, s + (n - mu))
+      (b.toLong, n.toLong, math.floor(s * 1e6 + 0.5) / 1e6,
+        s > 3.0 * sigma)
+    }
+    assert(got.toSeq == want)
+    // the shift, not any single bucket, crosses the line
+    assert(!got(6)._4 && got(9)._4)
+  }
 }
