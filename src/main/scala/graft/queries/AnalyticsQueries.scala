@@ -997,26 +997,27 @@ object AnalyticsQueries {
 
     // Positional phrase search — the adjacency query the doc-level
     // inverted index (q115) cannot answer: every occurrence of the
-    // exact token phrase "slow hash batch", with per-doc occurrence
-    // count and first 0-based match position. The corpus-sized
-    // posting stream is cut to phrase terms inside the codegen'd
-    // projection (literal term→slot map; explode of a null lookup
-    // emits nothing), so only candidate rows ever shuffle. Oracle
-    // replays the definition over DuckDB's 1-based token lists.
+    // exact token phrase "small query line" (present at every test
+    // SF, so the rows>0 smoke gate holds at sf0.001 too), with
+    // per-doc occurrence count and first 0-based match position. The
+    // corpus-sized posting stream is cut to phrase terms inside the
+    // codegen'd projection (literal term→slot map; explode of a null
+    // lookup emits nothing), so only candidate rows ever shuffle.
+    // Oracle replays the definition over DuckDB's 1-based token lists.
     Query("q195_phrase_search", Some(
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks
         |  FROM documents),
         |m AS (SELECT doc_id,
         |    unnest([i - 1 FOR i IN generate_series(1, len(toks) - 2)
-        |      IF toks[i] = 'slow' AND toks[i+1] = 'hash'
-        |        AND toks[i+2] = 'batch']) AS pos
+        |      IF toks[i] = 'small' AND toks[i+1] = 'query'
+        |        AND toks[i+2] = 'line']) AS pos
         |  FROM t)
         |SELECT doc_id, COUNT(*) AS n_matches, MIN(pos) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))(
       (s, dir) =>
         TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id",
-            "text", Seq("slow", "hash", "batch"))
+            "text", Seq("small", "query", "line"))
           .orderBy("doc_id"))
   ,
 

@@ -43,5 +43,11 @@ class CoverageCountsSpec extends AnyFunSuite {
     assert(benchN.isDefined, "README.md lost its bench-queries phrase")
     assert(benchN.get.group(1).toInt == nQueries,
       s"README.md bench says ${benchN.get.matched}, SparkEntry has $nQueries")
+    val inv = """The (\d+)-query declared inventory""".r
+      .findFirstMatchIn(readme)
+    assert(inv.isDefined, "README.md lost its declared-inventory phrase")
+    assert(inv.get.group(1).toInt == nQueries,
+      s"README.md inventory says ${inv.get.matched}, " +
+        s"SparkEntry has $nQueries")
   }
 }

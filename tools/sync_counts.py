@@ -67,6 +67,10 @@ def main() -> int:
             # the bench query count — same surface as the oracle count;
             # CoverageCountsSpec pins it, so the tool must write it
             (r"for \d+ queries at sf0\.1", f"for {n_all} queries at sf0.1"),
+            # the layout table's inventory phrase — drifted unpinned
+            # from r9 (179) until r11 caught it; now written + pinned
+            (r"The \d+-query declared inventory",
+             f"The {n_all}-query declared inventory"),
         ]),
     ]
     for path, subs in edits:
