@@ -46,7 +46,12 @@ object Selection {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("x").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val frontier = df.groupBy(col(xCol).as("x"))
+    // dominance is undefined on null coordinates — exclude such rows
+    // up front rather than let a null x-group ride the sweep with
+    // null comparisons (which would drop it SILENTLY, the worse kind
+    // of exclusion)
+    val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val frontier = clean.groupBy(col(xCol).as("x"))
       .agg(max(col(yCol)).as("gy"))
       .withColumn("__prevmax", max(col("gy")).over(w))
       .filter(col("__prevmax").isNull || col("gy") > col("__prevmax"))

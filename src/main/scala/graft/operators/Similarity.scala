@@ -255,6 +255,10 @@ object Similarity {
     * top-k — each partition ships ≤ k candidates per query. The
     * ceiling compares the ROUNDED score (the engine's 6-decimal
     * similarity convention), so the cut is engine-portable.
+    *
+    * Null labels are three-valued-logic excluded on BOTH sides (a
+    * null-label corpus row is never a negative; a null-label anchor
+    * mines nothing) — matching the SQL `<>` the oracle runs.
     */
   def hardNegatives(corpus: DataFrame, embCol: String, idCol: String,
       labelCol: String, queries: DataFrame, k: Int,
@@ -316,20 +320,27 @@ object Similarity {
     def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
     val base = corpus.select(col(idCol).cast("long").as("id"),
       toDouble(col(embCol)).as("v"))
-    val seed = base.orderBy(col("id")).limit(1).collect()(0)
+    val seedRows = base.orderBy(col("id")).limit(1).collect()
+    require(seedRows.nonEmpty, "kcenterSelect on an empty corpus")
+    val seed = seedRows(0)
     val picked = scala.collection.mutable.ArrayBuffer(
       (seed.getLong(0), seed.getSeq[Double](1).toIndexedSeq,
         Option.empty[Double]))
-    while (picked.size < k) {
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
       val mind = picked.map { case (_, c, _) =>
         vecSqDist(col("v"), typedlit(c)) }.reduce(least(_, _))
       val next = base
         .filter(!col("id").isin(picked.map(_._1).toSeq: _*))
         .select(col("id"), col("v"), r6(mind).as("d"))
         .orderBy(col("d").desc, col("id"))
-        .limit(1).collect()(0)
-      picked += ((next.getLong(0), next.getSeq[Double](1).toIndexedSeq,
-        Some(next.getDouble(2))))
+        .limit(1).collect()
+      // k larger than the corpus: return the exhausted selection (every
+      // point is a center) rather than failing on an empty argmax
+      if (next.isEmpty) exhausted = true
+      else picked += ((next(0).getLong(0),
+        next(0).getSeq[Double](1).toIndexedSeq,
+        Some(next(0).getDouble(2))))
     }
     import spark.implicits._
     picked.zipWithIndex

@@ -225,6 +225,16 @@ class SelectionSpec extends SparkSpec {
     assert(got == brute && got == Set(1L, 2L, 3L, 5L, 7L, 8L))
   }
 
+  test("skyline2d excludes null-coordinate rows instead of silently " +
+      "mis-sweeping them") {
+    val df = Seq((1L, Some(5L), Some(5L)), (2L, None, Some(9L)),
+      (3L, Some(9L), None), (4L, Some(4L), Some(6L)))
+      .toDF("id", "x", "y")
+    val got = Selection.skyline2d(df, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L))
+  }
+
   test("skyline2d matches brute force on a pseudo-random frame") {
     val rnd = new scala.util.Random(7)
     val pts = (1L to 200L).map(i =>

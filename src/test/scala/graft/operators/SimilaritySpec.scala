@@ -502,6 +502,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got == sel.toSeq)
   }
 
+  test("kcenterSelect with k beyond the corpus returns every point " +
+      "once, in selection order") {
+    val df = Seq((3L, Seq(0.0f, 1.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSelect(df, "embedding", "vec_id", k = 10)
+      .orderBy("sel_rank").collect().map(_.getLong(1)).toSeq
+    // seed = min id 1; farthest from 1 is 2 (d=4); then 3 (d=2)
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("hardNegatives excludes null-label rows on both sides") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), Some(0)),
+      (1L, Seq(0.9f, 0.1f), None),     // null label: never a negative
+      (2L, Seq(0.0f, 1.0f), Some(1)),
+      (3L, Seq(0.5f, 0.5f), None))     // null-label anchor mines nothing
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus, "embedding", "vec_id",
+        "label", corpus.filter(col("vec_id").isin(0L, 3L)), k = 5,
+        nearDupCeiling = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 2L)))
+  }
+
   test("sparseRandomProjection: deterministic signs, hand-checked " +
       "projection, JL sparsity") {
     // signs are a pure function of (tag, j, d)
