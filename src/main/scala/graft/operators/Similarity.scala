@@ -606,6 +606,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** INCREMENTAL DELTA INSERT into a persisted IVF index — completes
+    * the index-maintenance matrix: every persisted index family
+    * (minhash q104, winnow-anchor q182, graph-ANN q188, and now IVF)
+    * absorbs tonight's batch without a corpus rebuild. IVF is the
+    * easy case BY DESIGN, and the operator exploits it fully: cell
+    * assignment depends only on the TRAINED codebook (`_centroids`,
+    * bounded metadata — deliberately not retrained on delta, standard
+    * IVF maintenance), so
+    *
+    *   1. the base layout transfers by a FILE-level copy (bytes, no
+    *      compute, no shuffle — at a real deployment this step is a
+    *      metadata operation on the table, or skipped entirely by
+    *      appending in place; it's materialized here so the base
+    *      index stays untouched for q49),
+    *   2. the delta alone is scanned once through the builder's exact
+    *      assignment expression and APPENDED into its cell
+    *      directories — cost ∝ |delta|, nothing else moves,
+    *   3. probes need no code path of their own: the refreshed index
+    *      IS an IVF index, read by [[ivfTopKIndexed]] unchanged, and
+    *      equals what a rebuild-without-retrain over corpus ∪ delta
+    *      would produce row for row.
+    *
+    * The delta's embedding column is required to match the base
+    * element type (mixed float/double files under one layout read
+    * back with a corrupted merged schema).
+    */
+  def deltaInsertIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, delta: DataFrame, embCol: String, idCol: String,
+      path: String, writeTasks: Int = 4): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(basePath)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      fs, dst, false, conf)
+    val baseType = spark.read.parquet(basePath).schema(embCol).dataType
+    require(delta.schema(embCol).dataType == baseType,
+      s"delta $embCol is ${delta.schema(embCol).dataType}, " +
+        s"index stores $baseType — cast before inserting")
+    val centroids = indexMeta(spark, s"$path/_centroids")
+      .map(r => r.getAs[Int]("i") -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+    val v = toDouble(col(embCol))
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val cells = centroids.map { case (i, c) =>
+      struct((lit(sq(c)) - lit(2.0) * dot(v, typedlit(c))).as("d"),
+        lit(i).as("i"))
+    }
+    delta.select(col(idCol), col(embCol),
+        array_min(array(cells: _*)).getField("i").as("cell"))
+      .repartition(writeTasks)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    idxFrameCache.put(spark, path, spark.read.parquet(path))
+    idxMetaCache.put(spark, s"$path/_centroids",
+      spark.read.parquet(s"$path/_centroids").collect())
+  }
+
   /** Per-group embedding centroids, collected as bounded driver
     * metadata (k × dims doubles — a codebook, not data). Components
     * are rounded to 6 decimals so the codebook is bit-identical across

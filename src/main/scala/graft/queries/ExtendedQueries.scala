@@ -153,6 +153,32 @@ object ExtendedQueries {
       p
     }
 
+  /** The q203 REFRESHED IVF index: the same delta convention as q188
+    * (every 10th vector re-ingested under new ids — exact float-
+    * verbatim twins — plus every (10k+5)th with its FIRST COORDINATE
+    * NEGATED: float negation is exact, so the novel vectors are
+    * bit-identical in both engines, unlike an additive perturbation
+    * on float32), appended into a file-copied q49 base via the stored
+    * codebook. Insert timed in q203's first session run; base
+    * untouched for q49.
+    */
+  private val ivfDeltaCache = new graft.SessionCache[String]
+  private def ivfDeltaIndexPath(s: SparkSession, dir: String): String =
+    ivfDeltaCache.get(s, dir) {
+      val base = ivfIndexPath(s, dir)
+      val p = newIdxDir("graft_ivf_delta_idx")
+      val emb = t(s, dir, "embeddings")
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 3000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, -x).otherwise(x)).as("embedding")))
+      Similarity.deltaInsertIvfIndex(s, base, delta, "embedding",
+        "vec_id", p)
+      p
+    }
+
   /** Build the four persisted index artifacts (LSH, IVF, PQ, and the
     * delta-dedup bucket table) for `dir` eagerly. Bench calls
     * this before timing and reports the build cost as its own metric:
@@ -1544,6 +1570,38 @@ object ExtendedQueries {
         Similarity.sparseRandomProjection(t(s, dir, "embeddings"),
             "embedding", "vec_id", dims = 64, kOut = 8)
           .orderBy("vec_id"))
+  ,
+
+    // IVF incremental delta insert — completes the index-maintenance
+    // matrix (minhash q104, winnow q182, graph q188, IVF q203): the
+    // q49 base transfers by file copy, the delta alone runs through
+    // the stored codebook's exact assignment expression and APPENDS
+    // into its cell directories (cost ∝ |delta|), and the unchanged
+    // q49 probe reads the refreshed index. Oracle = exact top-10 over
+    // corpus ∪ delta, the q49/q188 recall claim at verify scale; the
+    // novel delta vectors negate their first coordinate (float-exact
+    // in both engines).
+    Query("q203_ann_ivf_delta", Some(
+      """WITH uni AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 3000000,
+        |    [CASE WHEN i = 1 THEN -dv[i] ELSE dv[i] END
+        |     FOR i IN generate_series(1, len(dv))]
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+        |        FROM embeddings)
+        |  WHERE vec_id % 10 = 5)
+        |SELECT vec_id, ROUND(list_cosine_similarity(v,
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS score
+        |FROM uni ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))(
+      (s, dir) =>
+        Similarity.ivfTopKIndexed(s, ivfDeltaIndexPath(s, dir),
+          "embedding", "vec_id", queryVec(s, dir), k = 10, nProbe = 4))
   )
 
   /** Oracle SQL for q200 — generated from the same Achlioptas sign

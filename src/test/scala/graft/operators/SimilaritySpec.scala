@@ -128,6 +128,45 @@ class SimilaritySpec extends SparkSpec {
     assert(probe == scan)
   }
 
+  test("IVF delta insert: refreshed full-probe == brute force over " +
+      "base ∪ delta; counts additive; base untouched; type-guarded") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfbase").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", idx, nClusters = 16)
+    val baseRows = spark.read.parquet(idx).count()
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val refreshed =
+      java.nio.file.Files.createTempDirectory("ivfdelta").toString
+    Similarity.deltaInsertIvfIndex(spark, idx, delta, "embedding",
+      "vec_id", refreshed)
+    // row-count additivity and base immutability
+    assert(spark.read.parquet(refreshed).count() ==
+      baseRows + delta.count())
+    assert(spark.read.parquet(idx).count() == baseRows)
+    // probing ALL cells of the refreshed index is a full exact scan
+    // of base ∪ delta — must equal brute force bit for bit
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val brute = Similarity.bruteForceTopK(
+        emb.select(col("vec_id"), col("embedding")).unionAll(delta),
+        "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val probe = Similarity.ivfTopKIndexed(spark, refreshed, "embedding",
+        "vec_id", q, 10, nProbe = 16)
+      .as[(Long, Double)].collect().toSeq
+    assert(probe == brute)
+    // a double-typed delta against a float index must fail loudly,
+    // not corrupt the layout's merged schema
+    intercept[IllegalArgumentException] {
+      Similarity.deltaInsertIvfIndex(spark, idx,
+        delta.withColumn("embedding",
+          col("embedding").cast("array<double>")),
+        "embedding", "vec_id",
+        java.nio.file.Files.createTempDirectory("ivfbad").toString)
+    }
+  }
+
   test("trained-IVF top-k: k-means centroids give recall >= sampled centroids") {
     val q = emb.filter(col("vec_id") === 7)
       .select(col("embedding").cast("array<double>"))
