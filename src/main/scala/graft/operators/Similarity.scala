@@ -979,6 +979,130 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build the persisted FUSED IVF-PQ index at `path` — the composite
+    * index (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search", the IVFADC structure; FAISS `IndexIVFPQ`) that
+    * combines both scale levers the separate q49/q117 indexes
+    * demonstrate individually:
+    *
+    *   - a coarse k-means quantizer routes each vector to a CELL, and
+    *     the index is laid out partitioned by cell, so a probe scans
+    *     only `nProbe` partition directories (IVF's read pruning);
+    *   - within a cell the index stores only the PQ CODES of the
+    *     vector's RESIDUAL (v − centroid[cell]) — m byte-codes per
+    *     vector, ~32× smaller than float32 — so the pruned scan is
+    *     also a compressed scan (PQ's byte-per-subspace scoring).
+    *
+    * Residual (not raw-vector) encoding is the load-bearing choice:
+    * within a cell residuals are centered near zero, so one shared
+    * codebook set quantizes them far more finely than it could the raw
+    * vectors — the standard IVFADC refinement. Codebooks are trained
+    * on the residual distribution (bounded sample, deterministic
+    * seed). Bounded metadata rides beside the data as `_centroids`
+    * and `_codebooks`, the q49/q117 pattern.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, embCol: String, idCol: String,
+      path: String, nClusters: Int = 16, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L, writeTasks: Int = 8): Unit = {
+    val centroids = trainCentroids(corpus, embCol, nClusters, seed)
+    val v = toDouble(col(embCol))
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val cellExpr = array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((lit(sq(c)) - lit(2.0) * dot(v, typedlit(c))).as("d"),
+        lit(i).as("i"))
+    }: _*)).getField("i")
+    val centLit = typedlit(centroids.map(_.toSeq))
+    val assigned = corpus.select(col(idCol), v.as("__v"),
+      cellExpr.as("cell"))
+    def residOf(vc: Column, cellC: Column): Column =
+      zip_with(vc, element_at(centLit, cellC + 1), (a, b) => a - b)
+    val codebooks = trainPqCodebooks(
+      assigned.select(residOf(col("__v"), col("cell")).as("__r")), "__r",
+      m, ksub, seed)
+    graft.sources.Layout.writePartitioned(
+      assigned.select(col(idCol),
+        pqCode(residOf(col("__v"), col("cell")), codebooks).as("codes"),
+        col("cell")),
+      path, Seq("cell"), writeTasks)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("i", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, i) =>
+        (j, i, c) } }
+      .toDF("j", "i", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+    idxFrameCache.put(spark, path, spark.read.parquet(path))
+    idxMetaCache.put(spark, s"$path/_centroids",
+      spark.read.parquet(s"$path/_centroids").collect())
+    idxMetaCache.put(spark, s"$path/_codebooks",
+      spark.read.parquet(s"$path/_codebooks").collect())
+  }
+
+  /** Probe the fused IVF-PQ index: rank cells on the driver against
+    * the bounded `_centroids`, scan ONLY the `nProbe` nearest cell
+    * partitions, and ADC-score their codes. Because codes quantize
+    * residuals, the approximate inner product decomposes exactly as
+    *
+    *   q·v  =  q·centroid[cell]  +  q·residual
+    *        ≈  cellConst[cell]   +  Σ_j LUT_j[code_j]
+    *
+    * — one m × ksub lookup table (q-subvector · residual-codeword,
+    * driver-built, shared by every probed cell) plus a per-cell scalar
+    * constant, both shipped as plan literals. The scan reads codes,
+    * never vectors; the top `shortlist` candidates' real embeddings
+    * are re-read via a broadcast semi-join for the exact cosine
+    * re-rank (the q117 contract: output scores are exact, recall is
+    * the approximation surface, bounded by nProbe × shortlist).
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, nProbe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) > 0")
+    val centroids = indexMeta(spark, s"$path/_centroids")
+      .map(r => r.getAs[Int]("i") -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+    require(centroids.nonEmpty && centroids.head._2.size == query.size,
+      s"query has ${query.size} dims but the index centroids have " +
+        s"${centroids.headOption.map(_._2.size).getOrElse(0)}")
+    val cbRows = indexMeta(spark, s"$path/_codebooks")
+    val codebooks: Seq[Seq[Seq[Double]]] = cbRows
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("i"),
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val m = codebooks.size
+    val subLen = codebooks.head.head.size
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val qCells = centroids.map { case (i, c) =>
+      (sq(c) - 2.0 * c.zip(query).map { case (a, b) => a * b }.sum, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+    // q·centroid per cell, indexed by cell id (only probed cells read it)
+    val cellConst: Seq[Double] = centroids.map { case (_, c) =>
+      c.zip(query).map { case (a, b) => a * b }.sum }
+    val luts: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qSub = query.slice(j * subLen, (j + 1) * subLen)
+      cb.map(c => c.zip(qSub).map { case (a, b) => a * b }.sum)
+    }
+    val approx = element_at(typedlit(cellConst), col("cell") + 1) +
+      (0 until m).map(j =>
+        element_at(typedlit(luts(j)), col("codes").getItem(j) + 1))
+        .reduce(_ + _)
+    val short = indexFrame(spark, path)
+      .filter(col("cell").isin(qCells: _*))
+      .select(col(idCol), approx.as("__approx"))
+      .orderBy(col("__approx").desc, col(idCol))
+      .limit(shortlist)
+    corpus.join(broadcast(short.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol), scoreAgainst(col(embCol), query).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Build the persisted k-NN GRAPH index — the HNSW-class scale path
     * re-expressed for a scan-oriented engine. Construction is fully
     * distributed and blocked (never all-pairs):

@@ -118,6 +118,14 @@ object ExtendedQueries {
         "vec_id", p, m = 8, ksub = 16)
       p
     }
+  private val ivfpqIdxCache = new graft.SessionCache[String]
+  private def ivfpqIndexPath(s: SparkSession, dir: String): String =
+    ivfpqIdxCache.get(s, dir) {
+      val p = newIdxDir("graft_ivfpq_idx")
+      Similarity.buildIvfPqIndex(t(s, dir, "embeddings"), "embedding",
+        "vec_id", p, nClusters = 16, m = 8, ksub = 16)
+      p
+    }
   private val graphIdxCache = new graft.SessionCache[String]
   private def graphIndexPath(s: SparkSession, dir: String): String =
     graphIdxCache.get(s, dir) {
@@ -196,6 +204,7 @@ object ExtendedQueries {
       Future(lshIndexPath(s, dir)), Future(ivfIndexPath(s, dir)),
       Future(deltaIndexTable(s, dir)), Future(pqIndexPath(s, dir)),
       Future(graphIndexPath(s, dir)), Future(winnowIndexTable(s, dir)),
+      Future(ivfpqIndexPath(s, dir)),
       Future(AnalyticsQueries.copurchaseEdgeTable(s, dir)))),
       Duration.Inf)
   }
@@ -1602,6 +1611,40 @@ object ExtendedQueries {
       (s, dir) =>
         Similarity.ivfTopKIndexed(s, ivfDeltaIndexPath(s, dir),
           "embedding", "vec_id", queryVec(s, dir), k = 10, nProbe = 4))
+  ,
+
+    // FUSED IVF-PQ probe (Jégou 2011 IVFADC; FAISS IndexIVFPQ): the
+    // composite index combining q49's read pruning (scan only nProbe
+    // cell partitions) with q117's compressed scan (m residual
+    // byte-codes per vector, ADC lookup-table scoring) — the structure
+    // that serves billion-vector corpora. Output scores are EXACT
+    // (shortlist re-rank on real vectors); recall is the approximation
+    // surface, so the oracle is the q117 CONTRACT form: DuckDB
+    // recomputes the exact top-10 and `recall_ok` asserts the probe
+    // recovered at least 8 of the true 10 — hash-checked per round.
+    Query("q204_ann_ivfpq", Some(
+      """WITH topk AS (
+        |  SELECT vec_id FROM (
+        |    SELECT v.vec_id,
+        |      ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |         WHERE vec_id = 0)), 6) AS score
+        |    FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10))
+        |SELECT CAST(10 AS BIGINT) AS n_returned,
+        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_true,
+        |  true AS recall_ok""".stripMargin))(
+      (s, dir) => {
+        val got = Similarity.ivfPqTopKIndexed(s, ivfpqIndexPath(s, dir),
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryVec(s, dir), k = 10, nProbe = 6, shortlist = 100)
+        val exact = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+          "embedding", "vec_id", queryVec(s, dir), k = 10)
+        val overlap = got.select(col("vec_id"))
+          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        got.agg(count(lit(1)).as("n_returned"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
+          .crossJoin(overlap.agg((count(lit(1)) >= 8).as("recall_ok")))
+      })
   )
 
   /** Oracle SQL for q200 — generated from the same Achlioptas sign

@@ -403,6 +403,45 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (id, s) => assert(s == exactById(id)) }
   }
 
+  test("ivf-pq index probe: exact re-rank scores, full probe recovers " +
+      "brute force, recall floor at default params") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec")
+      .toString + "/idx"
+    Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", dir,
+      nClusters = 8, m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val n = emb.count().toInt
+    // probing EVERY cell with an unbounded shortlist removes both
+    // approximation surfaces — the composite index must then equal
+    // brute force row for row (scores exact by the re-rank contract)
+    val full = Similarity.ivfPqTopKIndexed(spark, dir, emb, "embedding",
+      "vec_id", q, k = 10, nProbe = 8, shortlist = n)
+      .as[(Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect()
+    assert(full.toSeq == exact.toSeq)
+    // default-parameter probe: self must survive (its residual codes
+    // are its own nearest codewords and its cell is the top-ranked
+    // cell), scores on returned rows are exact, recall has a floor
+    val got = Similarity.ivfPqTopKIndexed(spark, dir, emb, "embedding",
+      "vec_id", q, k = 10, nProbe = 4, shortlist = 100)
+      .as[(Long, Double)].collect()
+    assert(got.length == 10)
+    assert(got.head._1 == 7L && got.head._2 == 1.0)
+    val exactById = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+      q, n).as[(Long, Double)].collect().toMap
+    got.foreach { case (id, s) => assert(s == exactById(id)) }
+    val overlap = (got.map(_._1).toSet & exact.map(_._1).toSet).size
+    assert(overlap >= 7, s"recall@10 too low: $overlap/10")
+    // dims-mismatch guard fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, dir, emb, "embedding", "vec_id",
+        q.take(4), k = 10)
+    }
+  }
+
   test("vecMoments: sums, upper-triangle outer products, and count " +
       "match brute force regardless of partitioning") {
     val vecs = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0),
