@@ -610,6 +610,97 @@ object TextAnalysis {
     dfreq.join(postings, Seq("term"))
   }
 
+  /** Build the persisted IMPACT-ORDERED postings index at `path` —
+    * Lucene's retrieval artifact re-expressed for a scan engine: one
+    * posting row per (term, doc) carrying the document's COMPLETE,
+    * precomputed BM25 contribution for that term. Everything the q82
+    * scorer derives at query time (tf, df, dl, N, avgdl) is known at
+    * index time, so it is baked into the posting ("impact"), and
+    * query-time retrieval collapses to fetch + sum + top-k — no
+    * corpus scan, no tokenize, no joins (see [[impactTopK]]).
+    *
+    * Two load-bearing layout choices:
+    *   - postings are PARTITIONED by a term-hash bucket (`tb`,
+    *     CRC32 — computable identically on the driver, so the probe's
+    *     IN-list prunes partition directories; the graph-ANN shard
+    *     pattern), making a |q|-term query read only its terms'
+    *     buckets out of a 100 TB corpus' postings;
+    *   - impacts are stored as FIXED-POINT longs (⌊raw·10⁶+0.5⌋):
+    *     query-time summation is exact integer arithmetic, immune to
+    *     float accumulation order across partitions — the projection
+    *     decimal-chain lesson applied to retrieval.
+    *
+    * Document-at-a-time WAND/block-max traversal does not map to a
+    * scan engine (it needs ordered cursor advance over aligned posting
+    * blocks); its GOAL — never touching postings of terms outside the
+    * query — is exactly what the partition-pruned layout delivers, and
+    * the per-term `max_impact` rides in `_meta` for engines that layer
+    * score-threshold skipping on top (parquet row-group stats on
+    * `impact_fp` serve as the block-max bound once postings are
+    * written impact-descending within a bucket).
+    */
+  def buildImpactIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, k1: Double = 1.2, b: Double = 0.75,
+      numBuckets: Int = 8, writeTasks: Int = 8): Unit = {
+    val terms = Dedup.spread(df)
+      .select(col(idCol).as("doc_id"),
+        explode(wsTokens(lower(col(textCol)))).as("term"))
+    val tf = graft.HeavyPersist(terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tot"))
+    // operation order mirrors bm25TopK/q82 exactly for float parity
+    val raw = col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl") / col("__avgdl"))))
+    val postings = tf.join(dl, "doc_id").join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__tot").cast("double") / col("__n"))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col("term"), col("doc_id"),
+        floor(raw * lit(1e6) + lit(0.5)).cast("long").as("impact_fp"),
+        pmod(crc32(col("term")), lit(numBuckets.toLong)).as("tb"))
+    graft.sources.Layout.writePartitioned(postings, path, Seq("tb"),
+      writeTasks)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // _meta AFTER the main write (writePartitioned clears the root)
+    Seq((numBuckets, k1, b)).toDF("num_buckets", "k1", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    spark.read.parquet(path)
+      .groupBy("term").agg(max(col("impact_fp")).as("max_impact_fp"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_term_meta")
+  }
+
+  /** Multi-term BM25 retrieval against the persisted impact index:
+    * fetch the query terms' postings (partition-pruned to their CRC32
+    * buckets + a pushed term IN-filter), sum fixed-point impacts per
+    * doc (one bounded shuffle — only matching docs' postings move),
+    * TakeOrderedAndProject top-k. Scores are EXACT BM25 sums (the
+    * fixed-point contract), identical to scoring the full corpus.
+    */
+  def impactTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      s"terms must be non-empty lower-case tokens, got $terms")
+    val numBuckets = spark.read.parquet(s"$path/_meta")
+      .head().getAs[Int]("num_buckets")
+    val tbs = terms.map { t =>
+      val c = new java.util.zip.CRC32()
+      c.update(t.getBytes("UTF-8"))
+      java.lang.Math.floorMod(c.getValue, numBuckets.toLong)
+    }.distinct
+    spark.read.parquet(path)
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg((sum(col("impact_fp")) / lit(1e6)).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Positional phrase search: find every occurrence of an exact
     * token phrase (case-folded, whitespace tokens) in the corpus —
     * the adjacency query a doc-level inverted index (q115) cannot

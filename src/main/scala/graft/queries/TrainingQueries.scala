@@ -17,6 +17,30 @@ object TrainingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The persisted impact-ordered postings index q205 probes — built
+    * once per (session, sfDir) into a temp dir (the ANN-index
+    * pattern); the build is the amortized artifact cost, every probe
+    * after it is a partition-pruned posting fetch.
+    */
+  private val impIdxCache = new graft.SessionCache[String]
+  private def impactIndexPath(s: SparkSession, dir: String): String =
+    impIdxCache.get(s, dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft_imp_idx")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(f =>
+              try java.nio.file.Files.deleteIfExists(f)
+              catch { case _: Exception => () })
+      }
+      val idx = p.toString + "/idx"
+      TextAnalysis.buildImpactIndex(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", idx)
+      idx
+    }
+
   val all: Seq[Query] = Seq(
 
     // Gopher-style repetition quality signals per document: total /
@@ -566,6 +590,38 @@ object TrainingQueries {
             t(s, dir, "documents").select("doc_id", "text"),
             "doc_id", "text", k = 3)
           .orderBy("doc_id", "rk")),
+
+    // Multi-term BM25 retrieval against the PERSISTED impact index
+    // (TextAnalysis.buildImpactIndex): every posting carries its
+    // complete precomputed BM25 contribution as a fixed-point long, so
+    // the query is a partition-pruned posting fetch + exact integer
+    // sum + top-k — no corpus scan at query time. Oracle recomputes
+    // the same fixed-point impacts over the full corpus and ranks the
+    // same sum, so a wrong df/dl/avgdl baked at index time cannot
+    // match.
+    Query("q205_retrieval_topk", Some(
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl),
+        |imp AS (SELECT tf.doc_id,
+        |    CAST(FLOOR(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75
+        |          * (dl.dl / (CAST(st.tot AS DOUBLE) / st.n))))
+        |      * 1e6 + 0.5) AS BIGINT) AS fp
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |  CROSS JOIN st
+        |  WHERE tf.term IN ('small', 'query', 'data', 'line'))
+        |SELECT doc_id, SUM(fp) / 1e6 AS score, COUNT(*) AS n_terms
+        |FROM imp GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.impactTopK(s, impactIndexPath(s, dir),
+          Seq("small", "query", "data", "line"), k = 10)),
 
     // Corpus-wide top-20 bigrams — the collocation/boilerplate census
     // (exact counts, TakeOrderedAndProject cut, gram tie-break).

@@ -495,4 +495,42 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 0)))
   }
+
+  test("impact index retrieval equals query-time BM25 sum over the " +
+      "query terms; bucket pruning loses nothing; term guard") {
+    val df = Seq(
+      (1L, "fast hash join query"),
+      (2L, "slow scan query query plan"),
+      (3L, "hash hash hash join"),
+      (4L, "unrelated words only here"),
+      (5L, "query plan hash")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_imp_spec")
+      .toString + "/idx"
+    TextAnalysis.buildImpactIndex(df, "doc_id", "text", dir,
+      numBuckets = 4)
+    val terms = Seq("hash", "query")
+    val got = TextAnalysis.impactTopK(spark, dir, terms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // brute twin: per-(doc,term) BM25 contribution via bm25TopK's own
+    // scorer (k large enough to keep every term), fixed-point floored
+    // exactly as the index bakes it, summed over the query terms
+    val contrib = TextAnalysis.bm25TopK(df, "doc_id", "text", k = 100)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), floor(col("score") * 1e6 + 0.5).cast("long")
+        .as("fp"))
+      .groupBy("doc_id")
+      .agg((sum(col("fp")) / 1e6).as("score"), count(lit(1)).as("n"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // bm25TopK rounds to 6dp before this twin floors, but every
+    // contribution here is far from a 5e-7 boundary, so the twin is
+    // exact for this fixture
+    assert(got.toSeq == contrib.toSeq)
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 5L)) // doc 4 matches nothing
+    // both query terms + shortest dl: length normalization puts 5 first
+    assert(got.head._1 == 5L && got.head._3 == 2L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.impactTopK(spark, dir, Seq("Hash"), k = 5)
+    }
+  }
 }
