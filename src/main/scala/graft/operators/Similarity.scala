@@ -113,6 +113,60 @@ object Similarity {
       .unionAll(Dedup.expandCross(repPairs, members, Seq("score")))
   }
 
+  /** DBSCAN (Ester et al. 1996) over a precomputed ε-neighborhood
+    * pair frame — the density-based clustering a curation pipeline
+    * uses where k-means' fixed k and spherical cells misfit: mirror
+    * families and boilerplate clouds are dense but irregularly
+    * shaped, and true one-off documents should stay NOISE instead of
+    * being forced into a nearest cluster.
+    *
+    * The ε-neighborhood relation comes in as `pairs` (id_a, id_b —
+    * [[blockedNearDupPairs]] here; LSH-bucketed candidates at 100 TB),
+    * so the operator is pure relational algebra on edges:
+    *
+    *   - |N_ε(p)| = symmetric degree + 1 (self), one partial-agg
+    *     shuffle; CORE ⇔ |N_ε| ≥ minPts;
+    *   - clusters = connected components of the core-core subgraph
+    *     ([[Dedup.connectedComponents]] — min-label propagation,
+    *     diameter-bounded rounds, checkpoint-truncated lineage);
+    *     labels are the component's min id (deterministic);
+    *   - BORDER points (non-core with ≥ 1 core neighbor) attach to
+    *     their minimum core-neighbor cluster — the deterministic
+    *     resolution of DBSCAN's classic border-tie ambiguity;
+    *   - everything else is NOISE (null cluster).
+    *
+    * Output: one row per corpus id — (id, cluster, role ∈
+    * core|border|noise).
+    */
+  def dbscan(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    val core = sym.groupBy("id").agg((count(lit(1)) + 1).as("npts"))
+      .filter(col("npts") >= minPts).select("id")
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+    val comp = Dedup.connectedComponents(core, "id", coreEdges)
+      .withColumnRenamed("comp", "__ccl")
+    // border: min cluster over CORE neighbors (the inner join against
+    // comp keeps exactly the core ones), minus the cores themselves
+    val border = sym
+      .join(comp.select(col("id").as("nbr"), col("__ccl").as("__nc")),
+        "nbr")
+      .groupBy("id").agg(min(col("__nc")).as("__bcl"))
+      .join(core, Seq("id"), "left_anti")
+    corpus.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .join(border, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__ccl"), col("__bcl")).as("cluster"),
+        when(col("__ccl").isNotNull, lit("core"))
+          .when(col("__bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN
     * scale path: assign every vector to its nearest coarse centroid,
     * search only the `nProbe` cells nearest the query. Centroids here

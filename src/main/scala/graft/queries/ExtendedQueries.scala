@@ -1645,6 +1645,62 @@ object ExtendedQueries {
           .crossJoin(exact.agg(count(lit(1)).as("n_true")))
           .crossJoin(overlap.agg((count(lit(1)) >= 8).as("recall_ok")))
       })
+  ,
+
+    // DBSCAN over the shared q39 ε-neighborhood pair frame (threshold
+    // 0.35, label blocking): density clustering with an explicit NOISE
+    // verdict — cores = |N_ε| ≥ 3 (self included), clusters = core
+    // subgraph components (min-id labels), borders attach to their
+    // minimum core neighbor's cluster. Oracle replays the full
+    // definition (recursive closure over core-core edges) and every
+    // corpus row's (cluster, role) must match — noise included.
+    Query("q206_dbscan", Some(
+      """WITH RECURSIVE
+        |bs AS MATERIALIZED (
+        |  SELECT label, COUNT(DISTINCT embedding) AS nreps
+        |  FROM embeddings GROUP BY label),
+        |ok AS MATERIALIZED (
+        |  SELECT e.vec_id, e.embedding, e.label FROM embeddings e
+        |  JOIN bs USING (label) WHERE bs.nreps <= 10000),
+        |pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |    FROM ok a JOIN ok b
+        |      ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  WHERE score >= 0.35),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |core AS MATERIALIZED (
+        |  SELECT a AS id FROM edges GROUP BY a HAVING COUNT(*) + 1 >= 3),
+        |cedges AS MATERIALIZED (
+        |  SELECT a, b FROM edges
+        |  WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT r.id, e.b FROM reach r JOIN cedges e ON e.a = r.r),
+        |comp AS MATERIALIZED (
+        |  SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |border AS MATERIALIZED (
+        |  SELECT e.a AS id, MIN(c.cluster) AS cluster
+        |  FROM edges e JOIN comp c ON c.id = e.b
+        |  WHERE e.a NOT IN (SELECT id FROM core) GROUP BY e.a)
+        |SELECT v.vec_id,
+        |  COALESCE(cm.cluster, bd.cluster) AS cluster,
+        |  CASE WHEN cm.id IS NOT NULL THEN 'core'
+        |       WHEN bd.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role
+        |FROM embeddings v
+        |LEFT JOIN comp cm ON cm.id = v.vec_id
+        |LEFT JOIN border bd ON bd.id = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin))(
+      (s, dir) =>
+        Similarity.dbscan(t(s, dir, "embeddings"), "vec_id",
+            nearDupPairs(s, dir), minPts = 3)
+          .orderBy("vec_id"))
   )
 
   /** Oracle SQL for q200 — generated from the same Achlioptas sign

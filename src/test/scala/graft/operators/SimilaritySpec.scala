@@ -403,6 +403,36 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (id, s) => assert(s == exactById(id)) }
   }
 
+  test("dbscan: cores cluster by component, borders attach to min core " +
+      "neighbor, chain-less tails and isolates are noise") {
+    // two 4-cliques (all cores at minPts=4), a border bridging both
+    // (attaches to the MIN cluster), an edge pair with no core contact
+    // (noise despite having neighbors), and an isolate
+    val corpus = (1L to 11L).map(i => (i, i)).toDF("vec_id", "x")
+    val cliqueA = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val cliqueB = for (a <- 5L to 8L; b <- a + 1 to 8L) yield (a, b)
+    val pairs = (cliqueA ++ cliqueB ++ Seq((1L, 9L), (5L, 9L), (10L, 11L)))
+      .toDF("id_a", "id_b")
+    val got = Similarity.dbscan(corpus, "vec_id", pairs, minPts = 4)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    val want = Seq(
+      (1L, 1L, "core"), (2L, 1L, "core"), (3L, 1L, "core"),
+      (4L, 1L, "core"),
+      (5L, 5L, "core"), (6L, 5L, "core"), (7L, 5L, "core"),
+      (8L, 5L, "core"),
+      (9L, 1L, "border"), // core neighbors 1 and 5 — min wins
+      (10L, -1L, "noise"), // has a neighbor, but no core contact
+      (11L, -1L, "noise")) // ditto
+    assert(got.toSeq == want)
+    // minPts=10 demotes everything: no cores, all noise
+    val allNoise = Similarity.dbscan(corpus, "vec_id", pairs, minPts = 10)
+      .filter(col("role") =!= "noise").count()
+    assert(allNoise == 0L)
+  }
+
   test("ivf-pq index probe: exact re-rank scores, full probe recovers " +
       "brute force, recall floor at default params") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec")
