@@ -1033,6 +1033,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-Marginal-Relevance diversification (Carbonell & Goldstein
+    * 1998) of a retrieval shortlist: greedily pick `kOut` of the
+    * `kCand` most query-relevant vectors, each round maximizing
+    *
+    *   mmr(d) = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+    *
+    * — the standard anti-redundancy re-rank for RAG contexts and
+    * eval-set construction (a shortlist of 20 near-identical chunks
+    * wastes 19 slots; MMR trades marginal relevance for coverage).
+    *
+    * Scale shape: candidate generation is the distributed part (one
+    * corpus scan + TakeOrderedAndProject — the q34 path); the greedy
+    * loop is inherently sequential (each pick conditions the next),
+    * so it runs on the DRIVER over the collected shortlist — bounded
+    * metadata (kCand rows × dims), the codebook/beam-state class, NOT
+    * a corpus collect. Ties break on ascending id; round-1 mmr is
+    * λ·rel (empty selected set). Output: (rank, id, rel, mmr).
+    */
+  def mmrDiversify(corpus: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], kCand: Int = 20, kOut: Int = 8,
+      lambda: Double = 0.7): DataFrame = {
+    require(kOut >= 1 && kCand >= kOut,
+      s"need kCand ($kCand) >= kOut ($kOut) >= 1")
+    val spark = corpus.sparkSession
+    val cand = corpus.select(col(idCol).cast("long").as("id"),
+        scoreAgainst(col(embCol), query).as("rel"),
+        toDouble(col(embCol)).as("v"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(kCand)
+      .collect()
+    val ids = cand.map(_.getLong(0))
+    val rels = cand.map(_.getDouble(1))
+    val vecs = cand.map(_.getSeq[Double](2).toArray)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val n = ids.length
+    val lc = 1 - lambda // exact IEEE complement; the oracle prints it
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long,
+      Double, Double)]
+    while (picks.length < kOut && selected.length < n) {
+      var best = -1; var bestMmr = Double.NegativeInfinity
+      for (i <- 0 until n if !selected.contains(i)) {
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(vecs(i), vecs(s))).max
+        val mmr = lambda * rels(i) - lc * maxSim
+        if (mmr > bestMmr || (mmr == bestMmr && (best < 0 ||
+            ids(i) < ids(best)))) {
+          best = i; bestMmr = mmr
+        }
+      }
+      selected += best
+      picks += ((picks.length + 1, ids(best), rels(best), r6(bestMmr)))
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "id", "rel", "mmr")
+      .select(col("rank").cast("long").as("rank"), col("id").as(idCol),
+        col("rel"), col("mmr"))
+  }
+
   /** Build the persisted FUSED IVF-PQ index at `path` — the composite
     * index (Jégou et al. 2011, "Product Quantization for Nearest
     * Neighbor Search", the IVFADC structure; FAISS `IndexIVFPQ`) that

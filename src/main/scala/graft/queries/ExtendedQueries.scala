@@ -1701,7 +1701,66 @@ object ExtendedQueries {
         Similarity.dbscan(t(s, dir, "embeddings"), "vec_id",
             nearDupPairs(s, dir), minPts = 3)
           .orderBy("vec_id"))
+  ,
+
+    // MMR diversification (Carbonell & Goldstein 1998) of the
+    // retrieval shortlist: top-20 by query relevance (distributed
+    // TakeOrderedAndProject), then the greedy λ·rel − (1−λ)·max-sim
+    // re-rank over the bounded shortlist (driver-side, codebook-class
+    // state). Oracle unrolls all 8 greedy stages, so only the exact
+    // pick sequence — ties, float complements and all — matches.
+    Query("q207_mmr_diversify", Some(mmrOracleSql(kCand = 20, kOut = 8)))(
+      (s, dir) =>
+        Similarity.mmrDiversify(t(s, dir, "embeddings"), "embedding",
+          "vec_id", queryVec(s, dir), kCand = 20, kOut = 8))
   )
+
+  /** Oracle SQL for q207 — the greedy MMR selection unrolled to
+    * `kOut` stages (the k-core/BFS oracle pattern: a non-greedy or
+    * mis-tied engine answer cannot silently match). λ and 1−λ are
+    * interpolated from the SAME Scala doubles the engine multiplies
+    * with, so both engines parse bit-identical literals (1−0.7 is NOT
+    * 0.3 in IEEE arithmetic — it prints, and must parse back as,
+    * 0.30000000000000004).
+    */
+  private def mmrOracleSql(kCand: Int, kOut: Int): String = {
+    val lambda = 0.7
+    val lc = 1 - lambda
+    val stages = (2 to kOut).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT c.id, c.rel, $lambda * c.rel - $lc * MAX(s.s) AS mmr
+         |  FROM cand c JOIN sims s ON s.ia = c.id
+         |    AND s.ib IN (SELECT id FROM sel${i - 1})
+         |  WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+         |  GROUP BY c.id, c.rel),
+         |p$i AS MATERIALIZED (
+         |  SELECT id, rel, mmr, $i AS rank FROM m$i
+         |  ORDER BY mmr DESC, id LIMIT 1),
+         |sel$i AS (SELECT id FROM sel${i - 1}
+         |  UNION ALL SELECT id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to kOut).map(i => s"SELECT * FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT v.vec_id AS id, CAST(v.embedding AS DOUBLE[]) AS v,
+       |    ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+       |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+       |       WHERE vec_id = 0)), 6) AS rel
+       |  FROM embeddings v ORDER BY rel DESC, v.vec_id LIMIT $kCand),
+       |sims AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS s
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |p1 AS MATERIALIZED (
+       |  SELECT id, rel, $lambda * rel AS mmr, 1 AS rank
+       |  FROM cand ORDER BY mmr DESC, id LIMIT 1),
+       |sel1 AS (SELECT id FROM p1),
+       |$stages
+       |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, rel,
+       |  ROUND(mmr, 6) AS mmr
+       |FROM ($unionAll)
+       |ORDER BY rank""".stripMargin
+  }
 
   /** Oracle SQL for q200 — generated from the same Achlioptas sign
     * derivation the engine bakes into its plan (see

@@ -403,6 +403,36 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (id, s) => assert(s == exactById(id)) }
   }
 
+  test("mmrDiversify: duplicate is demoted behind a diverse pick, " +
+      "rel ties break on id, kCand caps the candidate pool") {
+    // q = (1,0,0); two identical high-rel vectors, one diverse mid-rel,
+    // one orthogonal: λ=0.5 must pick [dup1, diverse, dup2, ortho] —
+    // relevance alone would pick the twin second
+    val df = Seq(
+      (1L, Seq(0.9f, 0.43589f, 0f)),
+      (2L, Seq(0.9f, 0.43589f, 0f)),
+      (3L, Seq(0.7f, 0f, 0.71414f)),
+      (4L, Seq(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0)
+    val got = Similarity.mmrDiversify(df, "embedding", "vec_id", q,
+        kCand = 4, kOut = 4, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // ranks 1..4
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L, 4L))
+    // kCand=3 drops the orthogonal vector from the pool entirely
+    val capped = Similarity.mmrDiversify(df, "embedding", "vec_id", q,
+        kCand = 3, kOut = 3, lambda = 0.5)
+      .collect().map(_.getLong(1))
+    assert(capped.toSeq == Seq(1L, 3L, 2L))
+    // pure-relevance degenerate case: λ=1 ignores redundancy — the
+    // twin rides directly behind its duplicate
+    val rel = Similarity.mmrDiversify(df, "embedding", "vec_id", q,
+        kCand = 4, kOut = 3, lambda = 1.0)
+      .collect().map(_.getLong(1))
+    assert(rel.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("dbscan: cores cluster by component, borders attach to min core " +
       "neighbor, chain-less tails and isolates are noise") {
     // two 4-cliques (all cores at minPts=4), a border bridging both
