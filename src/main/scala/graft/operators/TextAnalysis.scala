@@ -574,6 +574,66 @@ object TextAnalysis {
           .as("bigram_surprisal"))
   }
 
+  /** Per-document mean surprisal under an interpolated KNESER-NEY
+    * bigram LM (Kneser & Ney 1995, absolute discount `d`) — the
+    * smoothing real LM-based quality filters use where q132's add-one
+    * estimate over-penalizes rare-but-well-formed continuations:
+    *
+    *   P(cur|prev) = max(c(prev,cur) − d, 0)/c(prev)
+    *               + d·N₁₊(prev,·)/c(prev) · N₁₊(·,cur)/B
+    *
+    * with N₁₊(prev,·) = distinct continuations of prev, N₁₊(·,cur) =
+    * distinct contexts of cur (the continuation probability — "how
+    * promiscuous is this word", not "how frequent"), B = distinct
+    * bigram types. The LM is trained on the scored corpus itself
+    * (self-perplexity, the q69/q132 convention).
+    *
+    * Scale shape: identical to q132 — one (prev,cur) shuffle with
+    * map-side combine; every LM statistic (c1, N₁₊ forward/reverse,
+    * B) derives from the SMALL bigram-count frame, never a second
+    * corpus pass; the count frame is persisted across its four
+    * consuming branches. Per-doc sums ride decimal(18,12) fixed-point
+    * (projection float-chain lesson).
+    */
+  def knSurprisal(df: DataFrame, idCol: String, textCol: String,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val toks = Dedup.spread(df)
+      .select(col(idCol), wsTokens(lower(col(textCol))).as("__w"))
+    val bigrams = toks.select(col(idCol),
+        explode(when(size(col("__w")) >= 2,
+          expr("""transform(sequence(2, size(__w)),
+                 i -> struct(__w[i-2] AS prev, __w[i-1] AS cur))"""))
+          .otherwise(expr(
+            "CAST(array() AS array<struct<prev:string,cur:string>>)")))
+          .as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val biCnt = graft.HeavyPersist(
+      bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c2")))
+    val ctx = biCnt.groupBy("prev")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val contRev = biCnt.groupBy("cur").agg(count(lit(1)).as("n1r"))
+    val types = biCnt.agg(count(lit(1)).as("__bt"))
+    val c1d = col("c1").cast("double")
+    // operation order mirrors the oracle SQL exactly for float parity
+    val p = greatest(col("c2") - lit(d), lit(0.0)) / c1d +
+      (lit(d) * col("n1f") / c1d) *
+        (col("n1r") / col("__bt").cast("double"))
+    val scored = bigrams
+      .join(biCnt, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .join(contRev, Seq("cur"))
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((-log(p)).cast("decimal(18,12)")).as("__s"))
+    toks.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams"), 6)
+          .as("kn_surprisal"))
+  }
+
   /** Inverted index build: one row per distinct case-folded token with
     * its document frequency and a bounded posting list (the first
     * `maxPostings` doc ids ascending, comma-joined) — the retrieval /

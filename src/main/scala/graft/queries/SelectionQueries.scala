@@ -582,5 +582,43 @@ object SelectionQueries {
         Selection.skyline2d(a, "doc_id", "n_chars", "n_distinct")
           .orderBy("doc_id")
       })
+  ,
+
+    // Interpolated Kneser-Ney bigram surprisal per document (absolute
+    // discount 0.75) — the LM smoothing real perplexity filters use,
+    // beside q132's add-one baseline: the continuation probability
+    // N₁₊(·,cur)/B replaces raw frequency, so boilerplate words that
+    // appear often but in ONE context stop looking cheap. All LM
+    // statistics derive from the bigram-count frame (one corpus
+    // shuffle); oracle replays the full estimator.
+    Query("q208_kn_surprisal", Some(
+      """WITH b AS (
+        |  SELECT doc_id, unnest([{'prev': toks[i-1], 'cur': toks[i]}
+        |                         FOR i IN generate_series(2, len(toks))])
+        |    AS bg
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)),
+        |          '\s+') AS toks FROM documents)),
+        |f AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur FROM b),
+        |c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM f GROUP BY 1, 2),
+        |c1 AS (SELECT prev, SUM(c2) AS c1, COUNT(*) AS n1f
+        |  FROM c2 GROUP BY 1),
+        |cr AS (SELECT cur, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS bt FROM c2),
+        |s AS (SELECT f.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(CAST(-ln(
+        |      GREATEST(c2.c2 - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
+        |      + (0.75 * c1.n1f / CAST(c1.c1 AS DOUBLE))
+        |        * (cr.n1r / CAST(t.bt AS DOUBLE)))
+        |      AS DECIMAL(18,12))) AS ssum
+        |  FROM f JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        |  JOIN cr USING (cur) CROSS JOIN t GROUP BY f.doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  ROUND(CAST(s.ssum AS DOUBLE) / s.n_bigrams, 6) AS kn_surprisal
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        TextAnalysis.knSurprisal(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"))
   )
 }

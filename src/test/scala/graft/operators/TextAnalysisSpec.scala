@@ -496,6 +496,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0)))
   }
 
+  test("knSurprisal: hand-computed interpolated Kneser-Ney on a tiny " +
+      "corpus; sub-bigram docs are null") {
+    // bigram counts: (a,b)=2, (b,a)=2; c1(a)=c1(b)=2, N1+(fwd)=1 each,
+    // N1+(rev)=1 each, B=2 → P = 1.25/2 + 0.375·0.5 = 0.8125 for both
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knSurprisal(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val want = BigDecimal(-math.log(0.8125))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getLong(1) == 3L && got(0).getDouble(2) == want)
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(2) == want)
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(2))
+  }
+
   test("impact index retrieval equals query-time BM25 sum over the " +
       "query terms; bucket pruning loses nothing; term guard") {
     val df = Seq(
