@@ -19,6 +19,63 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
+  /** TRAINING-SHARD EXPORT PLAN: deterministically shuffle the corpus
+    * (md5-of-content order — the [[Sampling]] determinism contract,
+    * so a re-run or a different engine produces the identical plan)
+    * and bin-pack documents into shards of ~`targetTokens` tokens in
+    * that order — the step between "curated corpus" and "data-loader
+    * files", where shards must be content-shuffled (no crawl-order
+    * correlation inside a shard) and size-balanced (loader strides).
+    *
+    * Scale shape — the global running sum WITHOUT a global window
+    * (a corpus-sized `Window.orderBy` collapses onto one partition,
+    * the classic cumsum bottleneck): two-phase distributed cumsum —
+    *
+    *   1. range-repartition + sort within partitions on the shuffle
+    *     key (Spark's distributed sort: partition i's keys all
+    *     precede partition i+1's);
+    *   2. per-partition token totals (one tiny agg — nPart rows) turn
+    *     into prefix OFFSETS via a window over that bounded frame;
+    *   3. each partition's local cumsum (parallel per-partition
+    *     windows) plus its broadcast offset is the exact global
+    *     cumsum. Shard boundaries are then a row-local integer
+    *     division — boundary-placement does not depend on where the
+    *     range partitioner happened to split, so the plan is
+    *     deterministic even though sampled partition bounds are not.
+    *
+    * Output: (id, ntok, shard), shard = ⌊(cum − ntok)/target⌋ — a doc
+    * starts the shard its first token lands in; every shard except
+    * the last carries ≥ targetTokens.
+    */
+  def shardPlan(df: DataFrame, idCol: String, textCol: String,
+      targetTokens: Long, nPart: Int = 32): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val x = df.select(col(idCol).as("id"), md5(col(textCol)).as("__h"),
+      size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("ntok"))
+    // persisted: the offsets agg and the final join must see the SAME
+    // physical partitioning (range boundaries are sampled; two
+    // independent computations could split differently)
+    val ordered = graft.HeavyPersist(
+      x.repartitionByRange(nPart, col("__h"), col("id"))
+        .sortWithinPartitions("__h", "id")
+        .withColumn("__pid", org.apache.spark.sql.functions
+          .spark_partition_id()))
+    val offsets = ordered.groupBy("__pid")
+      .agg(sum(col("ntok")).as("__psum"))
+      .withColumn("__off", coalesce(sum(col("__psum")).over(
+        Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = Window.partitionBy("__pid").orderBy("__h", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered.join(broadcast(offsets), "__pid")
+      .withColumn("__cum", col("__off") + sum(col("ntok")).over(local))
+      .select(col("id").as(idCol), col("ntok"),
+        ((col("__cum") - col("ntok")) / lit(targetTokens))
+          .cast("long").as("shard"))
+  }
+
   /** 2-D Pareto frontier (skyline): the rows not dominated on two
     * maximize-criteria — multi-criteria data selection (e.g. keep
     * documents no other document beats on BOTH length and lexical

@@ -620,5 +620,26 @@ object SelectionQueries {
       (s, dir) =>
         TextAnalysis.knSurprisal(t(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id"))
+  ,
+
+    // Training-shard export plan: md5-shuffled corpus bin-packed into
+    // ~4096-token shards. The engine computes the global running sum
+    // with the TWO-PHASE distributed cumsum (range sort + per-
+    // partition windows + broadcast prefix offsets — never a
+    // one-partition global window); the oracle replays it with the
+    // plain window form, which is the same number by definition.
+    Query("q209_shard_plan", Some(
+      """WITH x AS (SELECT doc_id, md5(text) AS h,
+        |    len(string_split_regex(trim(text), '\s+')) AS ntok
+        |  FROM documents),
+        |c AS (SELECT doc_id, ntok, SUM(ntok) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM x)
+        |SELECT doc_id, ntok, CAST((cum - ntok) // 4096 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin))(
+      (s, dir) =>
+        Selection.shardPlan(t(s, dir, "documents"), "doc_id", "text",
+            targetTokens = 4096)
+          .orderBy("doc_id"))
   )
 }

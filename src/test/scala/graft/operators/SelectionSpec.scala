@@ -248,4 +248,38 @@ class SelectionSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(got == brute)
   }
+
+  test("shardPlan: matches the brute md5-order cumsum, is invariant " +
+      "to the partition count, and fills every non-final shard to " +
+      "within one document of target") {
+    val docs = (1L to 40L).map(i =>
+      (i, (s"tok$i " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val texts = (1L to 40L).map(i =>
+      i -> (s"tok$i " * (i % 7 + 1).toInt).trim).toMap
+    // brute plan: sort by (md5(text), id), running sum, integer div
+    val orderKeyed = texts.toSeq
+      .map { case (i, t) => (md5hex(t), i, t.split("\\s+").length.toLong) }
+      .sortBy { case (h, i, _) => (h, i) }
+    val target = 16L
+    var cum = 0L
+    val want = orderKeyed.map { case (_, i, n) =>
+      cum += n; i -> ((cum - n) / target, n)
+    }.toMap
+    for (np <- Seq(1, 3, 8)) {
+      val got = Selection.shardPlan(docs, "doc_id", "text", target, np)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1)))
+        .toMap
+      assert(got == want, s"plan diverged at nPart=$np")
+    }
+    // a boundary doc belongs to the shard its FIRST token lands in, so
+    // a non-final shard can undershoot by at most maxNtok - 1 tokens
+    val maxNtok = orderKeyed.map(_._3).max
+    val perShard = want.values.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val last = perShard.keys.max
+    perShard.foreach { case (s, tot) =>
+      if (s != last) assert(tot >= target - (maxNtok - 1),
+        s"shard $s underfilled: $tot")
+    }
+  }
 }
