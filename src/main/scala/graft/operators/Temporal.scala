@@ -42,6 +42,41 @@ object Temporal {
     * they always come from the same event row, even when individual
     * payload fields are null.
     */
+  /** Merge overlapping (or touching) per-key intervals into maximal
+    * islands — interval-union coverage (the gaps-and-islands kernel):
+    * user activity windows, lease/hold spans, retention coverage —
+    * anywhere raw spans double-count time until unioned.
+    *
+    * Island detection is the running-max form: an interval starts a
+    * NEW island iff its start exceeds the max end of every earlier
+    * interval in its key (strictly — touching spans merge), and the
+    * island id is the running count of such starts. Both windows
+    * partition on the key, so the whole operator is one key-shuffle
+    * + two per-key window passes + one partial-agg group-by —
+    * per-key parallel, no global window, scale-safe as long as no
+    * single key holds a partition-breaking share of rows (the q62
+    * sessionize posture).
+    *
+    * `sCol`/`eCol` must be longs (any monotone encoding; ns here).
+    * Output: (key, island, start, end, n_spans) — end is the island's
+    * max end, islands number 1.. per key in start order.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, sCol: String,
+      eCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(sCol), col(eCol),
+      col(tieCol))
+    val prevMax = max(col(eCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMax.isNull || col(sCol) > prevMax, 1)
+      .otherwise(0)
+    df.withColumn("__nw", isNew)
+      .withColumn("island", sum(col("__nw")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(sCol)).as("start"), max(col(eCol)).as("end"),
+        count(lit(1)).as("n_spans"))
+  }
+
   def asOfJoin(probes: DataFrame, events: DataFrame,
       probeKey: String, eventKey: String,
       probeT: String, eventT: String, eventTie: String,

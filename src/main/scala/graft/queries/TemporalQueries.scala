@@ -316,5 +316,40 @@ object TemporalQueries {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), Query.dsum(col("value")).as("sum_val"))
           .orderBy("event_type"))
+  ,
+
+    // Per-user interval-union coverage (gaps-and-islands): each event
+    // opens a [ts, ts + value minutes) activity span; overlapping or
+    // touching spans merge into maximal islands (running-max-end
+    // detection, island = running count of new starts). µs contract,
+    // FLOOR'd duration (Spark double→long casts truncate, DuckDB's
+    // round — FLOOR on both sides pins the same integer).
+    Query("q210_interval_merge", Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(FLOOR(value * 60000000) AS BIGINT) AS en
+        |  FROM events),
+        |m AS (SELECT *, MAX(en) OVER (PARTITION BY user_id
+        |    ORDER BY s, en, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM e),
+        |g AS (SELECT *, SUM(CASE WHEN pme IS NULL OR s > pme
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY s, en, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  MIN(s) AS start, MAX(en) AS "end", COUNT(*) AS n_spans
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin))(
+      (s, dir) =>
+        Temporal.mergeIntervals(
+            t(s, dir, "events").select(col("user_id"), col("event_id"),
+              tsUs.as("s"),
+              (tsUs + floor(col("value") * lit(60000000L)).cast("long"))
+                .as("en")),
+            "user_id", "s", "en", "event_id")
+          .select(col("user_id"), col("island").cast("long").as("island"),
+            col("start"), col("end"), col("n_spans"))
+          .orderBy("user_id", "island"))
   )
 }

@@ -358,4 +358,27 @@ class TemporalSpec extends SparkSpec {
     assert(out(0L)._2 == 1L && out(0L)._1 == 4L)
     assert(out(1L) == ((2L, 2L, 0.0)))
   }
+
+  test("mergeIntervals: overlaps and touches merge, gaps split, keys " +
+      "are independent, containment folds in") {
+    val spans = Seq(
+      // user 1: [0,10)+[5,15) overlap, [15,20) touches -> one island;
+      // [21,25) gaps -> second island; [22,23) contained in it
+      (1L, 100L, 0L, 10L), (1L, 101L, 5L, 15L), (1L, 102L, 15L, 20L),
+      (1L, 103L, 21L, 25L), (1L, 104L, 22L, 23L),
+      // user 2: same instants as user 1 but its own islands
+      (2L, 200L, 0L, 2L), (2L, 201L, 50L, 60L)
+    ).toDF("user_id", "event_id", "s", "en")
+    val got = Temporal.mergeIntervals(spans, "user_id", "s", "en",
+        "event_id")
+      .orderBy("user_id", "island")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 20L, 3L),
+      (1L, 2L, 21L, 25L, 2L),
+      (2L, 1L, 0L, 2L, 1L),
+      (2L, 2L, 50L, 60L, 1L)))
+  }
 }
