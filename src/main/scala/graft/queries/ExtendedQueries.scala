@@ -122,8 +122,13 @@ object ExtendedQueries {
   private def ivfpqIndexPath(s: SparkSession, dir: String): String =
     ivfpqIdxCache.get(s, dir) {
       val p = newIdxDir("graft_ivfpq_idx")
+      // m=16 (4-d subspaces): near-uniform synthetic vectors are PQ's
+      // declared worst case (q117 note), and the COMPOSITE index
+      // compounds residual-quantization noise with IVF cell pruning —
+      // the finer subspace grid keeps the ADC shortlist honest at
+      // every verify scale while still compressing 16× vs float32
       Similarity.buildIvfPqIndex(t(s, dir, "embeddings"), "embedding",
-        "vec_id", p, nClusters = 16, m = 8, ksub = 16)
+        "vec_id", p, nClusters = 16, m = 16, ksub = 16)
       p
     }
   private val graphIdxCache = new graft.SessionCache[String]
@@ -1636,7 +1641,7 @@ object ExtendedQueries {
       (s, dir) => {
         val got = Similarity.ivfPqTopKIndexed(s, ivfpqIndexPath(s, dir),
           t(s, dir, "embeddings"), "embedding", "vec_id",
-          queryVec(s, dir), k = 10, nProbe = 6, shortlist = 100)
+          queryVec(s, dir), k = 10, nProbe = 10, shortlist = 150)
         val exact = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
           "embedding", "vec_id", queryVec(s, dir), k = 10)
         val overlap = got.select(col("vec_id"))
