@@ -334,6 +334,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lambdafunction"), p.take(1200))
   }
 
+  test("ivf-pq probe prunes cell partitions and reads codes, not " +
+      "vectors (q204)") {
+    val p = plan("q204_ann_ivfpq")
+    assert("PartitionFilters: \\[cell.* IN ".r.findFirstIn(p).isDefined,
+      p.take(1200))
+    // the pruned compressed scan projects only (id, codes) — the
+    // 32x-smaller read is the index's whole point
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+      p.take(1200))
+  }
+
+  test("impact retrieval prunes term buckets AND pushes the term " +
+      "IN-filter into the postings scan (q205)") {
+    val p = plan("q205_retrieval_topk")
+    assert("PartitionFilters: \\[tb.* IN ".r.findFirstIn(p).isDefined,
+      p.take(1200))
+    assert(p.contains("PushedFilters: [In(term"), p.take(1200))
+  }
+
+  test("shard plan's corpus cumsum rides per-partition windows, " +
+      "never a corpus-sized single-partition window (q209)") {
+    val p = plan("q209_shard_plan")
+    // the corpus-side running sum is partitioned on __pid...
+    assert(p.contains("windowspecdefinition(__pid"), p.take(1500))
+    // ...and the one SinglePartition window ranks only the bounded
+    // per-partition offsets aggregate, whose input is the hash agg
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      p.take(1500))
+  }
+
+  test("interval merge computes both windows in one per-key pass and " +
+      "shuffles the corpus once (q210)") {
+    val p = plan("q210_interval_merge")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(1500))
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
