@@ -1163,6 +1163,69 @@ object Similarity {
       spark.read.parquet(s"$path/_codebooks").collect())
   }
 
+  /** INCREMENTAL DELTA INSERT into a persisted IVF-PQ index — the
+    * fifth index family in the maintenance matrix (minhash q104,
+    * winnow q182, graph q188, IVF q203, IVF-PQ here). Like IVF, both
+    * quantizers are FROZEN metadata (`_centroids`, `_codebooks` —
+    * deliberately not retrained on delta, standard PQ maintenance),
+    * so the base layout transfers by file copy, and the delta alone
+    * runs once through the builder's exact cell-assignment + residual
+    * PQ-encode expressions and appends into its cell directories —
+    * cost ∝ |delta|. The refreshed index IS an IVF-PQ index, read by
+    * [[ivfPqTopKIndexed]] unchanged.
+    */
+  def deltaInsertIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, delta: DataFrame, embCol: String, idCol: String,
+      path: String, writeTasks: Int = 4): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(basePath)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      fs, dst, false, conf)
+    val centroids = indexMeta(spark, s"$path/_centroids")
+      .map(r => r.getAs[Int]("i") -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).map(_._2)
+    require(delta.schema(embCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"delta $embCol must be an array column")
+    // dims guard: a mismatched delta would zip_with into nulls and
+    // encode garbage codes silently — fail loudly instead
+    delta.limit(1).select(size(col(embCol))).collect().foreach { r =>
+      require(r.getInt(0) == centroids.head.size,
+        s"delta $embCol has ${r.getInt(0)} dims but the index was " +
+          s"built for ${centroids.head.size}")
+    }
+    val cbRows = indexMeta(spark, s"$path/_codebooks")
+    val codebooks: Seq[Seq[Seq[Double]]] = cbRows
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("i"),
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val v = toDouble(col(embCol))
+    def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
+    val cellExpr = array_min(array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct((lit(sq(c)) - lit(2.0) * dot(v, typedlit(c))).as("d"),
+          lit(i).as("i"))
+    }: _*)).getField("i")
+    val centLit = typedlit(centroids.map(_.toSeq))
+    val assigned = delta.select(col(idCol), v.as("__v"),
+      cellExpr.as("cell"))
+    val resid = zip_with(col("__v"), element_at(centLit, col("cell") + 1),
+      (a, b) => a - b)
+    assigned.select(col(idCol), pqCode(resid, codebooks).as("codes"),
+        col("cell"))
+      .repartition(writeTasks)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    idxFrameCache.put(spark, path, spark.read.parquet(path))
+    idxMetaCache.put(spark, s"$path/_centroids",
+      spark.read.parquet(s"$path/_centroids").collect())
+    idxMetaCache.put(spark, s"$path/_codebooks",
+      spark.read.parquet(s"$path/_codebooks").collect())
+  }
+
   /** Probe the fused IVF-PQ index: rank cells on the driver against
     * the bounded `_centroids`, scan ONLY the `nProbe` nearest cell
     * partitions, and ADC-score their codes. Because codes quantize

@@ -176,19 +176,36 @@ object ExtendedQueries {
     * untouched for q49.
     */
   private val ivfDeltaCache = new graft.SessionCache[String]
+  private def ivfDeltaFrame(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      .unionAll(emb.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding")))
+  }
   private def ivfDeltaIndexPath(s: SparkSession, dir: String): String =
     ivfDeltaCache.get(s, dir) {
       val base = ivfIndexPath(s, dir)
       val p = newIdxDir("graft_ivf_delta_idx")
-      val emb = t(s, dir, "embeddings")
-      val delta = emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
-        .unionAll(emb.filter(col("vec_id") % 10 === 5)
-          .select((col("vec_id") + 3000000L).as("vec_id"),
-            transform(col("embedding"),
-              (x, i) => when(i === 0, -x).otherwise(x)).as("embedding")))
-      Similarity.deltaInsertIvfIndex(s, base, delta, "embedding",
-        "vec_id", p)
+      Similarity.deltaInsertIvfIndex(s, base, ivfDeltaFrame(s, dir),
+        "embedding", "vec_id", p)
+      p
+    }
+
+  /** The q211 REFRESHED IVF-PQ index: the q203 delta convention
+    * inserted incrementally (frozen quantizers, file-copied base,
+    * delta-only encode) into the q204 base. Insert timed in q211's
+    * first session run; base untouched for q204.
+    */
+  private val ivfpqDeltaCache = new graft.SessionCache[String]
+  private def ivfpqDeltaIndexPath(s: SparkSession, dir: String): String =
+    ivfpqDeltaCache.get(s, dir) {
+      val base = ivfpqIndexPath(s, dir)
+      val p = newIdxDir("graft_ivfpq_delta_idx")
+      Similarity.deltaInsertIvfPqIndex(s, base, ivfDeltaFrame(s, dir),
+        "embedding", "vec_id", p)
       p
     }
 
@@ -1718,6 +1735,53 @@ object ExtendedQueries {
       (s, dir) =>
         Similarity.mmrDiversify(t(s, dir, "embeddings"), "embedding",
           "vec_id", queryVec(s, dir), kCand = 20, kOut = 8))
+  ,
+
+    // IVF-PQ incremental delta insert — the FIFTH index family in the
+    // maintenance matrix (minhash q104, winnow q182, graph q188, IVF
+    // q203, IVF-PQ q211): both quantizers are frozen metadata, so the
+    // base file-copies, the delta alone encodes (cell assignment +
+    // residual PQ codes, cost ∝ |delta|), and the unchanged q204
+    // probe reads the refreshed index. Contract oracle over corpus ∪
+    // delta (the q203 union, q204's recall form).
+    Query("q211_ann_ivfpq_delta", Some(
+      """WITH uni AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 3000000,
+        |    [CASE WHEN i = 1 THEN -dv[i] ELSE dv[i] END
+        |     FOR i IN generate_series(1, len(dv))]
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+        |        FROM embeddings)
+        |  WHERE vec_id % 10 = 5),
+        |topk AS (
+        |  SELECT vec_id FROM (
+        |    SELECT u.vec_id, ROUND(list_cosine_similarity(u.v,
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS score
+        |    FROM uni u ORDER BY score DESC, vec_id LIMIT 10))
+        |SELECT CAST(10 AS BIGINT) AS n_returned,
+        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_true,
+        |  true AS recall_ok""".stripMargin))(
+      (s, dir) => {
+        val uni = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .unionAll(ivfDeltaFrame(s, dir))
+        val got = Similarity.ivfPqTopKIndexed(s, ivfpqDeltaIndexPath(s, dir),
+          uni, "embedding", "vec_id", queryVec(s, dir), k = 10,
+          nProbe = 10, shortlist = 150)
+        val exact = Similarity.bruteForceTopK(uni, "embedding", "vec_id",
+          queryVec(s, dir), k = 10)
+        val overlap = got.select(col("vec_id"))
+          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        got.agg(count(lit(1)).as("n_returned"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
+          .crossJoin(overlap.agg((count(lit(1)) >= 8).as("recall_ok")))
+      })
   )
 
   /** Oracle SQL for q207 — the greedy MMR selection unrolled to

@@ -403,6 +403,54 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (id, s) => assert(s == exactById(id)) }
   }
 
+  test("IVF-PQ delta insert: counts additive, base untouched, twin " +
+      "deltas encode identically to their base rows, full probe == " +
+      "brute force over the union, dims guard") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqbase").toString
+    Similarity.buildIvfPqIndex(emb, "embedding", "vec_id", idx,
+      nClusters = 8, m = 8, ksub = 16)
+    val baseRows = spark.read.parquet(idx).count()
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val refreshed =
+      java.nio.file.Files.createTempDirectory("ivfpqdelta").toString
+    Similarity.deltaInsertIvfPqIndex(spark, idx, delta, "embedding",
+      "vec_id", refreshed)
+    assert(spark.read.parquet(refreshed).count() ==
+      baseRows + delta.count())
+    assert(spark.read.parquet(idx).count() == baseRows)
+    // frozen quantizers: an exact-twin delta row must land in the same
+    // cell with the same codes as its base original
+    val ref = spark.read.parquet(refreshed)
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val mismatch = ref.filter(col("vec_id") >= 100000L)
+      .select((col("vec_id") - 100000L).as("vec_id"),
+        col("cell").as("dc"), col("codes").as("dcodes"))
+      .join(ref.filter(col("vec_id") < 100000L), "vec_id")
+      .filter(col("dc") =!= col("cell") || col("dcodes") =!= col("codes"))
+      .count()
+    assert(mismatch == 0L, "twin delta rows re-encoded differently")
+    // all-cells unbounded-shortlist probe == brute force over the union
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val uni = emb.select(col("vec_id"), col("embedding")).unionAll(delta)
+    val brute = Similarity.bruteForceTopK(uni, "embedding", "vec_id",
+      q, 10).as[(Long, Double)].collect().toSeq
+    val probe = Similarity.ivfPqTopKIndexed(spark, refreshed, uni,
+        "embedding", "vec_id", q, 10, nProbe = 8,
+        shortlist = uni.count().toInt)
+      .as[(Long, Double)].collect().toSeq
+    assert(probe == brute)
+    intercept[IllegalArgumentException] {
+      Similarity.deltaInsertIvfPqIndex(spark, idx,
+        delta.select(col("vec_id"), slice(col("embedding"), 1, 8)
+          .as("embedding")),
+        "embedding", "vec_id",
+        java.nio.file.Files.createTempDirectory("ivfpqbad").toString)
+    }
+  }
+
   test("mmrDiversify: duplicate is demoted behind a diverse pick, " +
       "rel ties break on id, kCand caps the candidate pool") {
     // q = (1,0,0); two identical high-rel vectors, one diverse mid-rel,
