@@ -216,6 +216,51 @@ object Drift {
     * Output per bucket: (`bucket`, `n_events`, `cusum` 6-decimal,
     * `alarm` = cusum > thresholdSigma·σ).
     */
+  /** Autocorrelation of the per-bucket count series at lags 1..`maxLag`
+    * — the SEASONALITY census beside [[cusumCounts]]'s level-shift
+    * alarm: a strong lag-7 spike on daily counts is weekly
+    * periodicity, and a monitor that alarms on it as "drift" is
+    * miscalibrated. ACF(k) = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² over the
+    * positionally-indexed observed series.
+    *
+    * Scale shape: everything beyond the one count shuffle runs on the
+    * BOUNDED bucket frame (the q202 posture) — deviations from exact
+    * integer sums, one broadcast-lag equi-join (never a corpus
+    * self-join), numerator/denominator summed as decimal(38,12)
+    * fixed-point so partial-aggregation order can't move the 6th
+    * decimal (a day of 100× data makes d² ~10⁹ — decimal(18,12)
+    * would overflow, 38 won't).
+    */
+  def acfCounts(df: DataFrame, bucket: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val g = counts.agg(count(lit(1)).as("nb"), sum(col("n")).as("s1"))
+    val w = Window.orderBy("bucket")
+    val dev = counts.crossJoin(broadcast(g))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("d",
+        col("n").cast("double") - col("s1").cast("double") / col("nb"))
+      .select("idx", "d")
+    val denom = dev.agg(
+      sum((col("d") * col("d")).cast("decimal(38,12)")).as("den"))
+    val lagDf = (1 to maxLag).toDF("lag")
+    dev.as("a").crossJoin(broadcast(lagDf))
+      .join(dev.select(col("idx").as("idx2"), col("d").as("d2")),
+        col("idx2") === col("idx") + col("lag"))
+      .groupBy("lag")
+      .agg(sum((col("d") * col("d2")).cast("decimal(38,12)")).as("num"),
+        count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag").cast("long").as("lag"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"),
+        col("n_pairs"))
+      .orderBy("lag")
+  }
+
   def cusumCounts(df: DataFrame, bucket: Column,
       thresholdSigma: Double = 3.0): DataFrame = {
     val counts = df.groupBy(bucket.as("bucket"))

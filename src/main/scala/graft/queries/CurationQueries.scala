@@ -917,5 +917,34 @@ object CurationQueries {
         Drift.cusumCounts(t(s, dir, "events"),
             expr("ts div 86400000000000"))
           .orderBy("bucket"))
+  ,
+
+    // Autocorrelation of the daily event-count series at lags 1..7 —
+    // the seasonality census beside q202's CUSUM level alarm (a lag-7
+    // spike is weekly periodicity, not drift). Everything beyond the
+    // one count shuffle runs on the bounded day frame; numerator and
+    // denominator sum as decimal(38,12) fixed-point so aggregation
+    // order can't move the 6th decimal at any scale.
+    Query("q212_acf", Some(
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |    COUNT(*) AS n FROM events GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS nb, SUM(n) AS s1 FROM c),
+        |dev AS (SELECT ROW_NUMBER() OVER (ORDER BY bucket) AS idx,
+        |    CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nb AS d
+        |  FROM c CROSS JOIN g),
+        |den AS (SELECT SUM(CAST(d * d AS DECIMAL(38,12))) AS den
+        |  FROM dev),
+        |l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |p AS (SELECT l.lag, SUM(CAST(a.d * b.d AS DECIMAL(38,12))) AS num,
+        |    COUNT(*) AS n_pairs
+        |  FROM dev a CROSS JOIN l JOIN dev b ON b.idx = a.idx + l.lag
+        |  GROUP BY l.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf,
+        |  n_pairs
+        |FROM p CROSS JOIN den ORDER BY lag""".stripMargin))(
+      (s, dir) =>
+        Drift.acfCounts(t(s, dir, "events"),
+          expr("ts div 86400000000000"), maxLag = 7))
   )
 }

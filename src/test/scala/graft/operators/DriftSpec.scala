@@ -134,4 +134,20 @@ class DriftSpec extends SparkSpec {
     // the shift, not any single bucket, crosses the line
     assert(!got(6)._4 && got(9)._4)
   }
+
+  test("acfCounts: hand-computed ACF of an alternating series — " +
+      "odd lags negative, even lags positive") {
+    // counts per bucket: 2,1,2,1,2,1 → mean 1.5, d = ±0.5 alternating
+    // denom = 6·0.25 = 1.5; lag1: 5·(−0.25) → −5/6; lag2: 4·0.25 →
+    // 2/3; lag3: 3·(−0.25) → −0.5
+    val df = Seq(1, 1, 2, 3, 3, 4, 5, 5, 6).toDF("b")
+    val got = Drift.acfCounts(df, col("b"), maxLag = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (1L, r6(-1.25 / 1.5), 5L),
+      (2L, r6(1.0 / 1.5), 4L),
+      (3L, r6(-0.75 / 1.5), 3L)))
+  }
 }
