@@ -17,6 +17,78 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Poisson(1) CDF thresholds as exact uint32 cut points — the ONE
+    * source of truth for [[poissonBootstrapCI]]'s weight ladder and
+    * its generated oracle SQL (both engines compare the same integer
+    * to the same literals; no float CDF at query time).
+    */
+  val poissonThresholds32: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    // cdf_k = e^-1 · Σ_{i≤k} 1/i!, the partial sums accumulated in
+    // sequence so the doubles are reproducible
+    var term = 1.0
+    var acc = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) term /= k
+      acc += term
+      math.floor(acc * e1 * 4294967296.0).toLong
+    }
+  }
+
+  /** POISSON BOOTSTRAP confidence intervals for the per-group mean —
+    * the resampling form that survives 100 TB (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams"): classic
+    * bootstrap draws n rows WITH replacement per replicate (un-
+    * shardable — a resample needs global coordination); the Poisson
+    * form gives every (row, replicate) an independent Poisson(1)
+    * weight, so all `reps` replicates ride ONE pass as a weighted
+    * partial-agg — embarrassingly parallel, mergeable, deterministic
+    * here via md5(row:replicate) uint32 draws against integer CDF cut
+    * points (engine-portable; no RNG state).
+    *
+    * Replicate means use exact decimal weighted sums (float partial-
+    * agg order can't move them); the CI is rank-based over the
+    * BOUNDED (group × reps) frame — 2nd smallest / 2nd largest
+    * replicate mean (≈ the 2.5/97.5 band at reps=64) with the
+    * replicate id as tie-break, portable where interpolating
+    * percentile definitions differ per engine.
+    */
+  def poissonBootstrapCI(df: DataFrame, groupCol: Column, keyCol: Column,
+      vCol: Column, reps: Int = 64): DataFrame = {
+    require(reps >= 4, s"need at least 4 replicates, got $reps")
+    import org.apache.spark.sql.expressions.Window
+    val u32 = conv(substring(
+      md5(concat(col("__k").cast("string"), lit(":"), col("__b"))), 1, 8),
+      16, 10).cast("long")
+    val w = poissonThresholds32.zipWithIndex.foldRight(
+      lit(poissonThresholds32.size): Column) { case ((t, k), rest) =>
+      when(u32 < lit(t), lit(k)).otherwise(rest)
+    }
+    val perRep = df
+      .select(groupCol.as("group"), keyCol.as("__k"), vCol.as("__v"))
+      .withColumn("__b", explode(typedlit((0 until reps).toList)))
+      .groupBy(col("group"), col("__b"))
+      .agg(sum(col("__v").cast("decimal(18,2)") * w).as("__num"),
+        sum(w).as("__den"))
+      .withColumn("__mean",
+        col("__num").cast("double") / col("__den"))
+    val rk = Window.partitionBy("group").orderBy(col("__mean"), col("__b"))
+    val stats = df.select(groupCol.as("group"), vCol.as("__v"))
+      .groupBy("group")
+      .agg((sum(col("__v").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("mean"))
+    perRep
+      .withColumn("__rn", row_number().over(rk))
+      .groupBy("group")
+      .agg(round(min(when(col("__rn") === 2, col("__mean"))), 6)
+          .as("ci_lo"),
+        round(min(when(col("__rn") === reps - 1, col("__mean"))), 6)
+          .as("ci_hi"))
+      .join(stats, "group")
+      .select(col("group"), round(col("mean"), 6).as("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     // positional aliases, NOT the user-supplied names: a display name

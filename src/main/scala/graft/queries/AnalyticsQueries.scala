@@ -1053,7 +1053,56 @@ object AnalyticsQueries {
           .distinct().orderBy("v").limit(5)
         Dedup.bfsHops(edges, "pa", "pb", seeds).orderBy("node")
       })
+  ,
+
+    // Poisson bootstrap CIs for the per-type mean event value — the
+    // resampling form that survives 100 TB (classic bootstrap resamples
+    // globally; Poisson weights make all 64 replicates ride ONE
+    // weighted partial-agg pass). Draws are md5(row:replicate) uint32s
+    // against integer Poisson(1) CDF cut points shared verbatim with
+    // the oracle (Profiling.poissonThresholds32 — one source of
+    // truth), so both engines weight every row identically.
+    Query("q213_bootstrap_ci", Some(bootstrapOracleSql(reps = 64)))(
+      (s, dir) =>
+        Profiling.poissonBootstrapCI(t(s, dir, "events"),
+            col("event_type"), col("event_id"), col("value"), reps = 64)
+          .orderBy("group"))
   )
+
+  /** Oracle SQL for q213 — the weight ladder is generated from the
+    * SAME integer thresholds the engine compares against
+    * ([[graft.operators.Profiling.poissonThresholds32]]).
+    */
+  private def bootstrapOracleSql(reps: Int): String = {
+    val ts = Profiling.poissonThresholds32
+    val ladder = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    val w = s"(CASE $ladder ELSE ${ts.size} END)"
+    s"""WITH b AS (SELECT unnest(generate_series(0, ${reps - 1})) AS b),
+       |x AS (SELECT event_type, value, b,
+       |    ('0x' || substring(md5(event_id || ':' || b), 1, 8))::BIGINT
+       |      AS u
+       |  FROM events CROSS JOIN b),
+       |wx AS (SELECT event_type, b,
+       |    SUM(CAST(value AS DECIMAL(18,2)) * $w) AS num,
+       |    SUM($w) AS den
+       |  FROM x GROUP BY 1, 2),
+       |m AS (SELECT event_type, b, CAST(num AS DOUBLE) / den AS mean_b,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY CAST(num AS DOUBLE) / den, b) AS rn
+       |  FROM wx),
+       |ci AS (SELECT event_type,
+       |    ROUND(MIN(CASE WHEN rn = 2 THEN mean_b END), 6) AS ci_lo,
+       |    ROUND(MIN(CASE WHEN rn = ${reps - 1} THEN mean_b END), 6)
+       |      AS ci_hi
+       |  FROM m GROUP BY 1),
+       |st AS (SELECT event_type,
+       |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |      / COUNT(*), 6) AS mean
+       |  FROM events GROUP BY 1)
+       |SELECT event_type AS "group", st.mean, ci.ci_lo, ci.ci_hi
+       |FROM ci JOIN st USING (event_type) ORDER BY event_type""".stripMargin
+  }
 
   /** Oracle SQL for q199: the co-purchase edge reconstruction (the
     * q187 convention) + `rounds` UNROLLED peel stages — each stage

@@ -57,6 +57,35 @@ class ProfilingSpec extends SparkSpec {
       .head().getLong(1) == 1L)
   }
 
+  test("poissonBootstrapCI: thresholds are a valid Poisson(1) CDF " +
+      "ladder and a constant group collapses to a zero-width CI") {
+    val ts = Profiling.poissonThresholds32
+    assert(ts.size == 8)
+    assert(ts == ts.sorted && ts.distinct == ts, "CDF cut points monotone")
+    // P(W=0) = e^-1: the first cut point sits at e^-1 of uint32 space
+    assert(math.abs(ts.head / 4294967296.0 - math.exp(-1.0)) < 1e-9)
+    // cdf_7 ≈ 0.99999 — the ladder covers all but ~1e-5 of the space
+    assert(ts.last / 4294967296.0 > 0.99998)
+
+    // a constant-valued group: every replicate's weighted mean is the
+    // constant (weights cancel), so the CI is exactly zero-width
+    val df = ((1 to 60).map(i => ("a", s"k$i", 5.0)) ++
+      (1 to 60).map(i => ("b", s"k$i", if (i % 2 == 0) 0.0 else 10.0)))
+      .toDF("g", "id", "v")
+    val r = Profiling.poissonBootstrapCI(df, col("g"), col("id"), col("v"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r("a") == ((5.0, 5.0, 5.0)))
+    // mixed group: a real band that brackets the point estimate, and the
+    // whole statistic is md5-deterministic (rerun is bit-identical)
+    val (m, lo, hi) = r("b")
+    assert(m == 5.0 && lo < hi && lo <= m && m <= hi, s"($m,$lo,$hi)")
+    val r2 = Profiling.poissonBootstrapCI(df, col("g"), col("id"), col("v"))
+      .collect().map(x => (x.getString(0), x.getDouble(2), x.getDouble(3)))
+      .toSet
+    assert(r2 == Set(("a", 5.0, 5.0), ("b", lo, hi)))
+  }
+
   test("iqrOutliers: Tukey fences flag the planted extremes per group") {
     // group a: 1..11 plus outliers -100 and +100. quantile_cont over
     // the 13 sorted values interpolates at index 0.25·12 = 3 → q1 = 3
