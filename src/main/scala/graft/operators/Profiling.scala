@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.KmvAgg
+
 /** Column-level profiling — the "analyze table" shape every curation
   * dashboard starts from: null counts, distinct cardinality, and
   * min/max per column, one output row per column.
@@ -192,6 +194,100 @@ object Profiling {
     * back onto the rows — a 100 TB fact side never shuffles for the
     * flagging pass.
     */
+  /** KMV distinct-cardinality census: per-group bottom-k sketches
+    * (see [[graft.functions.KmvAgg]]) plus an `ALL` row whose sketch
+    * is MERGED from the per-group sketches — the union algebra that
+    * makes the estimator a rollup-able cube measure (the k smallest
+    * of the groups' k-smallest sets IS the union's k smallest, so
+    * merge loses nothing). `hashCol` must be a uint32 draw (longs in
+    * [0, 2³²), e.g. the repo's md5-prefix convention); the estimate
+    * is exact-by-size below k and (k−1)·2³²/u_k above it, both
+    * engine-portable arithmetic. The exact distinct count rides along
+    * for the error column the census reader wants.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: Column, hashCol: Column,
+      k: Int, allLabel: String = "ALL"): DataFrame = {
+    val est = round(
+      when(size(col("__sk")) < k, size(col("__sk")).cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+          element_at(col("__sk"), k).cast("double")), 4).as("est")
+    val base = df.select(groupCol.cast("string").as("group"),
+      hashCol.as("__h"))
+    val per = base.groupBy("group")
+      .agg(KmvAgg.kmvSketch(k)(col("__h")).as("__sk"),
+        count_distinct(col("__h")).as("exact"))
+    val merged = per.select(explode(col("__sk")).as("__h"))
+      .agg(KmvAgg.kmvSketch(k)(col("__h")).as("__sk"))
+    val exactAll = base.agg(count_distinct(col("__h")).as("exact"))
+    val allRow = merged.crossJoin(exactAll)
+      .select(lit(allLabel).as("group"), col("__sk"), col("exact"))
+    per.select(col("group"), col("__sk"), col("exact"))
+      .unionAll(allRow)
+      .select(col("group"), col("exact"),
+        size(col("__sk")).as("sketch_size"), est)
+  }
+
+  /** MUTUAL INFORMATION census between two categorical columns — the
+    * dependence number behind feature selection and leakage triage
+    * (chi-square q125 answers "independent?"; MI answers "how many
+    * nats does knowing X buy about Y"). One corpus shuffle builds the
+    * joint contingency counts; margins, entropies, and the MI sum all
+    * derive from that BOUNDED cell frame (|X|·|Y| rows), so corpus
+    * size touches exactly one aggregation. All terms are BIGINT-count
+    * ratios pushed through the same `ln` chain in both engines;
+    * normalized MI = MI/√(H(x)·H(y)) from the unrounded parts.
+    */
+  def mutualInformation(df: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val joint = df.groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("c"))
+    val xm = joint.groupBy("x").agg(sum("c").as("rx"))
+    val ym = joint.groupBy("y").agg(sum("c").as("cy"))
+    val n = joint.agg(sum("c").as("n"))
+    val mi = joint.join(broadcast(xm), "x").join(broadcast(ym), "y")
+      .crossJoin(broadcast(n))
+      .agg(sum((col("c") / col("n")) *
+          log((col("c") * col("n")).cast("double") /
+            (col("rx") * col("cy")))).as("mi"),
+        count(lit(1)).as("cells"), first(col("n")).as("n"))
+    val hx = xm.crossJoin(broadcast(n))
+      .agg((-sum((col("rx") / col("n")) * log(col("rx") / col("n"))))
+        .as("hx"))
+    val hy = ym.crossJoin(broadcast(n))
+      .agg((-sum((col("cy") / col("n")) * log(col("cy") / col("n"))))
+        .as("hy"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(col("n"), col("cells"), round(col("mi"), 6).as("mi"),
+        round(col("hx"), 6).as("hx"), round(col("hy"), 6).as("hy"),
+        round(col("mi") / sqrt(col("hx") * col("hy")), 6).as("nmi"))
+  }
+
+  /** APPROXIMATE FUNCTIONAL DEPENDENCY discovery over declared
+    * candidate pairs — the data-profiling primitive behind key
+    * detection and schema-drift triage (Kivinen & Mannila's g3: the
+    * fraction of rows that must be removed for lhs → rhs to hold;
+    * confidence = 1 − g3/n = Σ_lhs max_rhs cnt / n). Each pair costs
+    * ONE (lhs, rhs) count shuffle; the per-lhs argmax and the global
+    * ratio ride the partial-agg output, and the census rows union
+    * into one bounded frame.
+    */
+  def fdConfidence(pairs: Seq[(String, DataFrame, Column, Column)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "declare at least one candidate FD")
+    pairs.map { case (name, df, lhs, rhs) =>
+      df.groupBy(lhs.as("__l"), rhs.as("__r"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("__l")
+        .agg(max("__c").as("__mx"), sum("__c").as("__tot"))
+        .agg(sum("__tot").as("n"), count(lit(1)).as("distinct_lhs"),
+          (sum("__tot") - sum("__mx")).as("violations"),
+          round(sum("__mx") / sum("__tot"), 6).as("conf"))
+        .select(lit(name).as("fd"), col("n"), col("distinct_lhs"),
+          col("violations"), col("conf"),
+          (col("violations") === 0L).as("holds"))
+    }.reduce(_.unionAll(_))
+  }
+
   def iqrOutliers(df: DataFrame, groupCols: Seq[String], v: Column,
       k: Double = 1.5): DataFrame = {
     val fences = df.groupBy(groupCols.map(col): _*)

@@ -440,4 +440,48 @@ object Temporal {
             floor(exp(col("__q9s").cast("double") / 1e9) * 1e6 + 0.5) / 1e6)
           .as("surv"))
   }
+
+  /** STATIONARY DISTRIBUTION of a first-order transition chain (the
+    * equilibrium the q124 matrix converges to — where user journeys
+    * spend their time, the calibration number under next-event
+    * priors): power iteration π ← πP from uniform, `rounds` steps.
+    *
+    * The transition-count frame is the output of one corpus shuffle
+    * (the caller builds it; q124's lag-and-count); the matrix itself
+    * is |states|² cells — codebook-class DRIVER metadata like the
+    * IVF/PQ centroids, so the iteration is a bounded local loop, not
+    * `rounds` distributed joins over a 25-cell frame. The chain is
+    * restricted to states with outgoing mass (next ∈ prev-set) BEFORE
+    * row normalization, so probability never leaks into absorbing
+    * sinks and every π sums to 1 at every round. Inner sums run in
+    * ascending state order — the deterministic chain the oracle's
+    * unrolled stages reproduce within the 6-decimal round.
+    */
+  def stationaryDistribution(transitions: DataFrame, prevCol: String,
+      nextCol: String, cntCol: String, rounds: Int = 12): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val cells = transitions
+      .select(col(prevCol).cast("string"), col(nextCol).cast("string"),
+        col(cntCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= 10000,
+      s"${cells.length} transition cells — not a bounded state space")
+    val states = cells.map(_._1).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val kept = cells.filter(c => idx.contains(c._2))
+    val tot = kept.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = Array.ofDim[Double](states.length, states.length)
+    kept.foreach { case (a, b, c) => p(idx(a))(idx(b)) = c.toDouble / tot(a) }
+    var pi = Array.fill(states.length)(1.0 / states.length)
+    (1 to rounds).foreach { _ =>
+      val next = Array.ofDim[Double](states.length)
+      for (i <- states.indices; j <- states.indices)
+        next(j) += pi(i) * p(i)(j)
+      pi = next
+    }
+    val spark = transitions.sparkSession
+    import spark.implicits._
+    states.zip(pi).toSeq.toDF("state", "__pi")
+      .select(col("state"), round(col("__pi"), 6).as("pi"))
+  }
 }

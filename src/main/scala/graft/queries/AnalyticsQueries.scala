@@ -1067,7 +1067,190 @@ object AnalyticsQueries {
         Profiling.poissonBootstrapCI(t(s, dir, "events"),
             col("event_type"), col("event_id"), col("value"), reps = 64)
           .orderBy("group"))
+  ,
+
+    // Mutual information between document language and source — the
+    // dependence census beside q125's chi-square verdict (MI says how
+    // many NATS knowing the source buys about the language — the
+    // feature-selection / leakage-triage number). One corpus shuffle
+    // builds the joint counts; margins, entropies, and the MI sum all
+    // ride that bounded |lang|×|source| cell frame.
+    Query("q214_mutual_info", Some(
+      """WITH j AS (SELECT lang AS x, source AS y, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |xm AS (SELECT x, CAST(SUM(c) AS BIGINT) AS rx FROM j GROUP BY 1),
+        |ym AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+        |mi AS (SELECT SUM((c / n) * ln(CAST(c * n AS DOUBLE) / (rx * cy)))
+        |    AS mi, COUNT(*) AS cells
+        |  FROM j JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN t),
+        |hx AS (SELECT -SUM((rx / n) * ln(rx / n)) AS hx
+        |  FROM xm CROSS JOIN t),
+        |hy AS (SELECT -SUM((cy / n) * ln(cy / n)) AS hy
+        |  FROM ym CROSS JOIN t)
+        |SELECT t.n, mi.cells, ROUND(mi.mi, 6) AS mi,
+        |  ROUND(hx.hx, 6) AS hx, ROUND(hy.hy, 6) AS hy,
+        |  ROUND(mi.mi / sqrt(hx.hx * hy.hy), 6) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN t""".stripMargin))(
+      (s, dir) =>
+        Profiling.mutualInformation(t(s, dir, "documents"),
+          col("lang"), col("source"))),
+
+    // KMV bottom-k distinct sketch: per-event-type distinct user-days
+    // plus an ALL row MERGED from the per-group sketches (the union
+    // algebra q149's HLL rollup demonstrates) — but where HLL's
+    // register hashing is engine-private so its oracle can only bound
+    // the error, the KMV sketch over md5-uint32 draws is order-
+    // invariant and engine-portable, so DuckDB reproduces the sketch
+    // AND the estimate bit for bit. The typed Aggregator ships at most
+    // k longs per (partition, group) — partial/final like a sum.
+    Query("q215_kmv_distinct", Some(kmvOracleSql(k = 64)))(
+      (s, dir) => {
+        val d = t(s, dir, "events").select(col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            (tsUs.cast("long") / 86400000000L).cast("long")
+              .cast("string")).as("__key"))
+        val h = conv(substring(md5(col("__key")), 1, 8), 16, 10)
+          .cast("long")
+        Profiling.kmvDistinct(d, col("event_type"), h, k = 64)
+          .orderBy("group")
+      }),
+
+    // Stationary distribution of the q124 transition chain — the
+    // equilibrium share of each event type under the journey dynamics
+    // (the prior a next-event model calibrates against). The corpus
+    // pays one lag-and-count shuffle; the 5×5 matrix is codebook-class
+    // driver metadata, so the 12 power-iteration rounds are a bounded
+    // local loop, oracle-replayed as 12 unrolled MATERIALIZED stages.
+    Query("q216_markov_stationary", Some(stationaryOracleSql(rounds = 12)))(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        val tr = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), tsUs.as("tus"),
+            col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("cnt"))
+        Temporal.stationaryDistribution(tr, "prev", "next", "cnt",
+          rounds = 12).orderBy("state")
+      }),
+
+    // Approximate functional dependency discovery (Kivinen & Mannila
+    // g3) over five declared candidate FDs spanning four tables — the
+    // key-detection / schema-drift census: confidence = the largest
+    // row fraction consistent with lhs → rhs. Each pair costs one
+    // (lhs, rhs) count shuffle; everything downstream is partial-agg
+    // output unioned into a bounded census frame.
+    Query("q217_fd_discovery", Some(fdOracleSql))(
+      (s, dir) =>
+        Profiling.fdConfidence(Seq(
+          ("customer.c_nationkey->c_mktsegment", t(s, dir, "customer"),
+            col("c_nationkey"), col("c_mktsegment")),
+          ("documents.source->lang", t(s, dir, "documents"),
+            col("source"), col("lang")),
+          ("events.user_id->event_type", t(s, dir, "events"),
+            col("user_id"), col("event_type")),
+          ("lineitem.l_partkey->l_suppkey", t(s, dir, "lineitem"),
+            col("l_partkey"), col("l_suppkey")),
+          ("orders.o_custkey->o_orderpriority", t(s, dir, "orders"),
+            col("o_custkey"), col("o_orderpriority"))
+        )).orderBy("fd"))
   )
+
+  /** Oracle SQL for q215: the window-rank replay of the KMV sketch —
+    * the k smallest distinct hashes per group (and of the union for
+    * the ALL row; identical to merging the group sketches, since any
+    * global bottom-k member is in its own group's bottom-k). The
+    * (k−1)·2³² numerator is the same precomputed exact-integer double
+    * the engine divides by `u_k`.
+    */
+  private def kmvOracleSql(k: Int): String = {
+    val num = (k - 1).toDouble * 4294967296.0
+    s"""WITH d AS (SELECT event_type,
+       |    user_id || ':' || (epoch_us(ts) // 86400000000) AS key
+       |  FROM events),
+       |h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substring(md5(key), 1, 8))::BIGINT AS u FROM d),
+       |r AS (SELECT event_type, u,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM h),
+       |g AS (SELECT event_type AS grp, CAST(MAX(cnt) AS BIGINT) AS exact,
+       |    CAST(LEAST(MAX(cnt), $k) AS BIGINT) AS sketch_size,
+       |    MAX(CASE WHEN rn = $k THEN u END) AS hk FROM r GROUP BY 1),
+       |ar AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn,
+       |    COUNT(*) OVER () AS cnt FROM (SELECT DISTINCT u FROM h)),
+       |ag AS (SELECT 'ALL' AS grp, CAST(MAX(cnt) AS BIGINT) AS exact,
+       |    CAST(LEAST(MAX(cnt), $k) AS BIGINT) AS sketch_size,
+       |    MAX(CASE WHEN rn = $k THEN u END) AS hk FROM ar)
+       |SELECT grp AS "group", exact, sketch_size,
+       |  ROUND(CASE WHEN sketch_size < $k THEN CAST(sketch_size AS DOUBLE)
+       |    ELSE $num / hk END, 4) AS est
+       |FROM (SELECT * FROM g UNION ALL SELECT * FROM ag)
+       |ORDER BY "group"""".stripMargin
+  }
+
+  /** Oracle SQL for q216: the q124 chain restricted to states with
+    * outgoing mass (next ∈ prev-set) BEFORE row normalization, then
+    * `rounds` unrolled π ← πP stages (MATERIALIZED — DuckDB's default
+    * CTE inlining is exponential when a stage references its
+    * predecessor twice). Each stage LEFT-joins from the state list so
+    * a source state (no incoming edges) keeps an explicit 0 row,
+    * matching the engine's dense vector.
+    */
+  private def stationaryOracleSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""pi$r AS MATERIALIZED (SELECT st.state,
+         |  COALESCE(SUM(pi${r - 1}.pi * p.p), CAST(0 AS DOUBLE)) AS pi
+         |  FROM st LEFT JOIN p ON p.next = st.state
+         |  LEFT JOIN pi${r - 1} ON pi${r - 1}.state = p.prev
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events),
+       |c AS (SELECT prev, event_type AS next, COUNT(*) AS cnt
+       |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |st AS (SELECT DISTINCT prev AS state FROM c),
+       |c2 AS (SELECT c.* FROM c JOIN st ON st.state = c.next),
+       |p AS (SELECT prev, next,
+       |    cnt / SUM(cnt) OVER (PARTITION BY prev) AS p FROM c2),
+       |pi0 AS (SELECT state,
+       |    CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM st) AS pi FROM st),
+       |$stages
+       |SELECT state, ROUND(pi, 6) AS pi FROM pi$rounds
+       |ORDER BY state""".stripMargin
+  }
+
+  /** Oracle SQL for q217: the g3 confidence definition per declared
+    * pair, unioned. Explicit DOUBLE casts on the ratio match Spark's
+    * long-division-as-double semantics.
+    */
+  private def fdOracleSql: String = {
+    def pair(name: String, tbl: String, lhs: String, rhs: String) =
+      s"""SELECT '$name' AS fd, CAST(SUM(tot) AS BIGINT) AS n,
+         |  COUNT(*) AS distinct_lhs,
+         |  CAST(SUM(tot) - SUM(mx) AS BIGINT) AS violations,
+         |  ROUND(CAST(SUM(mx) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE), 6)
+         |    AS conf,
+         |  CAST(SUM(tot) - SUM(mx) AS BIGINT) = 0 AS holds
+         |FROM (SELECT l, MAX(c) AS mx, SUM(c) AS tot
+         |  FROM (SELECT $lhs AS l, $rhs AS r, COUNT(*) AS c
+         |    FROM $tbl GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    Seq(
+      pair("customer.c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"),
+      pair("documents.source->lang", "documents", "source", "lang"),
+      pair("events.user_id->event_type", "events", "user_id",
+        "event_type"),
+      pair("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey",
+        "l_suppkey"),
+      pair("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+        "o_orderpriority")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
 
   /** Oracle SQL for q213 — the weight ladder is generated from the
     * SAME integer thresholds the engine compares against

@@ -86,6 +86,58 @@ class ProfilingSpec extends SparkSpec {
     assert(r2 == Set(("a", 5.0, 5.0), ("b", lo, hi)))
   }
 
+  test("mutualInformation: identical columns give MI = H and NMI = 1; " +
+      "independent columns give MI = 0") {
+    // X == Y with p = (1/2, 1/4, 1/4): MI = H = 1.5 ln 2 ≈ 1.039721
+    val dep = Seq("a", "a", "b", "c").map(x => (x, x)).toDF("x", "y")
+    val d = Profiling.mutualInformation(dep, col("x"), col("y")).head()
+    assert(d.getLong(0) == 4L && d.getLong(1) == 3L)
+    assert(d.getDouble(2) == 1.039721 && d.getDouble(2) == d.getDouble(3))
+    assert(d.getDouble(5) == 1.0)
+    // balanced product distribution: joint = px·py exactly → MI 0
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("u", "v", "w"))
+      yield (x, y)).toDF("x", "y")
+    val i = Profiling.mutualInformation(ind, col("x"), col("y")).head()
+    assert(i.getLong(1) == 6L && i.getDouble(2) == 0.0 &&
+      i.getDouble(5) == 0.0)
+  }
+
+  test("fdConfidence: an exact FD scores 1/holds and a violated one " +
+      "scores its g3 confidence") {
+    val df = Seq((1, "x"), (1, "x"), (2, "y"), (3, "y"), (3, "z"),
+      (3, "z"), (3, "z")).toDF("l", "r")
+    val out = Profiling.fdConfidence(Seq(
+        ("holds", df.filter(col("l") < 3), col("l"), col("r")),
+        ("violated", df, col("l"), col("r"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(out("holds") == ((3L, 2L, 0L, 1.0, true)))
+    // lhs 3 splits 1×y + 3×z → keep 3; total kept 2+1+3 = 6 of 7
+    assert(out("violated") == ((7L, 3L, 1L, 0.857143, false)))
+  }
+
+  test("kmvDistinct: exact below k, the (k-1)/u_k estimate above it, " +
+      "and an ALL row merged from the group sketches") {
+    // group a: 3 distinct hashes (< k=4) → est == exact == 3.
+    // group b: 6 distinct hashes → est = 3·2^32/h_4
+    val bHashes = Seq(100L, 200L, 300L, 400L, 500L, 600L)
+    val rows = Seq(("a", 11L), ("a", 22L), ("a", 33L), ("a", 22L)) ++
+      bHashes.map(("b", _))
+    val df = rows.toDF("g", "h")
+    val out = Profiling.kmvDistinct(df, col("g"), col("h"), k = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((3L, 3, 3.0)))
+    val estB = BigDecimal(3.0 * 4294967296.0 / 400L)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("b") == ((6L, 4, estB)))
+    // ALL: union's bottom-4 is {11,22,33,100} → u_4 = 100
+    val estAll = BigDecimal(3.0 * 4294967296.0 / 100L)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("ALL") == ((9L, 4, estAll)))
+  }
+
   test("iqrOutliers: Tukey fences flag the planted extremes per group") {
     // group a: 1..11 plus outliers -100 and +100. quantile_cont over
     // the 13 sorted values interpolates at index 0.25·12 = 3 → q1 = 3

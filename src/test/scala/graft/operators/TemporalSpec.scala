@@ -381,4 +381,30 @@ class TemporalSpec extends SparkSpec {
       (2L, 1L, 0L, 2L, 1L),
       (2L, 2L, 50L, 60L, 1L)))
   }
+
+  test("stationaryDistribution: converges to the analytic fixed point " +
+      "and keeps explicit 0 rows for source states") {
+    // P = [[.5,.5],[.25,.75]] has stationary (1/3, 2/3); |λ2| = 0.25,
+    // so 12 rounds from uniform land within 3e-9 — exact under round(6)
+    val tr = Seq(("a", "a", 2L), ("a", "b", 2L), ("b", "a", 1L),
+      ("b", "b", 3L)).toDF("prev", "next", "cnt")
+    val out = Temporal.stationaryDistribution(tr, "prev", "next", "cnt")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 0.333333, "b" -> 0.666667))
+    // a feeds b, b self-loops: all mass drains to b; the source state
+    // keeps a dense 0.0 row (the oracle's LEFT JOIN contract)
+    val drain = Seq(("a", "b", 1L), ("b", "b", 1L))
+      .toDF("prev", "next", "cnt")
+    val d = Temporal.stationaryDistribution(drain, "prev", "next", "cnt")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d == Map("a" -> 0.0, "b" -> 1.0))
+    // transitions into a state with no outgoing edges are dropped
+    // BEFORE normalization: c's mass reroutes nowhere — rows to c are
+    // excluded, so a→a is the only kept edge and π = (1.0) on {a}
+    val sink = Seq(("a", "a", 1L), ("a", "c", 9L))
+      .toDF("prev", "next", "cnt")
+    val k = Temporal.stationaryDistribution(sink, "prev", "next", "cnt")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(k == Map("a" -> 1.0))
+  }
 }
