@@ -567,6 +567,53 @@ object Dedup {
     } finally sym.unpersist(blocking = false)
   }
 
+  /** INCREMENTAL component maintenance — refresh persisted min-id
+    * component labels under a delta batch (new nodes + newly
+    * discovered edges) without re-running [[connectedComponents]] on
+    * the full graph. The maintenance algebra: base labels already
+    * collapse every base edge, so components of base ∪ delta = base
+    * components MERGED along the delta edges. The merge graph has one
+    * node per TOUCHED component and one edge per delta edge — bounded
+    * by |delta|, never by the corpus — and min-label components over
+    * it reproduce full-recompute labels exactly (min of merged min-ids
+    * IS the global min id).
+    *
+    * Cost shape: two key-lookup joins of the delta edges against the
+    * label table (co-located probes when the label table is bucketed
+    * by id, the index convention), a component pass over the bounded
+    * merge graph, and one broadcast-remap pass to emit the refreshed
+    * table — the emit is Ω(base) like q203's file-copied base, but
+    * shuffle-free.
+    *
+    * `deltaNodes` ids must be new (disjoint from base); delta edge
+    * endpoints must exist in base ∪ deltaNodes (unknown endpoints are
+    * dropped by the lookup join rather than invented).
+    */
+  def deltaMergeComponents(baseLabels: DataFrame, deltaNodes: DataFrame,
+      deltaEdges: DataFrame, aCol: String = "a", bCol: String = "b")
+      : DataFrame = {
+    val labels0 = baseLabels.select(col("id"), col("comp"))
+      .unionAll(deltaNodes.select(col("id"), col("id").as("comp")))
+    val edgeComps = deltaEdges
+      .join(labels0.select(col("id").as(aCol), col("comp").as("__ca")),
+        aCol)
+      .join(labels0.select(col("id").as(bCol), col("comp").as("__cb")),
+        bCol)
+      .select(col("__ca"), col("__cb"))
+      .filter(col("__ca") =!= col("__cb"))
+      .distinct()
+    val touched = edgeComps.select(col("__ca").as("comp"))
+      .unionAll(edgeComps.select(col("__cb").as("comp"))).distinct()
+    val mergeMap = connectedComponents(touched, "comp",
+        edgeComps.select(col("__ca").as("id_a"), col("__cb").as("id_b")))
+      .select(col("id").as("__oldc"), col("comp").as("__newc"))
+      .filter(col("__oldc") =!= col("__newc")) // identity rows are noise
+    labels0
+      .join(broadcast(mergeMap), labels0("comp") === col("__oldc"),
+        "left")
+      .select(col("id"), coalesce(col("__newc"), col("comp")).as("comp"))
+  }
+
   /** k-core decomposition for one fixed `k` (iterated peeling,
     * Matula–Beck / Batagelj–Zaveršnik semantics): the maximal subgraph
     * in which every node keeps degree ≥ k after all lower-degree

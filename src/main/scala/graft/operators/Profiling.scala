@@ -205,12 +205,18 @@ object Profiling {
     * engine-portable arithmetic. The exact distinct count rides along
     * for the error column the census reader wants.
     */
+  /** The KMV estimate off a sketch column: exact-by-size below k,
+    * (k−1)·2³²/u_k at capacity — the numerator is an exact-integer
+    * double, so the one division is engine-portable.
+    */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    round(when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+        element_at(sk, k).cast("double")), 4)
+
   def kmvDistinct(df: DataFrame, groupCol: Column, hashCol: Column,
       k: Int, allLabel: String = "ALL"): DataFrame = {
-    val est = round(
-      when(size(col("__sk")) < k, size(col("__sk")).cast("double"))
-        .otherwise(lit((k - 1).toDouble * 4294967296.0) /
-          element_at(col("__sk"), k).cast("double")), 4).as("est")
+    val est = kmvEstimate(col("__sk"), k).as("est")
     val base = df.select(groupCol.cast("string").as("group"),
       hashCol.as("__h"))
     val per = base.groupBy("group")
@@ -225,6 +231,58 @@ object Profiling {
       .unionAll(allRow)
       .select(col("group"), col("exact"),
         size(col("__sk")).as("sketch_size"), est)
+  }
+
+  /** KMV SKETCH DELTA MAINTENANCE: merge a delta batch into persisted
+    * per-group sketches without touching the base corpus — the sketch
+    * half of the index-maintenance matrix (a distinct-count registry
+    * that refreshes at cost ∝ |delta|). Only the delta pays an
+    * aggregation; the base contributes k longs per group, and the
+    * merge itself is pure codegen'd array algebra
+    * (concat → array_distinct → array_sort → slice) — set-union
+    * truncation, which equals a full recompute EXACTLY (bottom-k of a
+    * union is the union of bottom-ks, truncated). Groups new in the
+    * delta (or absent from it) survive via the full-outer empty-array
+    * coalesce.
+    */
+  def kmvDeltaMerge(baseSketches: DataFrame, delta: DataFrame,
+      groupCol: Column, hashCol: Column, k: Int): DataFrame = {
+    val empty = typedlit(Seq.empty[Long])
+    val d = delta.select(groupCol.cast("string").as("group"),
+        hashCol.as("__h"))
+      .groupBy("group").agg(KmvAgg.kmvSketch(k)(col("__h")).as("__dsk"))
+    baseSketches.select(col("group"), col("sk"))
+      .join(d, Seq("group"), "full_outer")
+      .select(col("group"),
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("sk"), empty), coalesce(col("__dsk"), empty)))),
+          1, k).as("sk"))
+  }
+
+  /** REFERENTIAL-INTEGRITY census over declared FK candidates — the
+    * cross-table sibling of q121's single-table expectations and
+    * q217's FD discovery: per candidate, child rows, null FKs (exempt,
+    * per SQL FK semantics), orphan rows, and distinct missing keys.
+    * Each pair costs one left join of the child's key column against
+    * the parent's distinct keys (broadcast when the parent is a dim,
+    * a key shuffle otherwise) feeding one partial-agg census row.
+    */
+  def fkOrphans(pairs: Seq[(String, DataFrame, Column, DataFrame,
+      Column)]): DataFrame = {
+    require(pairs.nonEmpty, "declare at least one candidate FK")
+    pairs.map { case (name, child, fk, parent, pk) =>
+      val miss = col("__k").isNotNull && col("__hit").isNull
+      child.select(fk.as("__k"))
+        .join(parent.select(pk.as("__k")).distinct()
+          .withColumn("__hit", lit(1)), Seq("__k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("__k").isNull, 1)).as("n_null"),
+          count(when(miss, 1)).as("orphans"),
+          count_distinct(when(miss, col("__k"))).as("missing_keys"))
+        .select(lit(name).as("fk"), col("n_child"), col("n_null"),
+          col("orphans"), col("missing_keys"),
+          (col("orphans") === 0L).as("ok"))
+    }.reduce(_.unionAll(_))
   }
 
   /** MUTUAL INFORMATION census between two categorical columns — the

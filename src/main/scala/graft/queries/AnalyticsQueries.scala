@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1105,16 +1105,10 @@ object AnalyticsQueries {
     // AND the estimate bit for bit. The typed Aggregator ships at most
     // k longs per (partition, group) — partial/final like a sum.
     Query("q215_kmv_distinct", Some(kmvOracleSql(k = 64)))(
-      (s, dir) => {
-        val d = t(s, dir, "events").select(col("event_type"),
-          concat(col("user_id").cast("string"), lit(":"),
-            (tsUs.cast("long") / 86400000000L).cast("long")
-              .cast("string")).as("__key"))
-        val h = conv(substring(md5(col("__key")), 1, 8), 16, 10)
-          .cast("long")
-        Profiling.kmvDistinct(d, col("event_type"), h, k = 64)
-          .orderBy("group")
-      }),
+      (s, dir) =>
+        Profiling.kmvDistinct(t(s, dir, "events"), col("event_type"),
+            kmvUserDayHash(col("user_id")), k = 64)
+          .orderBy("group")),
 
     // Stationary distribution of the q124 transition chain — the
     // equilibrium share of each event type under the journey dynamics
@@ -1157,7 +1151,145 @@ object AnalyticsQueries {
           ("orders.o_custkey->o_orderpriority", t(s, dir, "orders"),
             col("o_custkey"), col("o_orderpriority"))
         )).orderBy("fd"))
+  ,
+
+    // Referential-integrity census over seven declared FK candidates
+    // spanning the whole star schema — the cross-table sibling of
+    // q121's expectations and q217's FD discovery. Six structural FKs
+    // hold (the census PROVES the zeros against the oracle); the
+    // seventh (supplier.s_nationkey → region.r_regionkey) is a
+    // mis-declared candidate the census flags with real orphan
+    // counts — candidate testing, not just invariant checking.
+    Query("q219_fk_orphans", Some(fkOracleSql))(
+      (s, dir) =>
+        Profiling.fkOrphans(Seq(
+          ("customer.c_nationkey->nation.n_nationkey",
+            t(s, dir, "customer"), col("c_nationkey"),
+            t(s, dir, "nation"), col("n_nationkey")),
+          ("events.user_id->customer.c_custkey",
+            t(s, dir, "events"), col("user_id"),
+            t(s, dir, "customer"), col("c_custkey")),
+          ("lineitem.l_orderkey->orders.o_orderkey",
+            t(s, dir, "lineitem"), col("l_orderkey"),
+            t(s, dir, "orders"), col("o_orderkey")),
+          ("lineitem.l_partkey->part.p_partkey",
+            t(s, dir, "lineitem"), col("l_partkey"),
+            t(s, dir, "part"), col("p_partkey")),
+          ("lineitem.l_suppkey->supplier.s_suppkey",
+            t(s, dir, "lineitem"), col("l_suppkey"),
+            t(s, dir, "supplier"), col("s_suppkey")),
+          ("orders.o_custkey->customer.c_custkey",
+            t(s, dir, "orders"), col("o_custkey"),
+            t(s, dir, "customer"), col("c_custkey")),
+          ("supplier.s_nationkey->region.r_regionkey",
+            t(s, dir, "supplier"), col("s_nationkey"),
+            t(s, dir, "region"), col("r_regionkey"))
+        )).orderBy("fk")),
+
+    // KMV sketch DELTA MAINTENANCE — the sketch member of the index-
+    // maintenance matrix (q104 minhash, q182 winnow, q188 graph, q203
+    // IVF, q211 IVF-PQ, q218 components, q220 sketches): tonight's
+    // event batch (every 7th event re-keyed to a NEW user cohort)
+    // merges into the persisted per-type sketch registry at cost
+    // ∝ |delta| — the base contributes k longs per group, the merge
+    // is codegen'd array set-union truncation, and the result equals
+    // a full recompute EXACTLY (bottom-k of a union is the truncated
+    // union of bottom-ks). Oracle: full recompute over base ∪ delta.
+    Query("q220_kmv_delta", Some(kmvDeltaOracleSql(k = 64)))(
+      (s, dir) => {
+        val delta = t(s, dir, "events")
+          .filter(col("event_id") % 7 === 0)
+        val merged = Profiling.kmvDeltaMerge(
+          s.read.parquet(kmvIndexPath(s, dir)), delta,
+          col("event_type"), kmvUserDayHash(col("user_id") + 1000),
+          k = 64)
+        merged.select(col("group"), size(col("sk")).as("sketch_size"),
+            Profiling.kmvEstimate(col("sk"), 64).as("est"))
+          .orderBy("group")
+      })
   )
+
+  /** The q215/q220 sketch key: md5-uint32 of `user:day` — the same
+    * draw convention as q213's bootstrap weights.
+    */
+  private def kmvUserDayHash(user: Column): Column =
+    conv(substring(md5(concat(user.cast("string"), lit(":"),
+      (tsUs.cast("long") / 86400000000L).cast("long").cast("string"))),
+      1, 8), 16, 10).cast("long")
+
+  /** The persisted per-event-type KMV sketch registry q220 refreshes —
+    * one aggregation over the base events, written as (group, sk).
+    */
+  private val kmvIdxCache = new graft.SessionCache[String]
+  private def kmvIndexPath(s: SparkSession, dir: String): String =
+    kmvIdxCache.get(s, dir) {
+      val p = ExtendedQueries.newIdxDir("graft_kmv_idx")
+      t(s, dir, "events")
+        .groupBy(col("event_type").cast("string").as("group"))
+        .agg(graft.functions.KmvAgg.kmvSketch(64)(
+          kmvUserDayHash(col("user_id"))).as("sk"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** Oracle SQL for q219: per candidate FK, the orphan definition
+    * replayed with scalar subqueries; null FKs are exempt (SQL FK
+    * semantics).
+    */
+  private def fkOracleSql: String = {
+    def pair(name: String, child: String, fk: String, parent: String,
+        pk: String) = {
+      val orphan = s"""FROM $child WHERE $fk IS NOT NULL
+         | AND $fk NOT IN (SELECT $pk FROM $parent)""".stripMargin
+      s"""SELECT '$name' AS fk,
+         |  (SELECT COUNT(*) FROM $child) AS n_child,
+         |  (SELECT COUNT(*) FROM $child WHERE $fk IS NULL) AS n_null,
+         |  (SELECT COUNT(*) $orphan) AS orphans,
+         |  (SELECT COUNT(DISTINCT $fk) $orphan) AS missing_keys,
+         |  (SELECT COUNT(*) $orphan) = 0 AS ok""".stripMargin
+    }
+    Seq(
+      pair("customer.c_nationkey->nation.n_nationkey", "customer",
+        "c_nationkey", "nation", "n_nationkey"),
+      pair("events.user_id->customer.c_custkey", "events", "user_id",
+        "customer", "c_custkey"),
+      pair("lineitem.l_orderkey->orders.o_orderkey", "lineitem",
+        "l_orderkey", "orders", "o_orderkey"),
+      pair("lineitem.l_partkey->part.p_partkey", "lineitem",
+        "l_partkey", "part", "p_partkey"),
+      pair("lineitem.l_suppkey->supplier.s_suppkey", "lineitem",
+        "l_suppkey", "supplier", "s_suppkey"),
+      pair("orders.o_custkey->customer.c_custkey", "orders",
+        "o_custkey", "customer", "c_custkey"),
+      pair("supplier.s_nationkey->region.r_regionkey", "supplier",
+        "s_nationkey", "region", "r_regionkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+  }
+
+  /** Oracle SQL for q220: the KMV sketch recomputed from scratch over
+    * base ∪ delta — the maintenance result must equal it exactly.
+    */
+  private def kmvDeltaOracleSql(k: Int): String = {
+    val num = (k - 1).toDouble * 4294967296.0
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    user_id || ':' || (epoch_us(ts) // 86400000000) AS key
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type,
+       |    (user_id + 1000) || ':' || (epoch_us(ts) // 86400000000) AS key
+       |  FROM events WHERE event_id % 7 = 0),
+       |h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substring(md5(key), 1, 8))::BIGINT AS u FROM d),
+       |r AS (SELECT event_type, u,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM h)
+       |SELECT event_type AS "group",
+       |  CAST(LEAST(MAX(cnt), $k) AS BIGINT) AS sketch_size,
+       |  ROUND(CASE WHEN MAX(cnt) < $k THEN CAST(MAX(cnt) AS DOUBLE)
+       |    ELSE $num / MAX(CASE WHEN rn = $k THEN u END) END, 4) AS est
+       |FROM r GROUP BY 1 ORDER BY "group"""".stripMargin
+  }
 
   /** Oracle SQL for q215: the window-rank replay of the KMV sketch —
     * the k smallest distinct hashes per group (and of the union for

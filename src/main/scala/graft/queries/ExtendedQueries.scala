@@ -81,7 +81,7 @@ object ExtendedQueries {
     * dirs are registered for recursive deletion at JVM exit (cache
     * eviction alone would drop the path but orphan the files).
     */
-  private def newIdxDir(prefix: String): String = {
+  private[queries] def newIdxDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
       import java.nio.file.{Files, Path}
@@ -227,6 +227,7 @@ object ExtendedQueries {
       Future(deltaIndexTable(s, dir)), Future(pqIndexPath(s, dir)),
       Future(graphIndexPath(s, dir)), Future(winnowIndexTable(s, dir)),
       Future(ivfpqIndexPath(s, dir)),
+      Future(componentsIndexPath(s, dir)),
       Future(AnalyticsQueries.copurchaseEdgeTable(s, dir)))),
       Duration.Inf)
   }
@@ -1781,8 +1782,73 @@ object ExtendedQueries {
         got.agg(count(lit(1)).as("n_returned"))
           .crossJoin(exact.agg(count(lit(1)).as("n_true")))
           .crossJoin(overlap.agg((count(lit(1)) >= 8).as("recall_ok")))
+      }),
+
+    // INCREMENTAL component maintenance — the SIXTH family in the
+    // index-maintenance matrix (minhash q104, winnow q182, graph q188,
+    // IVF q203, IVF-PQ q211, components q218), and the first whose
+    // refresh is EXACT rather than contract-graded: base min-id labels
+    // already collapse every base edge, so base ∪ delta components =
+    // base components merged along the delta edges; the merge graph is
+    // bounded by |delta| and min-label merging reproduces full-
+    // recompute labels bit for bit. Delta: the q188 twin re-ingest
+    // (each linked to its original — "tonight's discovered dups") plus
+    // consecutive-id links every 97th vector (cross-component merges).
+    // Oracle: full recursive recompute over the union graph.
+    Query("q218_components_delta", Some(componentsCte +
+      """,
+        |dn AS (SELECT vec_id + 2000000 AS id FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |de AS (SELECT vec_id AS a, vec_id + 2000000 AS b
+        |    FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT e.vec_id, e.vec_id + 1 FROM embeddings e
+        |    JOIN embeddings x ON x.vec_id = e.vec_id + 1
+        |    WHERE e.vec_id % 97 = 0),
+        |alledges AS (SELECT a, b FROM edges
+        |  UNION ALL SELECT a, b FROM de
+        |  UNION ALL SELECT b, a FROM de),
+        |allnodes AS (SELECT vec_id AS id FROM embeddings
+        |  UNION ALL SELECT id FROM dn),
+        |reach2(id, r) AS (
+        |  SELECT id, id FROM allnodes
+        |  UNION
+        |  SELECT r.id, e.b FROM reach2 r JOIN alledges e ON e.a = r.r)
+        |SELECT id, MIN(r) AS comp FROM reach2 GROUP BY id
+        |ORDER BY id""".stripMargin))(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val deltaNodes = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 2000000L).as("id"))
+        val twinEdges = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("a"), (col("vec_id") + 2000000L).as("b"))
+        val crossEdges = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("a"), (col("vec_id") + 1L).as("b"))
+          .join(emb.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+        val base = s.read.parquet(componentsIndexPath(s, dir))
+        Dedup.deltaMergeComponents(base, deltaNodes,
+            twinEdges.unionAll(crossEdges))
+          .orderBy("id")
       })
   )
+
+  /** Persisted min-id component labels over the q67 near-dup graph —
+    * the dedup-cluster registry q218's incremental maintenance
+    * refreshes. One-time build per (session, sfDir): the q67
+    * component pass plus a parquet write, amortized in the bench
+    * prebuild step like the ANN indexes.
+    */
+  private val compIdxCache = new graft.SessionCache[String]
+  def componentsIndexPath(s: SparkSession, dir: String): String =
+    compIdxCache.get(s, dir) {
+      val p = newIdxDir("graft_comp_idx")
+      Dedup.connectedComponents(
+          t(s, dir, "embeddings").select("vec_id"), "vec_id",
+          nearDupPairs(s, dir).select("id_a", "id_b"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
 
   /** Oracle SQL for q207 — the greedy MMR selection unrolled to
     * `kOut` stages (the k-core/BFS oracle pattern: a non-greedy or

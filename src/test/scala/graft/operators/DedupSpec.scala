@@ -175,6 +175,35 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("deltaMergeComponents equals full recompute and leaves " +
+      "untouched components' labels alone") {
+    // base: chain 1-2-3 (comp 1), pair 5-6 (comp 5), isolated 4, 7
+    val nodes = (1L to 7L).toDF("id")
+    val baseEdges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val base = Dedup.connectedComponents(nodes, "id", baseEdges)
+    // delta: new nodes 10, 11; edges 10-5 (joins comp 5), 11-11-less
+    // (isolated new node), and 3-4 (merges comp 1 with singleton 4)
+    val dNodes = Seq(10L, 11L).toDF("id")
+    val dEdges = Seq((10L, 5L), (3L, 4L)).toDF("a", "b")
+    val got = Dedup.deltaMergeComponents(base, dNodes, dEdges)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+        nodes.unionAll(dNodes), "id",
+        baseEdges.unionAll(dEdges.toDF("id_a", "id_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full)
+    // untouched: pairless 7 keeps its label; merged: 4 joins comp 1;
+    // new 10 takes comp 5; new 11 stays a singleton
+    assert(got(7L) == 7L && got(4L) == 1L && got(10L) == 5L &&
+      got(11L) == 11L)
+    // a delta with NO edges is a pure node append — labels unchanged
+    val append = Dedup.deltaMergeComponents(base, dNodes,
+        Seq.empty[(Long, Long)].toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(append == base.as[(Long, Long)].collect().toMap ++
+      Map(10L -> 10L, 11L -> 11L))
+  }
+
   test("connectedComponents converges on a long chain (multi-round)") {
     val n = 12L
     val nodes = (1L to n).toDF("id")

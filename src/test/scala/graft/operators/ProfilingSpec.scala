@@ -138,6 +138,40 @@ class ProfilingSpec extends SparkSpec {
     assert(out("ALL") == ((9L, 4, estAll)))
   }
 
+  test("fkOrphans: counts orphans and distinct missing keys, exempts " +
+      "null FKs, and clears a clean pair") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(8L),
+      None).toDF("fk")
+    val out = Profiling.fkOrphans(Seq(
+        ("dirty", child, col("fk"), parent, col("pk")),
+        ("clean", child.filter(col("fk") <= 3), col("fk"), parent,
+          col("pk"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    // 6 child rows: 1 null (exempt), 3 orphans over 2 missing keys
+    assert(out("dirty") == ((6L, 1L, 3L, 2L, false)))
+    // the <= 3 filter also drops the null row (null <= 3 is null)
+    assert(out("clean") == ((2L, 0L, 0L, 0L, true)))
+  }
+
+  test("kmvDeltaMerge equals a full recompute: merged groups, a group " +
+      "new in the delta, and a group absent from it") {
+    val k = 4
+    val base = Seq(("a", Seq(10L, 20L, 30L, 40L)), ("b", Seq(5L)))
+      .toDF("group", "sk")
+    // delta: a gets two smaller hashes (one duplicate), c is brand new
+    val delta = Seq(("a", 15L), ("a", 20L), ("a", 1L), ("c", 99L))
+      .toDF("g", "h")
+    val out = Profiling.kmvDeltaMerge(base, delta, col("g"), col("h"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // full recompute of a: distinct {10,20,30,40,15,1} → bottom-4
+    assert(out("a") == Seq(1L, 10L, 15L, 20L))
+    assert(out("b") == Seq(5L)) // untouched group survives the merge
+    assert(out("c") == Seq(99L)) // delta-only group appears
+  }
+
   test("iqrOutliers: Tukey fences flag the planted extremes per group") {
     // group a: 1..11 plus outliers -100 and +100. quantile_cont over
     // the 13 sorted values interpolates at index 0.25·12 = 3 → q1 = 3
