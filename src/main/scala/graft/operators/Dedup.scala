@@ -1139,6 +1139,76 @@ object Dedup {
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
 
+  /** Adamic-Adar link prediction (Adamic & Adar 2003): the top-k
+    * non-edges ranked by Σ 1/ln(deg(w)) over common neighbors w — the
+    * "which pairs are one purchase away from co-occurring" census the
+    * enumeration (q114/q187) family lacks. Used in curation to
+    * propose merge candidates a direct-evidence graph misses.
+    *
+    * Scale shape: one symmetric-adjacency aggregation (2|E| rows),
+    * then wedge pairs explode FROM each center's bounded neighbor
+    * array — centers hotter than `maxCenterDegree` are dropped from
+    * scoring on both engines (a declared cap, the
+    * q145/q153 completeness trade: a hub's 1/ln(d) terms are the
+    * least informative and its d² wedge fan-out the most expensive),
+    * so the explode is bounded by cap²/2 per center. One (u, v)
+    * partial-agg shuffle sums the scores, existing edges leave via
+    * one anti-join, and the cut plans as TakeOrderedAndProject.
+    *
+    * Determinism across engines: each center's term is quantized to
+    * integer nano-units — ⌊1e9/ln(d) + 0.5⌋, the q158/q164 nano
+    * convention — so per-pair scores are EXACT integer sums and the
+    * (score, u, v) cut is total. `ln` is only 1-ulp-accurate per
+    * engine; at 1e9 scale a disagreement moves the pre-floor value by
+    * ~1e-7, six orders under the 0.5 rounding margin (1e12 would
+    * leave only ~1e-4). Centers need d ≥ 2 to form a wedge, so
+    * ln(d) > 0 always.
+    *
+    * Output: (`u`, `v`, `common_nbrs`, `aa_score`), score desc.
+    */
+  def adamicAdar(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", topK: Int = 20,
+      maxCenterDegree: Int = 256): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    // Persisted: e feeds both the adjacency build and the final
+    // anti-join — unpersisted, the caller's edge derivation runs twice.
+    val e = persistHeavy(edges
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct())
+    val nbrs = e.select(col("x").as("v"), col("y").as("w"))
+      .unionAll(e.select(col("y").as("v"), col("x").as("w")))
+      .groupBy("v")
+      .agg(sort_array(collect_list(col("w"))).as("nb"),
+        count(lit(1)).as("d"))
+    val centers = nbrs
+      .filter(col("d") >= 2 && col("d") <= maxCenterDegree)
+      .select(col("nb"),
+        floor(lit(1e9) / log(col("d").cast("double")) + lit(0.5))
+          .cast("long").as("term"))
+    // nb is a bound column, so the nested transform walks it once
+    // (the file-header evaluation-cost convention)
+    val pairArr = filter(
+      flatten(transform(col("nb"), x =>
+        transform(col("nb"), y => struct(x.as("u"), y.as("v"))))),
+      p => p.getField("u") < p.getField("v"))
+    val scored = centers
+      .select(explode(pairArr).as("p"), col("term"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("common_nbrs"), sum(col("term")).as("s"))
+    scored
+      .join(e.select(col("x").as("u"), col("y").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("s").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("common_nbrs"),
+        round(col("s") / lit(1e9), 6).as("aa_score"))
+  }
+
   /** Set-similarity self-join via prefix filtering (the
     * AllPairs / SSJoin family — Bayardo et al. WWW'07, Chaudhuri et
     * al. ICDE'06): every document pair whose distinct-token Jaccard

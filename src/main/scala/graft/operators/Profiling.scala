@@ -259,6 +259,123 @@ object Profiling {
           1, k).as("sk"))
   }
 
+  /** SKETCH-BASED JOIN-CARDINALITY estimation over declared key pairs
+    * — the join-planning census: estimate |A ⋈ B| BEFORE paying the
+    * shuffle, from two KMV sketches and two row counts. Per pair each
+    * side pays one scan shipping ≤ k longs plus one count; the
+    * estimator itself is codegen'd array algebra on a 1-row frame.
+    * At 100 TB this is the "should we even run this join / which side
+    * broadcasts" advisor — the fact tables never co-shuffle.
+    *
+    * Estimator (Beyer et al. 2007 KMV set algebra): the union sketch
+    * is the truncated set-union of the two sketches; any union-sketch
+    * member drawn from side A is necessarily in A's own bottom-k
+    * (it is among the k smallest of a superset), so membership
+    * against the SKETCHES equals membership against the full distinct
+    * sets — K∩ = |SU ∩ SA ∩ SB| is well-defined and engine-portable.
+    * d̂∩ = (K∩/k)·d̂∪ (exact when the union sketch is under capacity),
+    * and under per-key uniform frequency
+    * ĵoin = d̂∩ · (n_a/d̂_a) · (n_b/d̂_b).
+    *
+    * NULL keys are excluded on both sides (they never join). Every
+    * number is either an exact integer or one fixed IEEE chain from
+    * exact integers, so a SQL oracle replays sketches AND estimates
+    * bit for bit — the same portability argument as [[kmvDistinct]].
+    */
+  def kmvJoinCardinality(pairs: Seq[(String, DataFrame, Column,
+      DataFrame, Column)], k: Int): DataFrame = {
+    require(pairs.nonEmpty, "declare at least one key pair")
+    require(k > 1, s"k must exceed 1, got $k")
+    def side(df: DataFrame, key: Column, tag: String): DataFrame =
+      df.filter(key.isNotNull)
+        .select(kmvHash32(key).as("__h"))
+        .agg(KmvAgg.kmvSketch(k)(col("__h")).as(s"s$tag"),
+          count(lit(1)).as(s"n$tag"))
+    pairs.map { case (name, dfA, ka, dfB, kb) =>
+      val su = slice(array_sort(array_distinct(
+        concat(col("sa"), col("sb")))), 1, k)
+      val kint = size(array_intersect(array_intersect(col("__su"),
+        col("sa")), col("sb")))
+      val estU = when(size(col("__su")) < k,
+          size(col("__su")).cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+          element_at(col("__su"), k).cast("double"))
+      side(dfA, ka, "a").crossJoin(side(dfB, kb, "b"))
+        .withColumn("__su", su)
+        .withColumn("__ea", kmvRawEstimate(col("sa"), k))
+        .withColumn("__eb", kmvRawEstimate(col("sb"), k))
+        .withColumn("__eu", estU)
+        .withColumn("__ov", when(size(col("__su")) < k,
+            kint.cast("double"))
+          .otherwise(kint.cast("double") / lit(k.toDouble) * col("__eu")))
+        .select(lit(name).as("pair"), col("na").as("n_a"),
+          col("nb").as("n_b"),
+          round(col("__ea"), 4).as("est_distinct_a"),
+          round(col("__eb"), 4).as("est_distinct_b"),
+          round(col("__ov"), 4).as("est_overlap"),
+          round(col("__ov") * (col("na") / col("__ea")) *
+            (col("nb") / col("__eb")), 4).as("est_join_rows"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** The shared md5-uint32 key draw for sketch estimators: first 8 hex
+    * chars of md5(key as string) as a long in [0, 2³²) — the q213/q215
+    * convention, replayed verbatim by the oracles.
+    */
+  def kmvHash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** [[kmvEstimate]] without the presentation rounding — for
+    * estimators that keep computing with the raw value.
+    */
+  private def kmvRawEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+        element_at(sk, k).cast("double"))
+
+  /** WELCH two-sample t census over every pair of groups — the A/B
+    * inference number beside [[poissonBootstrapCI]]'s rank band: t
+    * statistic and Welch–Satterthwaite degrees of freedom for the
+    * difference of group means under unequal variances (Welch 1947).
+    * One partial-agg scan collects (n, Σv, Σv²) per group as EXACT
+    * decimal sums; every pair statistic then derives on the bounded
+    * |groups|² frame through one fixed IEEE chain from those exact
+    * inputs — identical in any engine, so the oracle replays it bit
+    * for bit. p-values are deliberately out of scope (the t CDF is an
+    * engine-private special function); t and df are the portable
+    * census numbers.
+    */
+  def welchTTest(df: DataFrame, groupCol: Column, vCol: Column)
+      : DataFrame = {
+    val d = vCol.cast("decimal(18,2)")
+    val g = df.groupBy(groupCol.cast("string").as("g"))
+      .agg(count(d).as("n"), sum(d).as("sv"), sum(d * d).as("svv"))
+      .filter(col("n") >= 2)
+      .select(col("g"), col("n"), col("sv").cast("double").as("sv"),
+        col("svv").cast("double").as("svv"))
+    val a = g.select(col("g").as("ga"), col("n").as("na"),
+      col("sv").as("sva"), col("svv").as("svva"))
+    val b = g.select(col("g").as("gb"), col("n").as("nb"),
+      col("sv").as("svb"), col("svv").as("svvb"))
+    val paired = a.crossJoin(b).filter(col("ga") < col("gb"))
+      .withColumn("ma", col("sva") / col("na"))
+      .withColumn("mb", col("svb") / col("nb"))
+      .withColumn("sea", (col("svva") - col("sva") * col("sva") /
+        col("na")) / (col("na") - 1) / col("na"))
+      .withColumn("seb", (col("svvb") - col("svb") * col("svb") /
+        col("nb")) / (col("nb") - 1) / col("nb"))
+    paired.select(
+      concat(col("ga"), lit("|"), col("gb")).as("pair"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round(col("ma"), 6).as("mean_a"),
+      round(col("mb"), 6).as("mean_b"),
+      round((col("ma") - col("mb")) /
+        sqrt(col("sea") + col("seb")), 6).as("t"),
+      round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+        (col("sea") * col("sea") / (col("na") - 1) +
+          col("seb") * col("seb") / (col("nb") - 1)), 6).as("df"))
+  }
+
   /** REFERENTIAL-INTEGRITY census over declared FK candidates — the
     * cross-table sibling of q121's single-table expectations and
     * q217's FD discovery: per candidate, child rows, null FKs (exempt,

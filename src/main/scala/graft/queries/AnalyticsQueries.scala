@@ -1207,6 +1207,57 @@ object AnalyticsQueries {
             Profiling.kmvEstimate(col("sk"), 64).as("est"))
           .orderBy("group")
       })
+  ,
+
+    // Adamic-Adar link prediction over the maintained co-purchase
+    // graph — the top-20 part pairs one purchase away from
+    // co-occurring, ranked by Σ 1/ln(deg(w)) over common neighbors
+    // (the proposal census beside q187's count and q201's proximity).
+    // Per-center terms quantize to integer nano-units (⌊1e9/ln d+0.5⌋,
+    // the q158/q164 convention), so pair scores are exact integer
+    // sums and the top-k cut is total; centers hotter than 256 are
+    // dropped by declared cap on both engines.
+    Query("q221_adamic_adar", Some(adamicAdarOracleSql(
+      topK = 20, maxDeg = 256)))(
+      (s, dir) =>
+        Dedup.adamicAdar(s.table(copurchaseEdgeTable(s, dir)),
+          "pa", "pb", topK = 20, maxCenterDegree = 256)),
+
+    // Sketch-based join-cardinality estimation — the join-planning
+    // census: |A ⋈ B| estimated from two KMV sketches (k longs per
+    // side) and two row counts, the fact tables never co-shuffled.
+    // The "should we run this join / which side broadcasts" advisor
+    // at 100 TB. KMV set algebra is order-invariant over md5-uint32
+    // draws, so the oracle replays sketches AND estimates bit for
+    // bit — including the union/intersection membership step.
+    Query("q222_join_cardinality", Some(joinCardOracleSql(k = 64)))(
+      (s, dir) =>
+        Profiling.kmvJoinCardinality(Seq(
+          ("events.user_id*customer.c_custkey",
+            t(s, dir, "events"), col("user_id"),
+            t(s, dir, "customer"), col("c_custkey")),
+          ("lineitem.l_orderkey*orders.o_orderkey",
+            t(s, dir, "lineitem"), col("l_orderkey"),
+            t(s, dir, "orders"), col("o_orderkey")),
+          ("lineitem.l_partkey*part.p_partkey",
+            t(s, dir, "lineitem"), col("l_partkey"),
+            t(s, dir, "part"), col("p_partkey")),
+          ("orders.o_custkey*customer.c_custkey",
+            t(s, dir, "orders"), col("o_custkey"),
+            t(s, dir, "customer"), col("c_custkey"))
+        ), k = 64).orderBy("pair")),
+
+    // Welch two-sample t census over every event-type pair — the A/B
+    // inference number beside q213's bootstrap band: t statistic and
+    // Welch–Satterthwaite df from one partial-agg scan of exact
+    // decimal (n, Σv, Σv²) sums; the pair statistics derive on the
+    // bounded |types|² frame through one fixed IEEE chain both
+    // engines share. p-values stay out of scope (the t CDF is
+    // engine-private); t and df are the portable census numbers.
+    Query("q223_welch_ttest", Some(welchOracleSql))(
+      (s, dir) =>
+        Profiling.welchTTest(t(s, dir, "events"), col("event_type"),
+          col("value")).orderBy("pair"))
   )
 
   /** The q215/q220 sketch key: md5-uint32 of `user:day` — the same
@@ -1483,4 +1534,126 @@ object AnalyticsQueries {
        |$stages
        |SELECT v AS node, hops FROM d$rounds ORDER BY node""".stripMargin
   }
+
+  /** Oracle SQL for q221: the Adamic-Adar definition replayed over the
+    * q187-convention co-purchase edge CTE — wedge join through each
+    * center, the same ⌊1e9/ln d + 0.5⌋ integer nano-unit terms, the
+    * same declared center-degree cap, anti-join of existing edges,
+    * and the cut on the exact integer score.
+    */
+  private def adamicAdarOracleSql(topK: Int, maxDeg: Int): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |m AS MATERIALIZED (SELECT x AS v, y AS w FROM e
+       |      UNION ALL SELECT y, x FROM e),
+       |deg AS (SELECT v, COUNT(*) AS d FROM m GROUP BY 1),
+       |ctr AS (SELECT v,
+       |    CAST(FLOOR(1e9 / ln(d) + 0.5) AS BIGINT) AS term
+       |  FROM deg WHERE d >= 2 AND d <= $maxDeg),
+       |wdg AS (SELECT m1.w AS u, m2.w AS v2, ctr.term
+       |  FROM m m1 JOIN m m2 ON m1.v = m2.v AND m1.w < m2.w
+       |  JOIN ctr ON ctr.v = m1.v),
+       |sc AS (SELECT u, v2 AS v, COUNT(*) AS common_nbrs,
+       |    SUM(term) AS s
+       |  FROM wdg GROUP BY 1, 2),
+       |ne AS (SELECT * FROM sc WHERE NOT EXISTS (
+       |  SELECT 1 FROM e WHERE e.x = sc.u AND e.y = sc.v))
+       |SELECT u, v, common_nbrs, ROUND(s / 1e9, 6) AS aa_score
+       |FROM ne ORDER BY s DESC, u, v LIMIT $topK""".stripMargin
+
+  /** Oracle SQL for q222: per declared key pair, the KMV join-size
+    * estimator replayed exactly — per-side bottom-k sketches via
+    * window rank over distinct md5-uint32 draws, the union sketch,
+    * the K∩ membership count (membership against the full distinct
+    * sets, provably identical to sketch membership for union-sketch
+    * members), and the same IEEE estimate chain.
+    */
+  private def joinCardOracleSql(k: Int): String = {
+    val num = (k - 1).toDouble * 4294967296.0
+    def pair(name: String, ta: String, ka: String, tb: String,
+        kb: String) =
+      s"""SELECT * FROM (
+         |WITH ha AS (SELECT DISTINCT
+         |    ('0x' || substring(md5(CAST($ka AS VARCHAR)), 1, 8))::BIGINT
+         |      AS u FROM $ta WHERE $ka IS NOT NULL),
+         |hb AS (SELECT DISTINCT
+         |    ('0x' || substring(md5(CAST($kb AS VARCHAR)), 1, 8))::BIGINT
+         |      AS u FROM $tb WHERE $kb IS NOT NULL),
+         |ra AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn,
+         |    COUNT(*) OVER () AS cnt FROM ha),
+         |rb AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn,
+         |    COUNT(*) OVER () AS cnt FROM hb),
+         |ru AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn,
+         |    COUNT(*) OVER () AS cnt
+         |  FROM (SELECT u FROM ha UNION SELECT u FROM hb)),
+         |sc AS (SELECT
+         |  (SELECT COUNT(*) FROM $ta WHERE $ka IS NOT NULL) AS na,
+         |  (SELECT COUNT(*) FROM $tb WHERE $kb IS NOT NULL) AS nb,
+         |  (SELECT MAX(cnt) FROM ra) AS ca,
+         |  (SELECT u FROM ra WHERE rn = $k) AS uka,
+         |  (SELECT MAX(cnt) FROM rb) AS cb,
+         |  (SELECT u FROM rb WHERE rn = $k) AS ukb,
+         |  (SELECT MAX(cnt) FROM ru) AS cu,
+         |  (SELECT u FROM ru WHERE rn = $k) AS uku,
+         |  (SELECT COUNT(*) FROM ru WHERE rn <= $k
+         |    AND u IN (SELECT u FROM ha)
+         |    AND u IN (SELECT u FROM hb)) AS kint),
+         |est AS (SELECT na, nb, kint, cu,
+         |  CASE WHEN ca < $k THEN CAST(ca AS DOUBLE)
+         |    ELSE $num / uka END AS ea,
+         |  CASE WHEN cb < $k THEN CAST(cb AS DOUBLE)
+         |    ELSE $num / ukb END AS eb,
+         |  CASE WHEN cu < $k THEN CAST(cu AS DOUBLE)
+         |    ELSE $num / uku END AS eu FROM sc),
+         |ov AS (SELECT *,
+         |  CASE WHEN cu < $k THEN CAST(kint AS DOUBLE)
+         |    ELSE CAST(kint AS DOUBLE) / $k.0 * eu END AS o FROM est)
+         |SELECT '$name' AS pair, na AS n_a, nb AS n_b,
+         |  ROUND(ea, 4) AS est_distinct_a,
+         |  ROUND(eb, 4) AS est_distinct_b,
+         |  ROUND(o, 4) AS est_overlap,
+         |  ROUND(o * (na / ea) * (nb / eb), 4) AS est_join_rows
+         |FROM ov)""".stripMargin
+    Seq(
+      pair("events.user_id*customer.c_custkey", "events", "user_id",
+        "customer", "c_custkey"),
+      pair("lineitem.l_orderkey*orders.o_orderkey", "lineitem",
+        "l_orderkey", "orders", "o_orderkey"),
+      pair("lineitem.l_partkey*part.p_partkey", "lineitem",
+        "l_partkey", "part", "p_partkey"),
+      pair("orders.o_custkey*customer.c_custkey", "orders",
+        "o_custkey", "customer", "c_custkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+  }
+
+  /** Oracle SQL for q223: the Welch statistic replayed from the same
+    * exact decimal (n, Σv, Σv²) sums through the identical IEEE
+    * chain — means, s²/n standard-error terms, t, and the
+    * Welch–Satterthwaite df.
+    */
+  private def welchOracleSql: String =
+    """WITH g AS (SELECT event_type AS g, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |      AS svv
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |  HAVING COUNT(*) >= 2),
+      |p AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+      |    CAST(a.sv AS DOUBLE) AS sva, CAST(a.svv AS DOUBLE) AS svva,
+      |    CAST(b.sv AS DOUBLE) AS svb, CAST(b.svv AS DOUBLE) AS svvb
+      |  FROM g a JOIN g b ON a.g < b.g),
+      |c AS (SELECT ga, gb, na, nb,
+      |    sva / na AS ma, svb / nb AS mb,
+      |    (svva - sva * sva / na) / (na - 1) / na AS sea,
+      |    (svvb - svb * svb / nb) / (nb - 1) / nb AS seb
+      |  FROM p)
+      |SELECT ga || '|' || gb AS pair, na AS n_a, nb AS n_b,
+      |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+      |  ROUND((ma - mb) / sqrt(sea + seb), 6) AS t,
+      |  ROUND((sea + seb) * (sea + seb) /
+      |    (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
+      |FROM c ORDER BY pair""".stripMargin
 }

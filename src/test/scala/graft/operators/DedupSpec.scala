@@ -510,6 +510,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("adamicAdar: scores the one non-edge by its common neighbors, " +
+      "never proposes an existing edge") {
+    // square with one diagonal: edges 1-2, 1-3, 2-3, 2-4, 3-4.
+    // the only non-edge is (1,4); common neighbors {2, 3}, both deg 3.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.adamicAdar(g).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("u"), r.getAs[Long]("v")) == ((1L, 4L)))
+    assert(r.getAs[Long]("common_nbrs") == 2L)
+    // replay the declared quantization: two centers of degree 3
+    val term = math.floor(1e9 / math.log(3.0) + 0.5).toLong
+    val want = BigDecimal(2L * term / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("aa_score") == want)
+  }
+
+  test("adamicAdar: the center-degree cap drops hub wedges; topK cuts " +
+      "on the exact integer score") {
+    // star 0-{1..5}: every pair (i,j) is a non-edge scored through
+    // hub 0 (deg 5). with the cap below 5 nothing is proposed.
+    val star = (1L to 5L).map(i => (0L, i)).toDF("id_a", "id_b")
+    assert(Dedup.adamicAdar(star, maxCenterDegree = 4).count() == 0)
+    val all = Dedup.adamicAdar(star).collect()
+    assert(all.length == 10) // C(5,2) proposals, all through the hub
+    assert(all.map(_.getAs[Long]("common_nbrs")).forall(_ == 1L))
+    val top3 = Dedup.adamicAdar(star, topK = 3).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")))
+    // equal scores tie-break on (u, v) ascending
+    assert(top3.toSeq == Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
+
   test("setSimilarityJoin: exact — equals the brute-force all-pairs " +
       "Jaccard at every threshold (prefix filter drops nothing)") {
     // word-salad docs with two planted near-dup pairs and decoys

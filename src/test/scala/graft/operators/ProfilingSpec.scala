@@ -172,6 +172,75 @@ class ProfilingSpec extends SparkSpec {
     assert(out("c") == Seq(99L)) // delta-only group appears
   }
 
+  test("kmvJoinCardinality: under-capacity sketches make every " +
+      "estimate exact") {
+    // 100 distinct keys on A (each twice), 100 on B, 50 shared; with
+    // k above every distinct count the sketches hold the full hash
+    // sets, so the estimator's exact branches must reproduce the true
+    // numbers: d_a=100, d_b=100, overlap=50, join = 50·(200/100)·1.
+    val a = (1 to 100).flatMap(i => Seq(i, i)).toDF("k")
+    val b = (51 to 150).map(identity).toDF("k")
+    val r = Profiling.kmvJoinCardinality(
+      Seq(("a*b", a, col("k"), b, col("k"))), k = 256).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_a") == 200L)
+    assert(row.getAs[Long]("n_b") == 100L)
+    assert(row.getAs[Double]("est_distinct_a") == 100.0)
+    assert(row.getAs[Double]("est_distinct_b") == 100.0)
+    assert(row.getAs[Double]("est_overlap") == 50.0)
+    assert(row.getAs[Double]("est_join_rows") == 100.0)
+  }
+
+  test("kmvJoinCardinality: null keys are excluded and at-capacity " +
+      "estimates stay in a sane band") {
+    val a = ((1 to 1000).map(Option(_)) ++ Seq.fill(10)(None)).toDF("k")
+    val b = (501 to 1500).map(identity).toDF("k")
+    val r = Profiling.kmvJoinCardinality(
+      Seq(("a*b", a, col("k"), b, col("k"))), k = 64).collect().head
+    assert(r.getAs[Long]("n_a") == 1000L) // nulls never join
+    // KMV with k=64 has ~12% relative sd; 3σ band on the true 1000
+    val ea = r.getAs[Double]("est_distinct_a")
+    assert(ea > 600 && ea < 1600, s"est_distinct_a=$ea")
+    val ov = r.getAs[Double]("est_overlap")
+    assert(ov > 150 && ov < 1100, s"est_overlap=$ov")
+  }
+
+  test("welchTTest: statistics replay the closed form from exact sums") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map(("b", _))).toDF("g", "v")
+    val r = Profiling.welchTTest(df, col("g"), col("v")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("pair") == "a|b")
+    assert(row.getAs[Long]("n_a") == 3L)
+    assert(row.getAs[Long]("n_b") == 4L)
+    assert(row.getAs[Double]("mean_a") == 2.0)
+    assert(row.getAs[Double]("mean_b") == 5.0)
+    // replay the same IEEE chain the operator declares
+    val (na, nb) = (3.0, 4.0)
+    val (sva, svva) = (6.0, 14.0)
+    val (svb, svvb) = (20.0, 120.0)
+    val sea = (svva - sva * sva / na) / (na - 1) / na
+    val seb = (svvb - svb * svb / nb) / (nb - 1) / nb
+    val t = (sva / na - svb / nb) / math.sqrt(sea + seb)
+    val dfw = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("t") == r6(t))
+    assert(row.getAs[Double]("df") == r6(dfw))
+  }
+
+  test("welchTTest: groups below two non-null values drop out") {
+    val df = Seq(("a", Option(1.0)), ("a", Option(2.0)),
+      ("b", Option(5.0)), ("c", None: Option[Double]),
+      ("c", None: Option[Double])).toDF("g", "v")
+    val pairs = Profiling.welchTTest(df, col("g"), col("v"))
+      .select("pair").collect().map(_.getString(0))
+    assert(pairs.isEmpty) // only "a" survives; no pair to form
+  }
+
   test("iqrOutliers: Tukey fences flag the planted extremes per group") {
     // group a: 1..11 plus outliers -100 and +100. quantile_cont over
     // the 13 sorted values interpolates at index 0.25·12 = 3 → q1 = 3
