@@ -44,11 +44,15 @@ import org.apache.spark.sql.functions._
   * chain over the corpus scan; stage 4 is the pipeline's first corpus
   * shuffle; stages 5-6 run on the deduplicated survivor frame (the
   * corpus after boilerplate/duplicate mass is gone), which
-  * `localCheckpoint` pins once — the iterative components stage and
-  * every later consumer read those blocks instead of re-running the
-  * regex chain (HeavyPersist would be evicted by the near-dup
-  * operator's own internal scope). Splitting adds no shuffle (the
-  * component label is already on the row); packing is one bounded
+  * `localCheckpoint` pins once — the near-dup join and every later
+  * consumer read those blocks instead of re-running the regex chain
+  * (HeavyPersist would be evicted by the near-dup operator's own
+  * internal scope). The ITERATIVE stage runs on the paired subgraph
+  * only — min-label rounds are bounded by the near-dup mass, never
+  * the corpus, and the corpus pays one left join against the small
+  * label frame (singletons label themselves, so output is identical
+  * to full-set components). Splitting adds no shuffle (the component
+  * label is already on the row); packing is one bounded
   * per-(split, source) window.
   */
 object CorpusPipeline {
@@ -84,16 +88,35 @@ object CorpusPipeline {
         .over(Window.partitionBy(md5(col("__clean")))))
       .filter(col(idCol) === col("__gid")).drop("__gid")
       .localCheckpoint(false)
-    // 5: exact near-dup pairs → components → component representative
+    // 5: exact near-dup pairs → components → component representative.
+    // Components run over the PAIRED SUBGRAPH only: a node outside
+    // every pair is a singleton that labels itself by definition, so
+    // feeding the full survivor set to the iterative stage (as this
+    // pipeline originally did) makes every min-label round — join,
+    // partial agg, checkpoint, convergence scan — pay corpus-sized
+    // frames to relabel rows that never change. Restricted, each round
+    // is bounded by 2·|pairs| (the near-dup mass, tiny after exact
+    // dedup), and the corpus pays ONE left join against the small
+    // label frame (AQE sees the materialized size and broadcasts)
+    // instead of an inner join with a corpus-sized labeling. Same
+    // output bit for bit: comp = CC label for paired nodes, own id
+    // otherwise — exactly what full-set CC returns.
+    // pairs is consumed TWICE below (endpoint set + the component
+    // stage's edge frame) — checkpointed so the prefix-filter join
+    // runs once, not once per consumer.
     val pairs = Dedup.setSimilarityJoin(ex, idCol, "__clean",
         jaccardNum, jaccardDen, n = shingleN)
       .select("id_a", "id_b")
+      .localCheckpoint(false)
+    val pairNodes = pairs.select(col("id_a").as(idCol))
+      .unionAll(pairs.select(col("id_b").as(idCol)))
+      .distinct()
     val reps = ex
-      .join(Dedup.connectedComponents(
-            ex.select(col(idCol)), idCol, pairs)
-          .filter(col("id") === col("comp"))
+      .join(Dedup.connectedComponents(pairNodes, idCol, pairs)
           .select(col("id").as(idCol), col("comp")),
-        Seq(idCol))
+        Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .filter(col(idCol) === col("comp"))
     // 6-8: decontaminate vs the eval frame, split by component,
     // pack per (split, source)
     val decon = Decontaminate.decontaminate(reps, idCol, "__clean",

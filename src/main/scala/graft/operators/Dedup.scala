@@ -1164,7 +1164,16 @@ object Dedup {
     * leave only ~1e-4). Centers need d ≥ 2 to form a wedge, so
     * ln(d) > 0 always.
     *
-    * Output: (`u`, `v`, `common_nbrs`, `aa_score`), score desc.
+    * Output: (`u`, `v`, `scored_common_nbrs`, `aa_score`,
+    * `excluded_centers`, `max_degree`), score desc.
+    * `scored_common_nbrs` is the count of common neighbors INSIDE the
+    * 2 ≤ deg ≤ cap scoring window — capped hubs are excluded from the
+    * count exactly as from the score (the name says so; a raw
+    * common-neighbor count would disagree with the score's support).
+    * `excluded_centers`/`max_degree` are the dropped-center census
+    * (the repo's no-silent-caps rule): how many vertices the cap
+    * removed from scoring and the hottest degree observed, constant
+    * across the rows of one result.
     */
   def adamicAdar(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", topK: Int = 20,
@@ -1185,6 +1194,13 @@ object Dedup {
       .groupBy("v")
       .agg(sort_array(collect_list(col("w"))).as("nb"),
         count(lit(1)).as("d"))
+    // Dropped-center census (no-silent-caps rule): a 1-row frame over
+    // the same degree aggregation, broadcast onto the ≤ topK output.
+    // nbrs re-derives from the persisted `e`, so this is one extra
+    // cheap agg, not a second edge materialization.
+    val capCensus = nbrs.agg(
+      count(when(col("d") > maxCenterDegree, 1)).as("excluded_centers"),
+      max(col("d")).as("max_degree"))
     val centers = nbrs
       .filter(col("d") >= 2 && col("d") <= maxCenterDegree)
       .select(col("nb"),
@@ -1199,14 +1215,17 @@ object Dedup {
     val scored = centers
       .select(explode(pairArr).as("p"), col("term"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-      .agg(count(lit(1)).as("common_nbrs"), sum(col("term")).as("s"))
+      .agg(count(lit(1)).as("scored_common_nbrs"),
+        sum(col("term")).as("s"))
     scored
       .join(e.select(col("x").as("u"), col("y").as("v")),
         Seq("u", "v"), "left_anti")
       .orderBy(col("s").desc, col("u"), col("v"))
       .limit(topK)
-      .select(col("u"), col("v"), col("common_nbrs"),
-        round(col("s") / lit(1e9), 6).as("aa_score"))
+      .crossJoin(broadcast(capCensus))
+      .select(col("u"), col("v"), col("scored_common_nbrs"),
+        round(col("s") / lit(1e9), 6).as("aa_score"),
+        col("excluded_centers"), col("max_degree"))
   }
 
   /** Set-similarity self-join via prefix filtering (the

@@ -841,6 +841,83 @@ object Multimodal {
       .select(col("media_id"), col("dhash").as("dhash"))
   }
 
+  /** Analytic dHash ground truth for [[syntheticImageCorpus]]: a
+    * 63-bit fingerprint (bit 63 always 0 — SQL engines raise on
+    * `1 << 63` overflow, so the whole pipeline stays in non-negative
+    * longs) built from engine-portable small-integer arithmetic:
+    * base bit j = ((id/3)·(j+1)) mod 61 < 30 — a pseudo-random but
+    * exactly replayable bit matrix (products stay < 64·group, no
+    * overflow in any engine). Ids come in planted triples sharing
+    * id/3: member 0 is the base, member 1 flips ONE bit (the hamming-1
+    * near-dup the pairing must find), member 2 flips 32 bits
+    * (0x00FF00FF00FF00FF — structurally similar, perceptually far).
+    */
+  def groundTruthHash(id: Long): Long = {
+    require(id >= 0, s"media id must be non-negative, got $id")
+    val group = id / 3
+    var base = 0L
+    var j = 0
+    while (j < 63) {
+      if ((group * (j + 1)) % 61 < 30) base |= 1L << j
+      j += 1
+    }
+    id % 3 match {
+      case 0 => base
+      case 1 => base ^ (1L << (group % 63).toInt)
+      case _ => base ^ 0x00FF00FF00FF00FFL
+    }
+  }
+
+  /** One synthetic 9×8 grayscale PNG whose dHash is EXACTLY
+    * [[groundTruthHash]](id): the image is one pixel per dHash grid
+    * cell (9×8 input → 9×8 pooling grid, so average-pooling is the
+    * identity), and each row r is a ±1 brightness walk from 128 whose
+    * step at column c goes UP iff bit r·8+c of the hash is set —
+    * dHash's "cell (r,c+1) brighter than (r,c)" test then reads the
+    * planted bit back verbatim. ±1 steps keep every pixel in
+    * [120, 136], far from clipping, and a 1-gray-level luminance gap
+    * (~1.0) sits twelve orders above double rounding noise, so the
+    * decode → pool → compare chain is exact, not approximately so.
+    */
+  private[operators] def groundTruthPng(id: Long): Array[Byte] = {
+    val h = groundTruthHash(id)
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var g = 128
+      img.setRGB(0, r, (g << 16) | (g << 8) | g)
+      var c = 0
+      while (c < 8) {
+        g += (if (((h >>> (r * 8 + c)) & 1L) == 1L) 1 else -1)
+        img.setRGB(c + 1, r, (g << 16) | (g << 8) | g)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic image corpus — the multimodal
+    * correctness bridge: real PNG bytes generated ON THE EXECUTORS
+    * (narrow, no driver loop, no fixture files to ship), whose
+    * perceptual hashes a SQL oracle can recompute independently from
+    * [[groundTruthHash]]'s integer arithmetic. Feeding this corpus
+    * through the REAL pipeline (javax.imageio decode → [[dHash64]]
+    * pooling → `Dedup.fingerprintNearDupPairs`) and hash-matching the
+    * oracle proves the decode, the hash, and the pigeonhole pairing
+    * end to end — the same evidence grade as every text-side query.
+    */
+  def syntheticImageCorpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
+    import spark.implicits._
+    require(n > 0, s"corpus size must be positive, got $n")
+    spark.range(n).as[Long].mapPartitions(_.map(id =>
+      MediaItem(id, "image", groundTruthPng(id),
+        Map("src" -> "synthetic", "group" -> (id / 3).toString))))
+  }
+
   /** 64-bit audio fingerprint: decode PCM, bin the full-scale-
     * normalized mono mix into a 65-segment RMS loudness envelope, set
     * bit i when segment i+1 is louder than segment i — the audio twin

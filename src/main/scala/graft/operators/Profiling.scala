@@ -210,9 +210,7 @@ object Profiling {
     * double, so the one division is engine-portable.
     */
   def kmvEstimate(sk: Column, k: Int): Column =
-    round(when(size(sk) < k, size(sk).cast("double"))
-      .otherwise(lit((k - 1).toDouble * 4294967296.0) /
-        element_at(sk, k).cast("double")), 4)
+    round(kmvRawEstimate(sk, k), 4)
 
   def kmvDistinct(df: DataFrame, groupCol: Column, hashCol: Column,
       k: Int, allLabel: String = "ALL"): DataFrame = {
@@ -296,15 +294,11 @@ object Profiling {
         concat(col("sa"), col("sb")))), 1, k)
       val kint = size(array_intersect(array_intersect(col("__su"),
         col("sa")), col("sb")))
-      val estU = when(size(col("__su")) < k,
-          size(col("__su")).cast("double"))
-        .otherwise(lit((k - 1).toDouble * 4294967296.0) /
-          element_at(col("__su"), k).cast("double"))
       side(dfA, ka, "a").crossJoin(side(dfB, kb, "b"))
         .withColumn("__su", su)
         .withColumn("__ea", kmvRawEstimate(col("sa"), k))
         .withColumn("__eb", kmvRawEstimate(col("sb"), k))
-        .withColumn("__eu", estU)
+        .withColumn("__eu", kmvRawEstimate(col("__su"), k))
         .withColumn("__ov", when(size(col("__su")) < k,
             kint.cast("double"))
           .otherwise(kint.cast("double") / lit(k.toDouble) * col("__eu")))
@@ -364,16 +358,25 @@ object Profiling {
         col("na")) / (col("na") - 1) / col("na"))
       .withColumn("seb", (col("svvb") - col("svb") * col("svb") /
         col("nb")) / (col("nb") - 1) / col("nb"))
+    // Degenerate pairs (both groups constant → sea+seb = 0) get NULL
+    // t/df rather than a divide-by-zero: Spark doubles yield ±Infinity
+    // there while SQL engines disagree (NULL vs inf), so the NULL
+    // branch is the only engine-portable answer — same policy as the
+    // n>=2 degenerate-group filter above.
+    val degenerate = col("sea") + col("seb") === 0.0
     paired.select(
       concat(col("ga"), lit("|"), col("gb")).as("pair"),
       col("na").as("n_a"), col("nb").as("n_b"),
       round(col("ma"), 6).as("mean_a"),
       round(col("mb"), 6).as("mean_b"),
-      round((col("ma") - col("mb")) /
-        sqrt(col("sea") + col("seb")), 6).as("t"),
-      round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
-        (col("sea") * col("sea") / (col("na") - 1) +
-          col("seb") * col("seb") / (col("nb") - 1)), 6).as("df"))
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round((col("ma") - col("mb")) /
+          sqrt(col("sea") + col("seb")), 6)).as("t"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round((col("sea") + col("seb")) *
+          (col("sea") + col("seb")) /
+          (col("sea") * col("sea") / (col("na") - 1) +
+            col("seb") * col("seb") / (col("nb") - 1)), 6)).as("df"))
   }
 
   /** REFERENTIAL-INTEGRITY census over declared FK candidates — the

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Incremental, Profiling, Temporal,
-  TextAnalysis}
+import graft.operators.{Dedup, Incremental, Multimodal, Profiling,
+  Temporal, TextAnalysis}
 
 /** Time-series / warehouse-maintenance analytics over the event log
   * plus the round's entity-resolution/graph/retrieval additions
@@ -1257,7 +1257,28 @@ object AnalyticsQueries {
     Query("q223_welch_ttest", Some(welchOracleSql))(
       (s, dir) =>
         Profiling.welchTTest(t(s, dir, "events"), col("event_type"),
-          col("value")).orderBy("pair"))
+          col("value")).orderBy("pair")),
+
+    // MULTIMODAL perceptual near-dup — the image pipeline's
+    // correctness row: a deterministic synthetic PNG corpus generated
+    // on the executors (Multimodal.syntheticImageCorpus — 9×8
+    // brightness-walk images whose dHash equals an analytic 63-bit
+    // integer formula), pushed through the REAL pipeline: javax.imageio
+    // decode → 9×8 average-pool → dHash64 → the modality-agnostic
+    // pigeonhole pairing (Dedup.fingerprintNearDupPairs, hamming ≤ 3).
+    // The oracle recomputes the ground-truth hashes from the same
+    // integer arithmetic (no decoded constants anywhere) and replays
+    // the pairing brute-force — a hash match proves decode, pooling,
+    // hash bits, and pairing end to end. Planted structure: ids come
+    // in triples (base, 1-bit flip, 32-bit flip), so exactly one
+    // hamming-1 pair per triple must surface and nothing else may.
+    Query("q224_multimodal_neardup", Some(multimodalNearDupOracleSql(
+      n = 60)))(
+      (s, dir) =>
+        Dedup.fingerprintNearDupPairs(
+          Multimodal.imageDHashes(Multimodal.syntheticImageCorpus(s, 60)),
+          "media_id", "dhash", maxHamming = 3)
+          .orderBy("id_a", "id_b"))
   )
 
   /** The q215/q220 sketch key: md5-uint32 of `user:day` — the same
@@ -1556,13 +1577,18 @@ object AnalyticsQueries {
        |wdg AS (SELECT m1.w AS u, m2.w AS v2, ctr.term
        |  FROM m m1 JOIN m m2 ON m1.v = m2.v AND m1.w < m2.w
        |  JOIN ctr ON ctr.v = m1.v),
-       |sc AS (SELECT u, v2 AS v, COUNT(*) AS common_nbrs,
+       |sc AS (SELECT u, v2 AS v, COUNT(*) AS scored_common_nbrs,
        |    SUM(term) AS s
        |  FROM wdg GROUP BY 1, 2),
        |ne AS (SELECT * FROM sc WHERE NOT EXISTS (
-       |  SELECT 1 FROM e WHERE e.x = sc.u AND e.y = sc.v))
-       |SELECT u, v, common_nbrs, ROUND(s / 1e9, 6) AS aa_score
-       |FROM ne ORDER BY s DESC, u, v LIMIT $topK""".stripMargin
+       |  SELECT 1 FROM e WHERE e.x = sc.u AND e.y = sc.v)),
+       |census AS (SELECT
+       |    COUNT(CASE WHEN d > $maxDeg THEN 1 END) AS excluded_centers,
+       |    MAX(d) AS max_degree FROM deg)
+       |SELECT u, v, scored_common_nbrs, ROUND(s / 1e9, 6) AS aa_score,
+       |  excluded_centers, max_degree
+       |FROM ne CROSS JOIN census
+       |ORDER BY s DESC, u, v LIMIT $topK""".stripMargin
 
   /** Oracle SQL for q222: per declared key pair, the KMV join-size
     * estimator replayed exactly — per-side bottom-k sketches via
@@ -1652,8 +1678,40 @@ object AnalyticsQueries {
       |  FROM p)
       |SELECT ga || '|' || gb AS pair, na AS n_a, nb AS n_b,
       |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
-      |  ROUND((ma - mb) / sqrt(sea + seb), 6) AS t,
-      |  ROUND((sea + seb) * (sea + seb) /
-      |    (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS df
+      |  CASE WHEN sea + seb = 0 THEN NULL
+      |    ELSE ROUND((ma - mb) / sqrt(sea + seb), 6) END AS t,
+      |  CASE WHEN sea + seb = 0 THEN NULL
+      |    ELSE ROUND((sea + seb) * (sea + seb) /
+      |      (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) END AS df
       |FROM c ORDER BY pair""".stripMargin
+
+  /** Oracle SQL for q224: the synthetic corpus's ground-truth dHashes
+    * recomputed from Multimodal.groundTruthHash's integer arithmetic
+    * (base bit j = ((id/3)·(j+1)) mod 61 < 30 over bits 0..62;
+    * member 1 flips bit (id/3) mod 63, member 2 flips
+    * 0x00FF00FF00FF00FF = 71777214294589695), then the hamming ≤ 3
+    * pairing brute-forced over the tiny id range — the engine's
+    * pigeonhole join must reproduce it exactly from DECODED PNGs.
+    * bit_xor over disjoint single-bit terms assembles the base (the
+    * terms never overlap, so xor = or = sum without HUGEINT widening).
+    */
+  private def multimodalNearDupOracleSql(n: Int): String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${n - 1})) AS id),
+       |js AS (SELECT unnest(generate_series(0, 62)) AS j),
+       |bits AS (SELECT id, j,
+       |    CASE WHEN ((id // 3) * (j + 1)) % 61 < 30
+       |      THEN (1::BIGINT << j) ELSE 0::BIGINT END AS b
+       |  FROM ids CROSS JOIN js),
+       |base AS (SELECT id, bit_xor(b) AS base FROM bits GROUP BY id),
+       |h AS (SELECT id,
+       |    CASE WHEN id % 3 = 0 THEN base
+       |      WHEN id % 3 = 1 THEN
+       |        xor(base, 1::BIGINT << CAST((id // 3) % 63 AS INTEGER))
+       |      ELSE xor(base, 71777214294589695::BIGINT) END AS fp
+       |  FROM base)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM h a JOIN h b ON a.id < b.id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 }

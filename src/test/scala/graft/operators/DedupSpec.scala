@@ -520,7 +520,10 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1)
     val r = out.head
     assert((r.getAs[Long]("u"), r.getAs[Long]("v")) == ((1L, 4L)))
-    assert(r.getAs[Long]("common_nbrs") == 2L)
+    assert(r.getAs[Long]("scored_common_nbrs") == 2L)
+    // no center exceeds the default cap; hottest degree is 3
+    assert(r.getAs[Long]("excluded_centers") == 0L)
+    assert(r.getAs[Long]("max_degree") == 3L)
     // replay the declared quantization: two centers of degree 3
     val term = math.floor(1e9 / math.log(3.0) + 0.5).toLong
     val want = BigDecimal(2L * term / 1e9)
@@ -536,7 +539,12 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.adamicAdar(star, maxCenterDegree = 4).count() == 0)
     val all = Dedup.adamicAdar(star).collect()
     assert(all.length == 10) // C(5,2) proposals, all through the hub
-    assert(all.map(_.getAs[Long]("common_nbrs")).forall(_ == 1L))
+    assert(all.map(_.getAs[Long]("scored_common_nbrs")).forall(_ == 1L))
+    // the census reports the cap's effect: cap 4 excludes the deg-5
+    // hub (visible even though the result is then empty — checked via
+    // the uncapped run, where nothing is excluded and max degree is 5)
+    assert(all.map(_.getAs[Long]("excluded_centers")).forall(_ == 0L))
+    assert(all.map(_.getAs[Long]("max_degree")).forall(_ == 5L))
     val top3 = Dedup.adamicAdar(star, topK = 3).collect()
       .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")))
     // equal scores tie-break on (u, v) ascending

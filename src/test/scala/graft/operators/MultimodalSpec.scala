@@ -566,6 +566,31 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"$pairs")
   }
 
+  test("syntheticImageCorpus: decoded dHash equals the analytic " +
+      "ground truth for every id (the q224 bridge)") {
+    // the whole point of the corpus: PNG encode → imageio decode →
+    // 9×8 pooling → dHash must read the planted bits back VERBATIM,
+    // making the SQL-arithmetic oracle a true end-to-end check
+    val n = 60
+    val got = Multimodal.imageDHashes(
+        Multimodal.syntheticImageCorpus(spark, n))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (0L until n).foreach { id =>
+      assert(got(id) == Multimodal.groundTruthHash(id),
+        s"id $id: decoded ${got(id).toHexString} != " +
+          s"analytic ${Multimodal.groundTruthHash(id).toHexString}")
+    }
+    // planted triple structure: member 1 is hamming-1 from member 0,
+    // member 2 is 32 bits away, bit 63 never set
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0L until n by 3).foreach { base =>
+      assert(ham(got(base), got(base + 1)) == 1)
+      assert(ham(got(base), got(base + 2)) == 32)
+      assert(got(base) >= 0L, "bit 63 must stay clear")
+    }
+  }
+
   /** Amplitude-modulated sine (the envelope carries the content): a
     * flat tone has a featureless RMS envelope, so the fingerprint
     * tests modulate loudness at `modHz` and vary only `gain` for the
