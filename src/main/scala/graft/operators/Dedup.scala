@@ -895,6 +895,75 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash CALIBRATION census — measure the estimator's error
+    * against exact Jaccard BEFORE trusting it at corpus scale: the
+    * "how many permutations / what threshold" tuning harness run on a
+    * verify-scale sample, not a production dedup pass. For every doc
+    * and every declared retention percentage, a variant keeping the
+    * first ⌊|tokens|·pct/100⌋ tokens (integer arithmetic — no float
+    * fraction can round differently across engines) is paired with
+    * the full doc; per pair the census compares
+    *   - exact shingle Jaccard |∩|/|∪|, and
+    *   - the k-permutation MinHash estimate (matching mins / k),
+    * then aggregates per pct: n_pairs, mean exact, mean estimate,
+    * mean |error| — the bias/variance picture per similarity band.
+    *
+    * The permutation draws here are md5-uint32 (the q213/q215 sketch
+    * convention), NOT the production xxhash64 path — deliberately: an
+    * oracle can replay md5 bit for bit, and MinHash's accuracy
+    * depends only on the draws being uniform, so the measured
+    * calibration transfers to any uniform hash family. Means sum as
+    * decimal(38,12) from per-pair doubles so aggregation order can't
+    * move the 6th decimal.
+    *
+    * One narrow projection computes tokens/shingles/minhashes per row
+    * (k·|shingles| codegen'd hash evaluations — the harness cost),
+    * one partial-agg shuffle on pct produces the bounded census.
+    * Pairs where either side has no shingle are excluded (Jaccard is
+    * undefined on an empty set); the variant construction keeps the
+    * doc's token ORDER, so the pair's true similarity falls with pct
+    * — the census rows sweep the similarity range.
+    */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      pcts: Seq[Int] = Seq(30, 50, 70, 90), k: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1, 100], got $pcts")
+    require(k >= 1, s"k must be >= 1, got $k")
+    def mh(sh: Column, seed: Int): Column =
+      array_min(transform(sh, x =>
+        conv(substring(md5(concat(lit(seed.toString), lit("|"), x)), 1, 8),
+          16, 10).cast("long")))
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.wsTokens(col(textCol)).as("w"))
+    val paired = pcts.map { p =>
+      toks.select(col("id"), lit(p).as("pct"), col("w").as("wa"),
+        slice(col("w"), lit(1), (size(col("w")) * p).divide(100)
+          .cast("int")).as("wb"))
+    }.reduce(_ unionAll _)
+    val sh = paired.select(col("id"), col("pct"),
+        TextAnalysis.shinglesFromTokens(col("wa"), shingleN).as("sa"),
+        TextAnalysis.shinglesFromTokens(col("wb"), shingleN).as("sb"))
+      .filter(size(col("sa")) > 0 && size(col("sb")) > 0)
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val ej = inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter)
+    val matches = (1 to k).map(s =>
+      when(mh(col("sa"), s) === mh(col("sb"), s), 1).otherwise(0))
+      .reduce(_ + _)
+    val perPair = sh.select(col("pct"), ej.as("ej"),
+      (matches.cast("double") / k).as("es"))
+    def dmean(c: Column): Column =
+      round(sum(c.cast("decimal(38,12)")).cast("double") /
+        count(lit(1)), 6)
+    perPair.groupBy("pct")
+      .agg(count(lit(1)).as("n_pairs"),
+        dmean(col("ej")).as("mean_exact"),
+        dmean(col("es")).as("mean_est"),
+        dmean(abs(col("ej") - col("es"))).as("mean_abs_err"))
+      .orderBy("pct")
+  }
+
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // width must be ≥ 1 or every chunk_val collapses to one bucket

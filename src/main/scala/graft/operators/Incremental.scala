@@ -42,6 +42,55 @@ object Incremental {
         measures.tail.map(m => sum(col(m)).as(m)): _*)
   }
 
+  /** RETRACTABLE rollup maintenance — fold a CDC batch carrying
+    * DELETES and UPDATES (not just inserts) into an additive rollup
+    * without scanning base facts: the aggregate-side answer to "a fact
+    * was corrected/withdrawn" that [[mergeAdditive]]'s insert-only
+    * contract can't express (the retract-stream idea from streaming
+    * view maintenance — e.g. Flink's retraction model — re-expressed
+    * as batch delta algebra). Counts and exact-decimal sums form a
+    * GROUP, not just a monoid: every op has an exact inverse, so
+    *   - `I` contributes (+1, +new),
+    *   - `D` contributes (−1, −old),
+    *   - `U` contributes (0, new − old)   (same-key update),
+    * and the refreshed state is row-identical to re-aggregating the
+    * post-CDC fact table — which is exactly what the oracle recomputes.
+    * Groups whose count reaches 0 vanish (they no longer exist in the
+    * facts); a negative count or a key-changing update is a corrupt
+    * batch and must fail loudly upstream (key changes are modeled as
+    * D+I pairs, the CDC norm). AVG and other ratios maintain their
+    * (sum, count) parts here and derive at read time, same as
+    * [[mergeAdditive]]; min/max do NOT retract (no inverse) — they
+    * need the full-recompute or sketch path.
+    *
+    * Cost shape at 100 TB: ONE aggregation over the delta batch (the
+    * only raw data scanned) plus a merge shuffle whose cardinality is
+    * distinct keys, never facts — identical to the insert-only path.
+    *
+    * `cdc` columns: `keys` ++ (`opCol`: 'I' | 'U' | 'D',
+    * `oldCol`, `newCol`) — old is NULL for I, new is NULL for D.
+    */
+  def mergeRetractable(state: DataFrame, cdc: DataFrame,
+      keys: Seq[String], cntCol: String, sumCol: String,
+      opCol: String = "op", oldCol: String = "old_value",
+      newCol: String = "new_value"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    val dCnt = when(col(opCol) === "I", 1)
+      .when(col(opCol) === "D", -1).otherwise(0)
+    val dSum = when(col(opCol) === "I", dec(col(newCol)))
+      .when(col(opCol) === "D", -dec(col(oldCol)))
+      .otherwise(dec(col(newCol)) - dec(col(oldCol)))
+    val deltaAgg = cdc
+      .select(keys.map(col) :+ dCnt.as("__dc") :+ dSum.as("__ds"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__dc")).as(cntCol), sum(col("__ds")).as(sumCol))
+    state.select((keys :+ cntCol :+ sumCol).map(col): _*)
+      .unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol), sum(dec(col(sumCol))).as(sumCol))
+      .filter(col(cntCol) =!= 0)
+  }
+
   /** Data-quality expectation report: evaluate every named rule in ONE
     * aggregation over ONE scan (the Profiling.profile shape) and
     * return (rule, n_rows, n_viol, pass) per rule. A violation is any

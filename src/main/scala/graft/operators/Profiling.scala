@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.KmvAgg
@@ -255,6 +256,71 @@ object Profiling {
         slice(array_sort(array_distinct(concat(
           coalesce(col("sk"), empty), coalesce(col("__dsk"), empty)))),
           1, k).as("sk"))
+  }
+
+  /** Mergeable HISTOGRAM-QUANTILE registry — the QUANTILE member of
+    * the index/sketch maintenance matrix (minhash q104, winnow q182,
+    * graph q188, IVF q203, IVF-PQ q211, components q218, KMV q220):
+    * per-group fixed-width bin counts are the persisted state, and
+    * quantiles read off cumulative bin mass with linear interpolation
+    * inside the target bin. Bin counts are integers, so MERGE is
+    * bin-wise addition — EXACTLY equal to a recompute over the union
+    * (unlike rank sketches with probabilistic merge error), which
+    * makes the registry both rollup-able (group sketches sum into an
+    * ALL sketch) and delta-maintainable at cost ∝ |delta|: only the
+    * delta batch pays a scan+agg; the base contributes its bounded
+    * (group, bin, cnt) rows. Estimation error is bounded by binWidth
+    * — a declared, VISIBLE discretization (the bin is in the state),
+    * not a data-dependent one.
+    *
+    * The state is (group, bin, cnt) with bin = floor(value/binWidth)
+    * — one double division + floor, the identical IEEE op in any
+    * engine, so sketch AND estimate replay bit for bit.
+    */
+  def histSketch(df: DataFrame, groupCol: Column, vCol: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.filter(vCol.isNotNull)
+      .select(groupCol.cast("string").as("group"),
+        floor(vCol.cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy("group", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Bin-wise merge of two histogram registries — the delta-refresh
+    * op (state ∪ deltaSketch), exact by integer addition.
+    */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("group", "bin", "cnt")
+      .unionByName(b.select("group", "bin", "cnt"))
+      .groupBy("group", "bin").agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a histogram registry: for each declared
+    * q, target mass t = q·N; the estimate lives in the first bin whose
+    * cumulative count reaches t, linearly interpolated —
+    * lo + (t − cum_before)/cnt · width. One window pass over the
+    * bounded sketch frame (never the facts), one fixed IEEE chain,
+    * 6-decimal presentation rounding.
+    */
+  def histQuantiles(sketch: DataFrame, qs: Seq[Double],
+      binWidth: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    val w = Window.partitionBy("group").orderBy("bin")
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("group")))
+    qs.map { q =>
+      val t = col("n").cast("double") * q
+      cum.filter(col("cum").cast("double") >= t)
+        .groupBy(col("group"))
+        .agg(min_by(struct(col("bin"), col("cum"), col("cnt"), col("n")),
+          col("bin")).as("b"))
+        .select(col("group"), lit(q).as("q"), col("b.n").as("n"),
+          round(col("b.bin").cast("double") * binWidth +
+            (col("b.n").cast("double") * q -
+              (col("b.cum") - col("b.cnt")).cast("double")) /
+              col("b.cnt").cast("double") * binWidth, 6).as("est"))
+    }.reduce(_ unionAll _)
   }
 
   /** SKETCH-BASED JOIN-CARDINALITY estimation over declared key pairs

@@ -1278,7 +1278,85 @@ object AnalyticsQueries {
         Dedup.fingerprintNearDupPairs(
           Multimodal.imageDHashes(Multimodal.syntheticImageCorpus(s, 60)),
           "media_id", "dhash", maxHamming = 3)
-          .orderBy("id_a", "id_b"))
+          .orderBy("id_a", "id_b")),
+
+    // MinHash CALIBRATION census — the estimator-tuning harness: pair
+    // every doc with token-prefix variants at four retention
+    // percentages, compare exact shingle Jaccard against the
+    // 16-permutation MinHash estimate, and census bias/|error| per
+    // band. Draws are md5-uint32 (the q213/q215 sketch convention) so
+    // the oracle replays hashes, estimates, AND the error census bit
+    // for bit — the measured calibration transfers to any uniform
+    // hash family, which is the whole point of running it before a
+    // 100 TB dedup pass.
+    Query("q225_minhash_calibration", Some(minhashCalibOracleSql(
+      pcts = Seq(30, 50, 70, 90), k = 16)))(
+      (s, dir) =>
+        Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id",
+          "text", pcts = Seq(30, 50, 70, 90), k = 16)),
+
+    // RETRACTABLE rollup maintenance — CDC with DELETES and UPDATES
+    // folded into the per-type (count, sum) rollup without scanning
+    // base facts: I adds (+1, +new), D subtracts (−1, −old), U
+    // contributes the (new−old) correction. Counts and exact decimal
+    // sums form a group (every op has an exact inverse), so the
+    // refreshed state is row-identical to re-aggregating the post-CDC
+    // fact table — which is exactly what the oracle recomputes.
+    Query("q226_retractable_rollup", Some(retractableOracleSql))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val base = ev.filter(col("event_id") % 3 =!= 0)
+        val state = base.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        val cdc = ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_type"), lit("I").as("op"),
+            lit(null).cast("double").as("old_value"),
+            col("value").as("new_value"))
+          .unionAll(ev.filter(col("event_id") % 3 =!= 0 &&
+              col("event_id") % 5 === 0)
+            .select(col("event_type"), lit("D").as("op"),
+              col("value").as("old_value"),
+              lit(null).cast("double").as("new_value")))
+          .unionAll(ev.filter(col("event_id") % 3 =!= 0 &&
+              col("event_id") % 5 =!= 0 && col("event_id") % 7 === 0)
+            .select(col("event_type"), lit("U").as("op"),
+              col("value").as("old_value"),
+              (col("value") + 10).as("new_value")))
+        Incremental.mergeRetractable(state, cdc, Seq("event_type"),
+            "cnt", "sv")
+          .select(col("event_type"), col("cnt"),
+            col("sv").cast("double").as("sum_value"))
+          .orderBy("event_type")
+      }),
+
+    // Mergeable HISTOGRAM-QUANTILE registry — the QUANTILE member of
+    // the maintenance matrix: fixed-width bin counts as persisted
+    // per-group state, delta batches bin-merged EXACTLY (integer
+    // addition — unlike rank sketches, merge equals recompute), the
+    // ALL row rolled up from the group sketches by the same algebra,
+    // and p25/p50/p90 read off cumulative mass with in-bin linear
+    // interpolation. Oracle recomputes everything from the raw facts
+    // — a hash match proves build, delta merge, rollup, and estimator
+    // in one row set.
+    Query("q227_hist_quantiles", Some(histQuantOracleSql))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val base = Profiling.histSketch(
+          ev.filter(col("event_id") % 4 =!= 0), col("event_type"),
+          col("value"), binWidth = 5.0)
+        val delta = Profiling.histSketch(
+          ev.filter(col("event_id") % 4 === 0), col("event_type"),
+          col("value"), binWidth = 5.0)
+        val merged = Profiling.histMerge(base, delta)
+        val all = merged.groupBy(col("bin"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .withColumn("group", lit("ALL"))
+        Profiling.histQuantiles(
+            merged.unionByName(all.select("group", "bin", "cnt")),
+            Seq(0.25, 0.5, 0.9), binWidth = 5.0)
+          .orderBy("group", "q")
+      })
   )
 
   /** The q215/q220 sketch key: md5-uint32 of `user:day` — the same
@@ -1714,4 +1792,88 @@ object AnalyticsQueries {
        |FROM h a JOIN h b ON a.id < b.id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle SQL for q225: exact shingle Jaccard and the k-permutation
+    * md5-uint32 MinHash estimate replayed verbatim — same prefix
+    * variants (integer token-count arithmetic), same word-3-gram
+    * shingles, same seed|shingle draws, same decimal(38,12) mean
+    * accumulation.
+    */
+  private def minhashCalibOracleSql(pcts: Seq[Int], k: Int): String = {
+    def draw(side: String): String =
+      s"list_min([('0x' || substring(md5(CAST(s AS VARCHAR) || '|' || x)," +
+        s" 1, 8))::BIGINT FOR x IN $side])"
+    s"""WITH base AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |pcts AS (SELECT unnest([${pcts.mkString(", ")}]) AS pct),
+       |pairs AS (SELECT doc_id, pct, w AS wa,
+       |    w[1:CAST((len(w) * pct) // 100 AS BIGINT)] AS wb
+       |  FROM base CROSS JOIN pcts),
+       |sh AS (SELECT doc_id, pct,
+       |    list_distinct([wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2]
+       |      FOR i IN generate_series(1, len(wa) - 2)]) AS sa,
+       |    list_distinct([wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2]
+       |      FOR i IN generate_series(1, len(wb) - 2)]) AS sb
+       |  FROM pairs),
+       |ok AS (SELECT * FROM sh WHERE len(sa) > 0 AND len(sb) > 0),
+       |jm AS (SELECT pct,
+       |    CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |      / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS ej,
+       |    CAST(len([s FOR s IN generate_series(1, $k)
+       |        IF ${draw("sa")} = ${draw("sb")}]) AS DOUBLE) / $k AS es
+       |  FROM ok)
+       |SELECT pct, COUNT(*) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(ej AS DECIMAL(38,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_exact,
+       |  ROUND(CAST(SUM(CAST(es AS DECIMAL(38,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_est,
+       |  ROUND(CAST(SUM(CAST(ABS(ej - es) AS DECIMAL(38,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_abs_err
+       |FROM jm GROUP BY pct ORDER BY pct""".stripMargin
+  }
+
+  /** Oracle SQL for q226: the from-scratch rollup over the POST-CDC
+    * fact table — base facts minus deletes, updates applied, inserts
+    * included — the exact state the retractable merge must reproduce.
+    */
+  private def retractableOracleSql: String =
+    """WITH post AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE event_id % 3 <> 0 AND event_id % 5 <> 0
+      |    AND event_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT event_type, value + 10 FROM events
+      |  WHERE event_id % 3 <> 0 AND event_id % 5 <> 0
+      |    AND event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT event_type, value FROM events WHERE event_id % 3 = 0)
+      |SELECT event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM post GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle SQL for q227: bins, cumulative mass, and the interpolated
+    * quantile estimates recomputed from the raw facts (the merged
+    * registry must equal this recompute exactly — integer bin-merge
+    * algebra), including the ALL rollup row.
+    */
+  private def histQuantOracleSql: String =
+    """WITH b AS (SELECT event_type AS grp,
+      |    CAST(FLOOR(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS bin
+      |  FROM events WHERE value IS NOT NULL),
+      |u AS (SELECT grp, bin FROM b UNION ALL SELECT 'ALL', bin FROM b),
+      |h AS (SELECT grp, bin, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+      |c AS (SELECT grp, bin, cnt,
+      |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY grp) AS n FROM h),
+      |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |    CAST(0.9 AS DOUBLE)]) AS q),
+      |e AS (SELECT grp, q, n, bin, cum, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY grp, q ORDER BY bin) AS rn
+      |  FROM c CROSS JOIN qs
+      |  WHERE CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * q)
+      |SELECT grp AS "group", q, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(bin AS DOUBLE) * 5.0 +
+      |    (CAST(n AS DOUBLE) * q - CAST(cum - cnt AS DOUBLE))
+      |      / CAST(cnt AS DOUBLE) * 5.0, 6) AS est
+      |FROM e WHERE rn = 1 ORDER BY "group", q""".stripMargin
 }

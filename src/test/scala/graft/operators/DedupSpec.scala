@@ -551,6 +551,43 @@ class DedupSpec extends SparkSpec {
     assert(top3.toSeq == Seq((1L, 2L), (1L, 3L), (1L, 4L)))
   }
 
+  test("minhashCalibration: pct=100 twin pairs read exact=est=1; " +
+      "closed-form exact Jaccard; estimates quantized to k") {
+    // one 10-token doc: prefix-50% keeps 5 tokens → 3 shingles, all
+    // shared with the full doc's 8 → J = 3/8 = 0.375 exactly
+    val doc = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(doc, "doc_id", "text",
+        pcts = Seq(50, 100), k = 16)
+      .orderBy("pct").collect()
+    assert(out.length == 2)
+    val p50 = out(0)
+    assert(p50.getInt(0) == 50 && p50.getLong(1) == 1L)
+    assert(p50.getDouble(2) == 0.375, s"exact ${p50.getDouble(2)}")
+    // the estimate is a matches/16 rational in [0, 1]
+    val est50 = p50.getDouble(3)
+    assert(est50 >= 0 && est50 <= 1 &&
+      math.rint(est50 * 16) == est50 * 16)
+    val p100 = out(1)
+    assert(p100.getDouble(2) == 1.0 && p100.getDouble(3) == 1.0 &&
+      p100.getDouble(4) == 0.0,
+      "an identical pair must calibrate to exact = est = 1, err = 0")
+  }
+
+  test("minhashCalibration: docs too short for any variant shingle " +
+      "are excluded, never divide-by-zero") {
+    val docs = Seq((1L, "a b c"), (2L, "x y z w v u t s")).toDF(
+      "doc_id", "text")
+    // pct 30 of 3 tokens = 0 tokens → no shingles → doc 1 excluded;
+    // doc 2 keeps 2 tokens at 30% → still < 3 → excluded too
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text",
+      pcts = Seq(30), k = 4).collect()
+    assert(out.isEmpty || out.forall(_.getLong(1) >= 1L))
+    // pct 100 keeps both
+    val full = Dedup.minhashCalibration(docs, "doc_id", "text",
+      pcts = Seq(100), k = 4).head()
+    assert(full.getLong(1) == 2L && full.getDouble(2) == 1.0)
+  }
+
   test("setSimilarityJoin: exact — equals the brute-force all-pairs " +
       "Jaccard at every threshold (prefix filter drops nothing)") {
     // word-salad docs with two planted near-dup pairs and decoys

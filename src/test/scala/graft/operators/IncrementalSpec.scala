@@ -29,6 +29,48 @@ class IncrementalSpec extends SparkSpec {
     assert(m == Seq(("a", 3L, 13.0), ("b", 1L, 5.0), ("c", 1L, 7.0)))
   }
 
+  test("mergeRetractable == from-scratch rollup over post-CDC facts: " +
+      "deletes retract, updates correct, emptied groups vanish") {
+    val base = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 5.0),
+      ("c", 4L, 9.0)).toDF("k", "id", "v")
+    val state = base.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,2)")).as("sv"))
+    // CDC: insert into a and a NEW group d; update a's id=2 row
+    // (2.0 -> 7.5); delete b's only row (group must vanish); delete
+    // one of c's... c has one row: delete it AND insert a new one.
+    val cdc = Seq(
+      ("a", "I", Option.empty[Double], Some(10.0)),
+      ("d", "I", Option.empty[Double], Some(4.0)),
+      ("a", "U", Some(2.0), Some(7.5)),
+      ("b", "D", Some(5.0), Option.empty[Double]),
+      ("c", "D", Some(9.0), Option.empty[Double]),
+      ("c", "I", Option.empty[Double], Some(1.0))
+    ).toDF("k", "op", "old_value", "new_value")
+    val merged = Incremental.mergeRetractable(state, cdc, Seq("k"),
+      "cnt", "sv")
+    // post-CDC facts: a = {1.0, 7.5, 10.0}, c = {1.0}, d = {4.0}
+    val got = merged.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    assert(got == Seq(("a", 3L, 18.5), ("c", 1L, 1.0), ("d", 1L, 4.0)),
+      got.toString)
+  }
+
+  test("mergeRetractable: null measures move counts but not sums, " +
+      "matching SUM's null-skip on a recompute") {
+    val state = Seq(("a", 2L, Option(BigDecimal(3.0))))
+      .toDF("k", "cnt", "sv")
+      .select(col("k"), col("cnt"), col("sv").cast("decimal(18,2)").as("sv"))
+    val cdc = Seq(
+      ("a", "I", Option.empty[Double], Option.empty[Double]), // null insert
+      ("a", "D", Option.empty[Double], Option.empty[Double])  // null delete
+    ).toDF("k", "op", "old_value", "new_value")
+    val got = Incremental.mergeRetractable(state, cdc, Seq("k"),
+      "cnt", "sv").head()
+    assert((got.getLong(1), got.getDecimal(2).doubleValue) == ((2L, 3.0)))
+  }
+
   test("mergeAdditive rejects mismatched shapes") {
     val a = Seq(("a", 1L)).toDF("k", "cnt")
     val b = Seq(("a", 1L)).toDF("k", "other")

@@ -256,4 +256,37 @@ class ProfilingSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("a", -6.0, 18.0, 13L, 1L, 1L), ("b", 7.0, 7.0, 5L, 0L, 0L)))
   }
+
+  test("histQuantiles: closed-form interpolation on known bins; " +
+      "negative values and exact boundary mass") {
+    // x = 1..10, width 5: bin 0 = {1,2,3,4} (cnt 4), bin 1 = {5..9}
+    // (cnt 5), bin 2 = {10} (cnt 1). median target t = 0.5·10 = 5 →
+    // first cum ≥ 5 is bin 1 (cum 9): est = 5 + (5−4)/5·5 = 6.0.
+    // q=0.9 → t = 9 → bin 1 (cum 9 ≥ 9): est = 5 + (9−4)/5·5 = 10.0.
+    val df = (1 to 10).map(v => ("x", v.toDouble)).toDF("g", "v")
+    val sk = Profiling.histSketch(df, col("g"), col("v"), binWidth = 5.0)
+    val got = Profiling.histQuantiles(sk, Seq(0.5, 0.9), binWidth = 5.0)
+      .orderBy("q").collect()
+      .map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0.5, 10L, 6.0), (0.9, 10L, 10.0)), got.toString)
+    // negative values land in floor bins: -1.0 → bin -1
+    val neg = Profiling.histSketch(Seq(("x", -1.0)).toDF("g", "v"),
+      col("g"), col("v"), binWidth = 5.0).head()
+    assert(neg.getLong(1) == -1L)
+  }
+
+  test("histMerge: bin-wise merge of split halves equals the direct " +
+      "sketch — the exact delta-refresh algebra") {
+    val vs = (1 to 20).map(v => ("x", v * 1.5)) ++
+      Seq.fill(3)(("y", 2.0))
+    val df = vs.toDF("g", "v")
+    val whole = Profiling.histSketch(df, col("g"), col("v"), 5.0)
+    val a = Profiling.histSketch(df.filter(col("v") < 10), col("g"),
+      col("v"), 5.0)
+    val b = Profiling.histSketch(df.filter(col("v") >= 10), col("g"),
+      col("v"), 5.0)
+    val merged = Profiling.histMerge(a, b)
+    assert(merged.exceptAll(whole).isEmpty &&
+      whole.exceptAll(merged).isEmpty)
+  }
 }
