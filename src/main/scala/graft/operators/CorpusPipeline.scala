@@ -10,17 +10,22 @@ import org.apache.spark.sql.functions._
   * composition (/root/reference/main.py:650-684, which chains its
   * clean/join/filter stages into one program the same way).
   *
-  * Stage order is the published pre-training recipe:
+  * Stage order is the published pre-training recipe (with an
+  * exact-raw pre-collapse in front — stage 0 below — so the regex
+  * stages run once per distinct raw text; outcome-identical because
+  * byte-identical docs share every gate verdict and min-id election):
   *
+  *   0. raw collapse— slim (md5(raw), min id) election + semi-join.
   *   1. clean      — [[TextAnalysis.cleanWebText]]: strip markup,
   *                   unescape entities, collapse whitespace, NFC.
   *   2. lang-id    — [[TextAnalysis.withLangId]]: keep `keepLang`.
   *   3. quality    — [[TextAnalysis.gopherQualityFlags]]: keep
   *                   `quality_ok` docs (published Gopher thresholds).
   *   4. exact dedup— min-id representative per md5(clean) group,
-  *                   window-min form: ONE shuffle on the content
-  *                   hash (the groupBy+join-back form reshuffles the
-  *                   corpus twice), [[Dedup.exact]] semantics.
+  *                   window-min over the raw-distinct survivors (twin
+  *                   mass is gone after stage 0, so the exchange only
+  *                   carries clean-level collisions),
+  *                   [[Dedup.exact]] semantics.
   *   5. near-dup   — [[Dedup.setSimilarityJoin]] (exact prefix-filter
   *                   Jaccard ≥ num/den on word `shingleN`-gram
   *                   shingles) → [[Dedup.connectedComponents]] → keep
@@ -66,6 +71,39 @@ object CorpusPipeline {
       keepLang: String = "en", jaccardNum: Int = 3, jaccardDen: Int = 5,
       shingleN: Int = 3, decontamN: Int = 5,
       packBudget: Int = 512): DataFrame = {
+    // 0: EXACT-RAW PRE-COLLAPSE — the engine's exact-dedup-first trade
+    // applied to the pipeline head: byte-identical raw docs produce
+    // byte-identical clean/lang-id/quality/dedup outcomes, so the
+    // regex-heavy stages below run once per DISTINCT raw text, not
+    // once per copy (at the 100× rehearsal, where every doc has 100
+    // exact twins, this is a 100× cut of the pipeline's dominant
+    // cost — lang-id alone was ~21 s of a 41 s run before it).
+    // Correctness is exact, not approximate: the final stage keeps
+    // the min-id row per md5(clean) group, and min over raw-group
+    // mins IS the global min (each kept row carries the min-id doc's
+    // own source), so every downstream row is identical. Shape: the
+    // min-id election runs on a SLIM (md5, id) projection — fixed
+    // 40-byte rows with map-side combine, so the exchange carries
+    // ~distinct texts — and the winners come back via a semi-join on
+    // id (AQE broadcasts the id list when the distinct count is
+    // small; the raw corpus rescan it costs is a plain scan, cheap
+    // by construction since no regex has run yet). Electing with a
+    // full-row min_by instead measured 8× slower here: carrying the
+    // text through object-aggregation buffers is exactly the work
+    // the slim projection avoids. The survivors are CHECKPOINTED
+    // before the regex chain: fusing the join probe with the
+    // clean/lang-id/quality expression tree into one codegen stage
+    // measured 23 s where checkpoint-then-chain measures ~6 s at the
+    // 100× rehearsal (the fused stage's generated code collapses out
+    // of JIT-compilable shape), and the checkpoint is the collapsed
+    // frame — distinct texts, the small side by construction on any
+    // dup-heavy corpus.
+    val rawKeep = corpus
+      .select(md5(col(textCol)).as("__h"), col(idCol))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val rawReps = corpus.join(rawKeep, Seq(idCol), "left_semi")
+      .localCheckpoint(false)
     // 1-3: clean → lang gate → quality gate, one narrow chain. The
     // quality stage re-tokenizes the cleaned text; its n_words IS the
     // pipeline's token count (wsTokens), reused for packing below.
@@ -73,7 +111,7 @@ object CorpusPipeline {
     // not computed on a separate frame and joined back — the join form
     // would execute the regex-heavy clean + lang-id chain once per
     // join side and add the pipeline's only avoidable shuffle.
-    val cleaned = corpus.select(col(idCol), col("source"),
+    val cleaned = rawReps.select(col(idCol), col("source"),
       TextAnalysis.cleanWebText(col(textCol)).as("__clean"))
     val langKept = TextAnalysis.withLangId(cleaned, "__clean", "__lang")
       .filter(col("__lang") === keepLang).drop("__lang")
@@ -81,8 +119,16 @@ object CorpusPipeline {
       .filter(col("quality_ok"))
       .select(col(idCol), col("source"), col("__clean"),
         col("n_words").as("n_tokens"))
-    // 4: exact dedup, window-min form — one shuffle on the hash key,
-    // min-doc_id representative (Dedup.exact's tiebreak contract)
+    // 4: exact dedup on the CLEANED content — min-doc_id
+    // representative per md5(clean) group (Dedup.exact's tiebreak
+    // contract), window-min form: one shuffle of the (already
+    // raw-distinct, gate-surviving) frame on the content hash. The
+    // twin mass was removed by stage 0, so this exchange carries only
+    // clean-level collisions the raw collapse can't see (markup
+    // variants that clean to the same text); a min_by(struct)
+    // election was measured and rejected — its object-agg buffers
+    // carry the full text per group, slower than the window's
+    // codegen'd sort at every scale tried.
     val ex = qual
       .withColumn("__gid", min(col(idCol))
         .over(Window.partitionBy(md5(col("__clean")))))
