@@ -916,25 +916,37 @@ object Dedup {
     * decimal(38,12) from per-pair doubles so aggregation order can't
     * move the 6th decimal.
     *
-    * One narrow projection computes tokens/shingles/minhashes per row
-    * (k·|shingles| codegen'd hash evaluations — the harness cost),
-    * one partial-agg shuffle on pct produces the bounded census.
-    * Pairs where either side has no shingle are excluded (Jaccard is
-    * undefined on an empty set); the variant construction keeps the
-    * doc's token ORDER, so the pair's true similarity falls with pct
-    * — the census rows sweep the similarity range.
+    * The harness runs on a DECLARED SAMPLE BUDGET (`maxDocs` docs,
+    * drawn deterministically as the first maxDocs ids in
+    * md5(id)-order — a seedless uniform draw both engines replay), so
+    * its cost is FIXED regardless of corpus size: k·|shingles| md5
+    * evaluations per sampled doc-variant, then one bounded census
+    * shuffle. Calibration needs a uniform sample, not the corpus —
+    * running estimator diagnostics over 100 TB would be spending more
+    * than the production pass being tuned. Pairs where either side
+    * has no shingle are excluded (Jaccard is undefined on an empty
+    * set); the variant construction keeps the doc's token ORDER, so
+    * the pair's true similarity falls with pct — the census rows
+    * sweep the similarity range. n_pairs per row reports how many
+    * sampled pairs fed each band, so the budget is visible in the
+    * output, never silent.
     */
   def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
       pcts: Seq[Int] = Seq(30, 50, 70, 90), k: Int = 16,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxDocs: Int = 500): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be in [1, 100], got $pcts")
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     def mh(sh: Column, seed: Int): Column =
       array_min(transform(sh, x =>
         conv(substring(md5(concat(lit(seed.toString), lit("|"), x)), 1, 8),
           16, 10).cast("long")))
-    val toks = df.select(col(idCol).as("id"),
+    // TakeOrderedAndProject cut — never a corpus sort
+    val sampled = df.select(col(idCol), col(textCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(maxDocs)
+    val toks = sampled.select(col(idCol).as("id"),
       TextAnalysis.wsTokens(col(textCol)).as("w"))
     val paired = pcts.map { p =>
       toks.select(col("id"), lit(p).as("pct"), col("w").as("wa"),

@@ -1281,19 +1281,21 @@ object AnalyticsQueries {
           .orderBy("id_a", "id_b")),
 
     // MinHash CALIBRATION census — the estimator-tuning harness: pair
-    // every doc with token-prefix variants at four retention
+    // each SAMPLED doc (declared budget of 500, drawn as the first
+    // 500 ids in md5(id)-order — the harness cost is fixed at every
+    // corpus size) with token-prefix variants at four retention
     // percentages, compare exact shingle Jaccard against the
     // 16-permutation MinHash estimate, and census bias/|error| per
     // band. Draws are md5-uint32 (the q213/q215 sketch convention) so
-    // the oracle replays hashes, estimates, AND the error census bit
-    // for bit — the measured calibration transfers to any uniform
-    // hash family, which is the whole point of running it before a
-    // 100 TB dedup pass.
+    // the oracle replays the sample, hashes, estimates, AND the error
+    // census bit for bit — the measured calibration transfers to any
+    // uniform hash family, which is the whole point of running it
+    // before a 100 TB dedup pass.
     Query("q225_minhash_calibration", Some(minhashCalibOracleSql(
-      pcts = Seq(30, 50, 70, 90), k = 16)))(
+      pcts = Seq(30, 50, 70, 90), k = 16, maxDocs = 500)))(
       (s, dir) =>
         Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id",
-          "text", pcts = Seq(30, 50, 70, 90), k = 16)),
+          "text", pcts = Seq(30, 50, 70, 90), k = 16, maxDocs = 500)),
 
     // RETRACTABLE rollup maintenance — CDC with DELETES and UPDATES
     // folded into the per-type (count, sum) rollup without scanning
@@ -1799,12 +1801,15 @@ object AnalyticsQueries {
     * shingles, same seed|shingle draws, same decimal(38,12) mean
     * accumulation.
     */
-  private def minhashCalibOracleSql(pcts: Seq[Int], k: Int): String = {
+  private def minhashCalibOracleSql(pcts: Seq[Int], k: Int,
+      maxDocs: Int): String = {
     def draw(side: String): String =
       s"list_min([('0x' || substring(md5(CAST(s AS VARCHAR) || '|' || x)," +
         s" 1, 8))::BIGINT FOR x IN $side])"
-    s"""WITH base AS (SELECT doc_id,
-       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    s"""WITH samp AS (SELECT doc_id, text FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $maxDocs),
+       |base AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM samp),
        |pcts AS (SELECT unnest([${pcts.mkString(", ")}]) AS pct),
        |pairs AS (SELECT doc_id, pct, w AS wa,
        |    w[1:CAST((len(w) * pct) // 100 AS BIGINT)] AS wb
