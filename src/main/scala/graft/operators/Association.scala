@@ -40,6 +40,19 @@ object Association {
     * key. Baskets larger than `maxBasketSize` are dropped (declared
     * cap — quadratic safety, same convention as the dedup pairing
     * caps).
+    *
+    * COST, measured: the pair explode materializes Σ over baskets of
+    * C(k, 2) rows before the (a, b) aggregation — on the TPC-H-shaped
+    * 100× rehearsal that is ~90M shuffled pair rows and 61.5 s, the
+    * single heaviest declared query (2× the next; BENCH_SF10). That
+    * is the honest ceiling of the ROW-MATERIALIZING form, kept for
+    * consumers that need the per-(a, b) rows themselves. For census
+    * questions (per-item co-occurrence degree, predicted expansion
+    * size) use [[basketPairCounts]] — linear in memberships, no pair
+    * row ever built, 16.6 s on the same 100× input — and pick this
+    * operator only deliberately. A tighter `maxBasketSize` bounds the
+    * worst basket's k² contribution when the per-pair rows are needed
+    * but tail baskets are junk.
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2, maxBasketSize: Int = 10000): DataFrame = {
@@ -114,7 +127,13 @@ object Association {
     // bucketed by basket key. Over-cap baskets are dropped whole by
     // the size filter before the join, the same census-predicts-
     // sibling contract as before.
+    // NULL items are dropped BEFORE sizing: [[basketPairs]] builds
+    // baskets with collect_set, which skips NULLs, so a (basket,
+    // NULL) membership must not inflate __k here or emit a NULL
+    // census row — the census-predicts-sibling contract depends on
+    // both operators seeing the identical item multiset
     val d = df.select(col(basketCol).as("__bk"), col(itemCol).as("it"))
+      .filter(col("it").isNotNull)
       .distinct()
     val sz = d.groupBy("__bk").agg(count(lit(1)).as("__k"))
       .filter(col("__k") <= maxBasketSize)

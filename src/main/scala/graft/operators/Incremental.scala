@@ -77,9 +77,19 @@ object Incremental {
     val dec = (c: Column) => c.cast("decimal(18,2)")
     val dCnt = when(col(opCol) === "I", 1)
       .when(col(opCol) === "D", -1).otherwise(0)
+    // U branch must handle mixed-null updates explicitly: a plain
+    // new − old is NULL when exactly one side is NULL, so an update
+    // filling a previously-NULL measure (or nulling a value) would
+    // silently contribute nothing — diverging from the recompute
+    // contract (SUM over post-CDC facts includes the non-null side).
+    // old-NULL → +new (covers null→null as NULL, matching SUM's
+    // null-skip for all-null groups); new-NULL → −old.
     val dSum = when(col(opCol) === "I", dec(col(newCol)))
       .when(col(opCol) === "D", -dec(col(oldCol)))
-      .otherwise(dec(col(newCol)) - dec(col(oldCol)))
+      .otherwise(
+        when(col(oldCol).isNull, dec(col(newCol)))
+          .when(col(newCol).isNull, -dec(col(oldCol)))
+          .otherwise(dec(col(newCol)) - dec(col(oldCol))))
     val deltaAgg = cdc
       .select(keys.map(col) :+ dCnt.as("__dc") :+ dSum.as("__ds"): _*)
       .groupBy(keys.map(col): _*)

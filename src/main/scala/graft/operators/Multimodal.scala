@@ -918,6 +918,73 @@ object Multimodal {
         Map("src" -> "synthetic", "group" -> (id / 3).toString))))
   }
 
+  /** One synthetic 16-bit PCM mono WAV whose [[audioFingerprint64]]
+    * is EXACTLY [[groundTruthHash]](id) — the audio twin of
+    * [[groundTruthPng]]: 65 RMS segments of 8 constant-amplitude
+    * frames each (65·8 frames, so decodeAudio's segment boundaries
+    * land exactly on the amplitude plateaus), where segment i+1's
+    * amplitude steps UP from segment i's by 16 sample units iff bit i
+    * of the hash is set — the fingerprint's "segment i+1 louder than
+    * segment i" test then reads the planted bit back verbatim. A
+    * constant-amplitude segment's RMS is |A|/32768 exactly; the walk
+    * stays in [15360, 17408] (far from clipping), and adjacent
+    * segments differ by ≥ 16/32768 ≈ 5·10⁻⁴ — seven orders above
+    * float rounding — so decode → mono mix → RMS → compare is exact.
+    * Bit 63 of the hash is always 0 (the [[groundTruthHash]]
+    * convention) and the final step walks down accordingly. The WAV
+    * container is written by the real javax.sound encoder, so the
+    * probe exercises the production read path end to end.
+    */
+  private[operators] def groundTruthWav(id: Long): Array[Byte] = {
+    val h = groundTruthHash(id)
+    val framesPerSeg = 8
+    val n = 65 * framesPerSeg
+    val amp = new Array[Short](65)
+    var a = 16384
+    amp(0) = a.toShort
+    var i = 0
+    while (i < 64) {
+      a += (if (((h >>> i) & 1L) == 1L) 16 else -16)
+      amp(i + 1) = a.toShort
+      i += 1
+    }
+    val pcm = new Array[Byte](n * 2)
+    var f = 0
+    while (f < n) {
+      val v = amp(f / framesPerSeg)
+      pcm(2 * f) = (v & 0xff).toByte // little-endian PCM_SIGNED
+      pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic audio corpus — the audio-side
+    * correctness bridge, same construction as [[syntheticImageCorpus]]:
+    * real WAV bytes generated ON THE EXECUTORS whose fingerprints a
+    * SQL oracle recomputes independently from [[groundTruthHash]]'s
+    * integer arithmetic. Feeding this corpus through the REAL
+    * pipeline (javax.sound decode → RMS envelope →
+    * [[audioFingerprint64]] → `Dedup.fingerprintNearDupPairs`) and
+    * hash-matching the oracle proves PCM decode, the envelope, the
+    * fingerprint bits, and the pigeonhole pairing end to end.
+    */
+  def syntheticAudioCorpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
+    import spark.implicits._
+    require(n > 0, s"corpus size must be positive, got $n")
+    spark.range(n).as[Long].mapPartitions(_.map(id =>
+      MediaItem(id, "audio", groundTruthWav(id),
+        Map("src" -> "synthetic", "group" -> (id / 3).toString))))
+  }
+
   /** 64-bit audio fingerprint: decode PCM, bin the full-scale-
     * normalized mono mix into a 65-segment RMS loudness envelope, set
     * bit i when segment i+1 is louder than segment i — the audio twin
@@ -957,6 +1024,139 @@ object Multimodal {
           audioFingerprint64(Option(m.payload).getOrElse(Array.empty)))
       })
     }.toDF("media_id", "afp")
+  }
+
+  /** 64-bit video fingerprint: decode the container (AVI-MJPEG /
+    * animated GIF / MP4-MJPEG), bin frame mean-luminances into a
+    * 65-segment envelope, set bit i when segment i+1 is brighter than
+    * segment i — the video member of the delta-sign family
+    * ([[dHash64]] spatial, [[audioFingerprint64]] temporal-loudness).
+    * Survives re-encoding and resolution changes (mean luminance is
+    * scale-invariant); clips shorter than 65 frames repeat
+    * nearest-frame values across segments, so their flat spans
+    * contribute 0-bits — deterministic, but low-entropy; pair such
+    * clips on duration+dims first. None for unparseable payloads.
+    */
+  private[operators] def videoFingerprint64(
+      payload: Array[Byte]): Option[Long] =
+    decodeVideo(payload, dim = 65).flatMap { d =>
+      if (d.features.length < 65) None
+      else {
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (d.features(i + 1) > d.features(i)) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
+      }
+    }
+
+  /** Batched video fingerprints: (media_id, vfp) with null for
+    * unparseable rows — the [[imageDHashes]]/[[audioFingerprints]]
+    * shape; feed `Dedup.fingerprintNearDupPairs(_, "media_id",
+    * "vfp")` for video near-dup pairs.
+    */
+  def videoFingerprints(ds: Dataset[MediaItem],
+      batchSize: Int = defaultBatchSize): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { m =>
+        (m.media_id,
+          videoFingerprint64(Option(m.payload).getOrElse(Array.empty)))
+      })
+    }.toDF("media_id", "vfp")
+  }
+
+  /** One synthetic AVI whose [[videoFingerprint64]] is EXACTLY
+    * [[groundTruthHash]](id) — the video member of the ground-truth
+    * family: 65 uncompressed BI_RGB frames (the '00db' DIB path —
+    * exact Rec. 601 luminance, no JPEG quantization noise in the
+    * planted signal), each a constant gray whose level walks ±1 from
+    * 128 per frame according to the hash bits, so the envelope's
+    * "frame i+1 brighter than frame i" test reads the planted bit
+    * back verbatim. 65 frames at dim = 65 make segment binning the
+    * identity (the 9×8-PNG trick in time), the walk stays in
+    * [64, 192] (no clipping), and adjacent frames differ by a full
+    * gray level — mean-luminance gaps of 1/255 sit seven orders
+    * above float rounding. The container is a standard RIFF tree
+    * (LIST hdrl { avih, LIST strl { strh 'vids', strf
+    * BITMAPINFOHEADER } }, LIST movi { 65 × '00db' }), so the probe
+    * exercises the production AVI walk end to end.
+    */
+  private[operators] def groundTruthAvi(id: Long): Array[Byte] = {
+    val h = groundTruthHash(id)
+    val w = 4; val ht = 4
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameLen = stride * ht
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(cc.getBytes("ISO-8859-1")); o.write(le32(body.length))
+      o.write(body)
+      if (body.length % 2 == 1) o.write(0) // RIFF even padding
+      o.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("ISO-8859-1") ++ body)
+    // avih: only dwMicroSecPerFrame (first field) is consulted by the
+    // decoder; the rest of the 56-byte header is zero-filled
+    val avih = chunk("avih", le32(33333L) ++ new Array[Byte](52))
+    val strh = chunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ new Array[Byte](52))
+    val bih = le32(40L) ++ le32(w.toLong) ++ le32(ht.toLong) ++
+      le16(1) ++ le16(24) ++ le32(0L) ++ le32(frameLen.toLong) ++
+      new Array[Byte](16)
+    val strf = chunk("strf", bih)
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val frames = new java.io.ByteArrayOutputStream()
+    var g = 128
+    var i = 0
+    while (i < 65) {
+      if (i > 0)
+        g += (if (((h >>> (i - 1)) & 1L) == 1L) 1 else -1)
+      val f = new Array[Byte](frameLen)
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          val p = y * stride + x * 3
+          f(p) = g.toByte; f(p + 1) = g.toByte; f(p + 2) = g.toByte
+          x += 1
+        }
+        y += 1
+      }
+      frames.write(chunk("00db", f))
+      i += 1
+    }
+    val movi = list("movi", frames.toByteArray)
+    val riffBody = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("ISO-8859-1")); bos.write(le32(riffBody.length))
+    bos.write(riffBody)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic video corpus — the video-side
+    * correctness bridge, completing the [[syntheticImageCorpus]] /
+    * [[syntheticAudioCorpus]] family: real AVI bytes generated ON THE
+    * EXECUTORS whose fingerprints a SQL oracle recomputes from
+    * [[groundTruthHash]]'s integer arithmetic. Through the REAL
+    * pipeline (RIFF walk → DIB luminance → envelope →
+    * [[videoFingerprint64]] → pigeonhole pairing), a hash match
+    * proves container parse, frame decode, envelope, fingerprint
+    * bits, and pairing end to end.
+    */
+  def syntheticVideoCorpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
+    import spark.implicits._
+    require(n > 0, s"corpus size must be positive, got $n")
+    spark.range(n).as[Long].mapPartitions(_.map(id =>
+      MediaItem(id, "video", groundTruthAvi(id),
+        Map("src" -> "synthetic", "group" -> (id / 3).toString))))
   }
 
   /** "Resize": emit target dimensions + scale factors as metadata —

@@ -1354,11 +1354,76 @@ object AnalyticsQueries {
         val all = merged.groupBy(col("bin"))
           .agg(sum(col("cnt")).as("cnt"))
           .withColumn("group", lit("ALL"))
+        // the rollup label joins the registry through histMerge, NOT a
+        // bare union: if a real group were literally 'ALL' a union
+        // would carry duplicate (group, bin) rows into histQuantiles,
+        // whose cumulative window does not re-aggregate — histMerge's
+        // bin-wise re-aggregation makes the collision case exact
         Profiling.histQuantiles(
-            merged.unionByName(all.select("group", "bin", "cnt")),
+            Profiling.histMerge(merged, all.select("group", "bin", "cnt")),
             Seq(0.25, 0.5, 0.9), binWidth = 5.0)
           .orderBy("group", "q")
-      })
+      }),
+
+    // AUDIO perceptual near-dup — the audio pipeline's correctness
+    // row, the q224 construction transferred to PCM: a deterministic
+    // synthetic WAV corpus generated on the executors
+    // (Multimodal.syntheticAudioCorpus — 65-segment amplitude-walk
+    // clips whose RMS-delta fingerprint equals the same analytic
+    // 63-bit integer formula), pushed through the REAL pipeline:
+    // javax.sound.sampled decode → mono mix → 65-segment RMS envelope
+    // → audioFingerprint64 → the modality-agnostic pigeonhole pairing
+    // (hamming ≤ 3). The oracle recomputes the planted hashes from
+    // the integer arithmetic and replays the pairing brute-force —
+    // a hash match proves WAV parse, PCM decode, envelope,
+    // fingerprint bits, and pairing end to end. Same planted triple
+    // structure as q224: one hamming-1 pair per triple, nothing else.
+    Query("q228_audio_neardup", Some(multimodalNearDupOracleSql(
+      n = 60)))(
+      (s, dir) =>
+        Dedup.fingerprintNearDupPairs(
+          Multimodal.audioFingerprints(
+            Multimodal.syntheticAudioCorpus(s, 60)),
+          "media_id", "afp", maxHamming = 3)
+          .orderBy("id_a", "id_b")),
+
+    // VIDEO perceptual near-dup — completes the multimodal
+    // correctness family (image q224, audio q228): a deterministic
+    // synthetic AVI corpus generated on the executors
+    // (Multimodal.syntheticVideoCorpus — 65 uncompressed BI_RGB
+    // frames per clip whose gray level walks the same analytic
+    // 63-bit formula), pushed through the REAL pipeline: RIFF/LIST
+    // container walk → DIB Rec. 601 luminance → 65-segment envelope
+    // → videoFingerprint64 → pigeonhole pairing (hamming ≤ 3). The
+    // oracle recomputes the planted hashes from the integer
+    // arithmetic and replays the pairing brute-force. Same planted
+    // triple structure: one hamming-1 pair per triple, nothing else.
+    Query("q229_video_neardup", Some(multimodalNearDupOracleSql(
+      n = 60)))(
+      (s, dir) =>
+        Dedup.fingerprintNearDupPairs(
+          Multimodal.videoFingerprints(
+            Multimodal.syntheticVideoCorpus(s, 60)),
+          "media_id", "vfp", maxHamming = 3)
+          .orderBy("id_a", "id_b")),
+
+    // LSH OPERATING-POINT recommendation — the auto-tuner the q225
+    // calibration census feeds (r12 verdict stretch #7): score every
+    // candidate (bands, rows) banding's S-curve P(J) = 1 − (1 − J^r)^b
+    // against the MEASURED similarity distribution of the calibration
+    // sample (same declared budget + prefix-variant sweep), report
+    // per-candidate recall over true positives / false-candidate rate
+    // below threshold / S-curve midpoint, and flag the cheapest
+    // candidate clearing the declared recall floor. Integer powers
+    // expand as left-associated multiplication chains (no pow()), so
+    // the oracle replays every per-pair probability bit for bit.
+    Query("q231_lsh_operating_point", Some(lshOperatingPointOracleSql(
+      target = 0.5, floor = 0.9, grid = Dedup.defaultLshGrid,
+      pcts = Seq(30, 50, 70, 90), maxDocs = 500)))(
+      (s, dir) =>
+        Dedup.minhashOperatingPoint(t(s, dir, "documents"), "doc_id",
+          "text", targetJaccard = 0.5, recallFloor = 0.9,
+          maxDocs = 500))
   )
 
   /** The q215/q220 sketch key: md5-uint32 of `user:day` — the same
@@ -1835,6 +1900,75 @@ object AnalyticsQueries {
        |  ROUND(CAST(SUM(CAST(ABS(ej - es) AS DECIMAL(38,12))) AS DOUBLE)
        |    / COUNT(*), 6) AS mean_abs_err
        |FROM jm GROUP BY pct ORDER BY pct""".stripMargin
+  }
+
+  /** Oracle SQL for q231: the banding S-curve scored over the same
+    * sampled pair frame as q225, every candidate's probabilities
+    * expanded as the SAME left-associated multiplication chains the
+    * engine plans (integer powers — correctly-rounded IEEE ops, no
+    * pow()), means as decimal(38,12), the recommendation replayed by
+    * an identical deterministic window. `s_mid` literals are computed
+    * once here in Scala (Double.toString round-trips exactly through
+    * any IEEE parser, so both engines hold the same double).
+    */
+  private def lshOperatingPointOracleSql(target: Double, floor: Double,
+      grid: Seq[(Int, Int)], pcts: Seq[Int], maxDocs: Int): String = {
+    val candidates = grid.map { case (b, r) =>
+      val jr = Seq.fill(r)("ej").mkString(" * ")
+      val miss = Seq.fill(b)(s"(1.0 - ($jr))").mkString(" * ")
+      val p = s"1.0 - ($miss)"
+      val sMid = math.rint(math.pow(1.0 / b, 1.0 / r) * 1e6) / 1e6
+      s"""SELECT CAST($b AS INTEGER) AS bands,
+         |    CAST($r AS INTEGER) AS "rows",
+         |    CAST(${b * r} AS INTEGER) AS n_hashes,
+         |    CAST($sMid AS DOUBLE) AS s_mid,
+         |    COUNT(CASE WHEN ej >= $target THEN 1 END) AS n_above,
+         |    COUNT(CASE WHEN ej < $target THEN 1 END) AS n_below,
+         |    CASE WHEN COUNT(CASE WHEN ej >= $target THEN 1 END) > 0
+         |      THEN ROUND(CAST(SUM(CASE WHEN ej >= $target
+         |          THEN CAST($p AS DECIMAL(38,12)) END) AS DOUBLE)
+         |        / COUNT(CASE WHEN ej >= $target THEN 1 END), 6)
+         |      END AS recall,
+         |    CASE WHEN COUNT(CASE WHEN ej < $target THEN 1 END) > 0
+         |      THEN ROUND(CAST(SUM(CASE WHEN ej < $target
+         |          THEN CAST($p AS DECIMAL(38,12)) END) AS DOUBLE)
+         |        / COUNT(CASE WHEN ej < $target THEN 1 END), 6)
+         |      END AS false_cand_rate
+         |  FROM jm""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH samp AS (SELECT doc_id, text FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $maxDocs),
+       |base AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM samp),
+       |pcts AS (SELECT unnest([${pcts.mkString(", ")}]) AS pct),
+       |pairs AS (SELECT doc_id, pct, w AS wa,
+       |    w[1:CAST((len(w) * pct) // 100 AS BIGINT)] AS wb
+       |  FROM base CROSS JOIN pcts),
+       |sh AS (SELECT doc_id, pct,
+       |    list_distinct([wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2]
+       |      FOR i IN generate_series(1, len(wa) - 2)]) AS sa,
+       |    list_distinct([wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2]
+       |      FOR i IN generate_series(1, len(wb) - 2)]) AS sb
+       |  FROM pairs),
+       |ok AS (SELECT * FROM sh WHERE len(sa) > 0 AND len(sb) > 0),
+       |jm AS (SELECT
+       |    CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |      / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS ej
+       |  FROM ok),
+       |cand AS (
+       |  $candidates),
+       |ranked AS (SELECT *,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      CASE WHEN COALESCE(recall, 0.0) >= $floor THEN 0 ELSE 1 END,
+       |      CASE WHEN COALESCE(recall, 0.0) >= $floor THEN n_hashes
+       |        ELSE 0 END,
+       |      CASE WHEN COALESCE(recall, 0.0) >= $floor THEN 0.0
+       |        ELSE -COALESCE(recall, 0.0) END,
+       |      n_hashes, bands) AS rn
+       |  FROM cand)
+       |SELECT bands, "rows", n_hashes, s_mid, n_above, n_below,
+       |  recall, false_cand_rate, (rn = 1) AS recommended
+       |FROM ranked ORDER BY bands, "rows"""".stripMargin
   }
 
   /** Oracle SQL for q226: the from-scratch rollup over the POST-CDC

@@ -33,6 +33,26 @@ object ExtendedQueries {
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toSeq)
 
+  /** The ANN recall-contract output shape, shared by q49/q117/q203/
+    * q204: one row PER EXACT top-10 id (the in-engine brute-force
+    * reference — emitted so DuckDB keeps cross-checking the exact
+    * scorer itself; a constant-row contract would let a common-mode
+    * bug in `scoreAgainst` pass unseen, since the probe paths re-rank
+    * with the same expression), plus the probe-side contract columns:
+    * `n_returned` (probe row count) and `recall_ok` (probe recovered
+    * ≥ `floor` of the true 10). Both aggregates are 1-row broadcasts.
+    */
+  private def recallContract(got: DataFrame, exact: DataFrame,
+      floor: Int): DataFrame = {
+    val overlap = got.select(col("vec_id"))
+      .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    exact.select(col("vec_id"))
+      .crossJoin(broadcast(got.agg(count(lit(1)).as("n_returned"))))
+      .crossJoin(broadcast(
+        overlap.agg((count(lit(1)) >= floor).as("recall_ok"))))
+      .orderBy("vec_id")
+  }
+
   /** The embedding near-dup pair set, persisted once per (session,
     * dir): q39 reports it and q67 clusters it — in a real pipeline the
     * pair set is materialized once and consumed by both, so the
@@ -716,19 +736,15 @@ object ExtendedQueries {
         |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
         |         WHERE vec_id = 0)), 6) AS score
         |    FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10))
-        |SELECT CAST(10 AS BIGINT) AS n_returned,
-        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_true,
-        |  true AS recall_ok""".stripMargin))(
+        |SELECT vec_id, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS recall_ok
+        |FROM topk ORDER BY vec_id""".stripMargin))(
       (s, dir) => {
         val got = Similarity.ivfTopKIndexed(s, ivfIndexPath(s, dir),
           "embedding", "vec_id", queryVec(s, dir), k = 10, nProbe = 8)
         val exact = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
           "embedding", "vec_id", queryVec(s, dir), k = 10)
-        val overlap = got.select(col("vec_id"))
-          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        got.agg(count(lit(1)).as("n_returned"))
-          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
-          .crossJoin(overlap.agg((count(lit(1)) >= 6).as("recall_ok")))
+        recallContract(got, exact, floor = 6)
       }),
 
     // ANN probe against the PERSISTED PQ index: the compressed-scan
@@ -751,20 +767,16 @@ object ExtendedQueries {
         |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
         |         WHERE vec_id = 0)), 6) AS score
         |    FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10))
-        |SELECT CAST(10 AS BIGINT) AS n_returned,
-        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_true,
-        |  true AS recall_ok""".stripMargin))(
+        |SELECT vec_id, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS recall_ok
+        |FROM topk ORDER BY vec_id""".stripMargin))(
       (s, dir) => {
         val pq = Similarity.pqTopKIndexed(s, pqIndexPath(s, dir),
           t(s, dir, "embeddings"), "embedding", "vec_id",
           queryVec(s, dir), k = 10, shortlist = 100)
         val exact = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
           "embedding", "vec_id", queryVec(s, dir), k = 10)
-        val overlap = pq.select(col("vec_id"))
-          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        pq.agg(count(lit(1)).as("n_returned"))
-          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
-          .crossJoin(overlap.agg((count(lit(1)) >= 8).as("recall_ok")))
+        recallContract(pq, exact, floor = 8)
       }),
 
     // Batch kNN join: top-5 neighbors for each of three query vectors
@@ -1656,12 +1668,12 @@ object ExtendedQueries {
         |  WHERE vec_id % 10 = 5),
         |topk AS (
         |  SELECT vec_id FROM uni
-        |  ORDER BY list_cosine_similarity(v,
+        |  ORDER BY ROUND(list_cosine_similarity(v,
         |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-        |       WHERE vec_id = 0)) DESC, vec_id LIMIT 10)
-        |SELECT CAST(10 AS BIGINT) AS n_returned,
-        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_true,
-        |  true AS recall_ok""".stripMargin))(
+        |       WHERE vec_id = 0)), 6) DESC, vec_id LIMIT 10)
+        |SELECT vec_id, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS recall_ok
+        |FROM topk ORDER BY vec_id""".stripMargin))(
       (s, dir) => {
         val got = Similarity.ivfTopKIndexed(s, ivfDeltaIndexPath(s, dir),
           "embedding", "vec_id", queryVec(s, dir), k = 10, nProbe = 8)
@@ -1673,11 +1685,7 @@ object ExtendedQueries {
             col("embedding").cast("array<double>").as("embedding")))
         val exact = Similarity.bruteForceTopK(uni, "embedding",
           "vec_id", queryVec(s, dir), k = 10)
-        val overlap = got.select(col("vec_id"))
-          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        got.agg(count(lit(1)).as("n_returned"))
-          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
-          .crossJoin(overlap.agg((count(lit(1)) >= 6).as("recall_ok")))
+        recallContract(got, exact, floor = 6)
       })
   ,
 
@@ -1698,20 +1706,16 @@ object ExtendedQueries {
         |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
         |         WHERE vec_id = 0)), 6) AS score
         |    FROM embeddings v ORDER BY score DESC, vec_id LIMIT 10))
-        |SELECT CAST(10 AS BIGINT) AS n_returned,
-        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_true,
-        |  true AS recall_ok""".stripMargin))(
+        |SELECT vec_id, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS recall_ok
+        |FROM topk ORDER BY vec_id""".stripMargin))(
       (s, dir) => {
         val got = Similarity.ivfPqTopKIndexed(s, ivfpqIndexPath(s, dir),
           t(s, dir, "embeddings"), "embedding", "vec_id",
           queryVec(s, dir), k = 10, nProbe = 10, shortlist = 150)
         val exact = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
           "embedding", "vec_id", queryVec(s, dir), k = 10)
-        val overlap = got.select(col("vec_id"))
-          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        got.agg(count(lit(1)).as("n_returned"))
-          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
-          .crossJoin(overlap.agg((count(lit(1)) >= 8).as("recall_ok")))
+        recallContract(got, exact, floor = 8)
       })
   ,
 
@@ -1810,9 +1814,9 @@ object ExtendedQueries {
         |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
         |       WHERE vec_id = 0)), 6) AS score
         |    FROM uni u ORDER BY score DESC, vec_id LIMIT 10))
-        |SELECT CAST(10 AS BIGINT) AS n_returned,
-        |  CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_true,
-        |  true AS recall_ok""".stripMargin))(
+        |SELECT vec_id, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS recall_ok
+        |FROM topk ORDER BY vec_id""".stripMargin))(
       (s, dir) => {
         val uni = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
@@ -1822,11 +1826,7 @@ object ExtendedQueries {
           nProbe = 10, shortlist = 150)
         val exact = Similarity.bruteForceTopK(uni, "embedding", "vec_id",
           queryVec(s, dir), k = 10)
-        val overlap = got.select(col("vec_id"))
-          .join(exact.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        got.agg(count(lit(1)).as("n_returned"))
-          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
-          .crossJoin(overlap.agg((count(lit(1)) >= 8).as("recall_ok")))
+        recallContract(got, exact, floor = 8)
       }),
 
     // INCREMENTAL component maintenance — the SIXTH family in the
@@ -1873,6 +1873,58 @@ object ExtendedQueries {
           .select(col("a"), col("b"))
         val base = s.read.parquet(componentsIndexPath(s, dir))
         Dedup.deltaMergeComponents(base, deltaNodes,
+            twinEdges.unionAll(crossEdges))
+          .orderBy("id")
+      }),
+
+    // Component maintenance, UPSERT-EMIT form — the r12 verdict's
+    // q218 economics fix measured: the full-table form's emit is an
+    // Ω(base) remap scan that at 100x costs as much as recompute
+    // (9.07 vs 9.17 s), so the registry-maintenance path emits ONLY
+    // what the delta changes — new nodes + base rows whose label the
+    // bounded merge map rewrites (refreshed registry = base OVERWRITTEN
+    // BY this frame; untouched rows, the overwhelming majority at
+    // scale, never move). Same delta batch as q218. Oracle: recompute
+    // labels over BOTH graphs (base-only via reach, union via reach2)
+    // and emit exactly the rows where they differ or the id is new —
+    // the upsert set by definition, exact.
+    Query("q230_components_upsert", Some(componentsCte +
+      """,
+        |base_lab AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |dn AS (SELECT vec_id + 2000000 AS id FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |de AS (SELECT vec_id AS a, vec_id + 2000000 AS b
+        |    FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT e.vec_id, e.vec_id + 1 FROM embeddings e
+        |    JOIN embeddings x ON x.vec_id = e.vec_id + 1
+        |    WHERE e.vec_id % 97 = 0),
+        |alledges AS (SELECT a, b FROM edges
+        |  UNION ALL SELECT a, b FROM de
+        |  UNION ALL SELECT b, a FROM de),
+        |allnodes AS (SELECT vec_id AS id FROM embeddings
+        |  UNION ALL SELECT id FROM dn),
+        |reach2(id, r) AS (
+        |  SELECT id, id FROM allnodes
+        |  UNION
+        |  SELECT r.id, e.b FROM reach2 r JOIN alledges e ON e.a = r.r),
+        |new_lab AS (SELECT id, MIN(r) AS comp FROM reach2 GROUP BY id)
+        |SELECT n.id, n.comp FROM new_lab n
+        |LEFT JOIN base_lab b USING (id)
+        |WHERE b.id IS NULL OR b.comp <> n.comp
+        |ORDER BY id""".stripMargin))(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val deltaNodes = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 2000000L).as("id"))
+        val twinEdges = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("a"), (col("vec_id") + 2000000L).as("b"))
+        val crossEdges = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("a"), (col("vec_id") + 1L).as("b"))
+          .join(emb.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+        val base = s.read.parquet(componentsIndexPath(s, dir))
+        Dedup.deltaMergeComponentsUpsert(base, deltaNodes,
             twinEdges.unionAll(crossEdges))
           .orderBy("id")
       })

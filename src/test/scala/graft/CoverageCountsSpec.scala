@@ -30,6 +30,20 @@ class CoverageCountsSpec extends AnyFunSuite {
       s"COVERAGE.md says ${m.get.matched}, SparkEntry has $nQueries")
   }
 
+  test("SCALE.md names every declared query (two-scale telemetry " +
+      "can't lag a wave again)") {
+    // the r12 verdict found q218-q227's 100x numbers existed only in
+    // BENCH_SF10.json — the narrating doc was a round behind. Pin:
+    // every declared query id (its qNNN prefix) must appear in
+    // SCALE.md somewhere (trajectory row, wave telemetry, or risk
+    // note). Prefix-grain keeps renames from false-failing.
+    val scale = read("SCALE.md")
+    val missing = SparkEntry.queries.keySet
+      .map(_.split("_")(0)).filterNot(scale.contains)
+    assert(missing.isEmpty,
+      s"SCALE.md never mentions: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("README.md's oracle and bench query counts match SparkEntry") {
     val readme = read("README.md")
     val rowByRow = """compares row-by-row: (\d+)/(\d+)""".r

@@ -75,4 +75,19 @@ class AssociationSpec extends SparkSpec {
       maxBasketSize = 10).collect()
     assert(!capped.exists(_.getAs[String]("it").startsWith("i")))
   }
+
+  test("basketPairCounts: NULL items are invisible — no NULL census " +
+      "row, no __k inflation for siblings (matches basketPairs' " +
+      "collect_set null-skip)") {
+    val withNull = baskets.unionAll(
+      Seq((1, Option.empty[String])).toDF("bk", "it"))
+    val r = Association.basketPairCounts(withNull, "bk", "it")
+      .collect().map(x => Option(x.getAs[String]("it")) ->
+        ((x.getAs[Long]("n_baskets"), x.getAs[Long]("n_copairs")))).toMap
+    assert(!r.contains(None), "NULL item must not get a census row")
+    // basket 1 is still {a, b} (k = 2, not 3): per-basket copair
+    // degree stays k-1 = 1, so totals match the null-free fixture
+    assert(r(Some("a")) == ((4L, 4L)), s"a: ${r(Some("a"))}")
+    assert(r(Some("b")) == ((3L, 3L)), s"b: ${r(Some("b"))}")
+  }
 }

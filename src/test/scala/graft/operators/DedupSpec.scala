@@ -204,6 +204,37 @@ class DedupSpec extends SparkSpec {
       Map(10L -> 10L, 11L -> 11L))
   }
 
+  test("deltaMergeComponentsUpsert emits exactly what changes — " +
+      "full form ≡ base overwritten by the upsert frame") {
+    // same fixture as the full-form spec: base chain 1-2-3 (comp 1),
+    // pair 5-6 (comp 5), isolated 4 and 7; delta nodes 10, 11;
+    // edges 10-5 (10 joins comp 5) and 3-4 (comp 1 absorbs 4)
+    val nodes = (1L to 7L).toDF("id")
+    val baseEdges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val base = Dedup.connectedComponents(nodes, "id", baseEdges)
+      .localCheckpoint(true)
+    val dNodes = Seq(10L, 11L).toDF("id")
+    val dEdges = Seq((10L, 5L), (3L, 4L)).toDF("a", "b")
+    val up = Dedup.deltaMergeComponentsUpsert(base, dNodes, dEdges)
+      .as[(Long, Long)].collect().toMap
+    // the upsert set is MINIMAL: only 4 (relabeled 4 -> 1) among base
+    // rows, plus both new nodes. 1/2/3 keep comp 1 (the merged min is
+    // their own label — no rewrite), 5/6/7 untouched or unchanged.
+    assert(up == Map(4L -> 1L, 10L -> 5L, 11L -> 11L), up.toString)
+    // the two forms agree: base overwritten by the upsert frame is
+    // row-identical to the full-table form
+    val full = Dedup.deltaMergeComponents(base, dNodes, dEdges)
+      .as[(Long, Long)].collect().toMap
+    val overwritten =
+      base.as[(Long, Long)].collect().toMap ++ up
+    assert(overwritten == full)
+    // pure node append: upsert = just the new nodes, self-labeled
+    val append = Dedup.deltaMergeComponentsUpsert(base, dNodes,
+        Seq.empty[(Long, Long)].toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(append == Map(10L -> 10L, 11L -> 11L))
+  }
+
   test("connectedComponents converges on a long chain (multi-round)") {
     val n = 12L
     val nodes = (1L to n).toDF("id")

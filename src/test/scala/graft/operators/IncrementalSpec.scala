@@ -71,6 +71,26 @@ class IncrementalSpec extends SparkSpec {
     assert((got.getLong(1), got.getDecimal(2).doubleValue) == ((2L, 3.0)))
   }
 
+  test("mergeRetractable: mixed-null updates (null->value and " +
+      "value->null) match a recompute's SUM over post-CDC facts") {
+    // base facts for a: {NULL, 4.0}; for b: {2.0, 6.0}
+    val state = Seq(("a", 2L, Option(BigDecimal(4.0))),
+        ("b", 2L, Option(BigDecimal(8.0))))
+      .toDF("k", "cnt", "sv")
+      .select(col("k"), col("cnt"),
+        col("sv").cast("decimal(18,2)").as("sv"))
+    val cdc = Seq(
+      ("a", "U", Option.empty[Double], Some(3.0)),  // null -> 3.0
+      ("b", "U", Some(2.0), Option.empty[Double])   // 2.0 -> null
+    ).toDF("k", "op", "old_value", "new_value")
+    // post-CDC facts: a = {3.0, 4.0} -> 7.0; b = {NULL, 6.0} -> 6.0
+    val got = Incremental.mergeRetractable(state, cdc, Seq("k"),
+        "cnt", "sv").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    assert(got == Seq(("a", 2L, 7.0), ("b", 2L, 6.0)), got.toString)
+  }
+
   test("mergeAdditive rejects mismatched shapes") {
     val a = Seq(("a", 1L)).toDF("k", "cnt")
     val b = Seq(("a", 1L)).toDF("k", "other")

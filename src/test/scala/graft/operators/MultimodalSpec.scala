@@ -591,6 +591,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("syntheticAudioCorpus: decoded audio fingerprint equals the " +
+      "analytic ground truth for every id (the q228 bridge)") {
+    // WAV encode → javax.sound decode → mono mix → 65-segment RMS →
+    // delta-sign fingerprint must read the planted bits back VERBATIM
+    import spark.implicits._
+    val n = 60
+    val got = Multimodal.audioFingerprints(
+        Multimodal.syntheticAudioCorpus(spark, n))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (0L until n).foreach { id =>
+      assert(got(id) == Multimodal.groundTruthHash(id),
+        s"id $id: decoded ${got(id).toHexString} != " +
+          s"analytic ${Multimodal.groundTruthHash(id).toHexString}")
+    }
+    // same planted triple structure as the image corpus, and the
+    // pairing finds exactly the hamming-1 member per triple
+    val pairs = Dedup.fingerprintNearDupPairs(
+        Multimodal.audioFingerprints(
+          Multimodal.syntheticAudioCorpus(spark, n)),
+        "media_id", "afp", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until n by 3).map(b => (b, b + 1)).toSet, s"$pairs")
+  }
+
+  test("syntheticVideoCorpus: decoded video fingerprint equals the " +
+      "analytic ground truth for every id (the q229 bridge)") {
+    // RIFF walk → DIB luminance → 65-segment envelope → delta-sign
+    // fingerprint must read the planted bits back VERBATIM
+    import spark.implicits._
+    val n = 60
+    val got = Multimodal.videoFingerprints(
+        Multimodal.syntheticVideoCorpus(spark, n))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (0L until n).foreach { id =>
+      assert(got(id) == Multimodal.groundTruthHash(id),
+        s"id $id: decoded ${got(id).toHexString} != " +
+          s"analytic ${Multimodal.groundTruthHash(id).toHexString}")
+    }
+    val pairs = Dedup.fingerprintNearDupPairs(
+        Multimodal.videoFingerprints(
+          Multimodal.syntheticVideoCorpus(spark, n)),
+        "media_id", "vfp", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until n by 3).map(b => (b, b + 1)).toSet, s"$pairs")
+  }
+
   /** Amplitude-modulated sine (the envelope carries the content): a
     * flat tone has a featureless RMS envelope, so the fingerprint
     * tests modulate loudness at `modHz` and vary only `gain` for the
