@@ -24,7 +24,14 @@ import org.apache.spark.sql.SparkSession
   *     are RE-MEASURED after the suite, behind a bounded wait-for-
   *     quiet (`requeued` keeps before/after/load as evidence) — r12
   *     showed in-run min-of-2 is insufficient when a contention span
-  *     outlives both passes (q134: 90.5/37.8 s vs 1.26 s clean);
+  *     outlives both passes (q134: 90.5/37.8 s vs 1.26 s clean); a
+  *     requeue that REPRODUCES the suite time (±15%) clears the flag:
+  *     agreement across two windows means the number is the engine's
+  *     honest cost and the ext reading was self-induced (buffered-
+  *     write flushes run in kernel worker threads — box-busy, never
+  *     self-busy — so checkpoint-heavy streaming replays false-
+  *     positive otherwise), while genuine contention does not
+  *     reproduce;
   *   - a machine-load fingerprint (1-min load average and available
   *     memory, sampled before and after the run) rides in `load`;
   *   - per-query times are compared to the previous round's full
@@ -290,6 +297,16 @@ object Bench {
     // correction is itself evidence.
     val requeued = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Double)]
+    // requeues whose re-measure REPRODUCED the suite-time (±15%): two
+    // windows with supposedly different external load agreeing means
+    // the number is the engine's honest cost and the ext reading was
+    // a false positive — IO-heavy queries (streaming checkpoint
+    // sinks) SELF-generate "external" busy jiffies because buffered-
+    // write flushes run in kernel worker threads, charged to the box
+    // aggregate but never to /proc/self. Genuinely contended pairs
+    // don't reproduce (r12's q134: 90.5 vs 37.8 s across two passes,
+    // 1.26 s clean), so reproduction is the discriminating evidence.
+    val reproduced = scala.collection.mutable.Set.empty[String]
     val suspects = results0.toSeq
       .filter { case (n, t) =>
         t > rerunThresholdSec && firstPass(n)._2 > contThresh }
@@ -303,6 +320,7 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val (t3, e3) = timedPass(fn, name)
         requeued(name) = (tPrior, t3, math.rint(e3 * 10) / 10)
+        if (math.abs(t3 - tPrior) <= 0.15 * tPrior) reproduced += name
         if (t3 < tPrior) { firstPass(name) = (t3, e3); Some(name -> t3) }
         else Some(name -> tPrior)
       } catch { case e: Throwable =>
@@ -313,9 +331,10 @@ object Bench {
     results.keys.foreach { n =>
       qext(n) = math.rint(firstPass(n)._2 * 10) / 10 }
     // queries whose FINAL reported time still comes from a pass with
-    // external load above threshold — the honest residue
+    // external load above threshold AND whose requeue did not
+    // reproduce it — the honest residue
     val stillContended = results.keys.toSeq.sorted
-      .filter(n => firstPass(n)._2 > contThresh)
+      .filter(n => firstPass(n)._2 > contThresh && !reproduced(n))
     val (la1, mem1) = loadFingerprint()
     val loadJson = s"""{"loadavg_start":$la0,"loadavg_end":$la1,""" +
       s""""mem_avail_gb_start":$mem0,"mem_avail_gb_end":$mem1,""" +

@@ -1975,7 +1975,7 @@ object AnalyticsQueries {
     * fact table — base facts minus deletes, updates applied, inserts
     * included — the exact state the retractable merge must reproduce.
     */
-  private def retractableOracleSql: String =
+  private[queries] def retractableOracleSql: String =
     """WITH post AS (
       |  SELECT event_type, value FROM events
       |  WHERE event_id % 3 <> 0 AND event_id % 5 <> 0

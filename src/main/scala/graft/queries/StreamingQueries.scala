@@ -372,5 +372,52 @@ object StreamingQueries {
                     .as("gap_us"))
             })
           .orderBy("purchase_id", "click_id")
+      }),
+
+    // Streaming RETRACT-STREAM rollup, end to end — the q226 batch
+    // algebra as a REAL streaming maintenance sink: the same CDC set
+    // (I/U/D over the events rollup) arrives as THREE micro-batches
+    // in a deliberately scrambled order (deletes, then updates, then
+    // inserts — not source order), each folded into the versioned
+    // snapshot by retractableRollupSink via mergeRetractable, seeded
+    // with the pre-stream base rollup as v=-1. Because (count, exact
+    // decimal sum) is a group, any batch split of the CDC lands on
+    // the identical snapshot — so the final readSnapshot must equal
+    // the batch q226 oracle (post-CDC recompute) verbatim, proving
+    // the retraction fold, the cross-batch versioned sink, and the
+    // batching-insensitivity claim in one hash.
+    Query("q232_stream_retractable", Some(
+      AnalyticsQueries.retractableOracleSql))(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val base = ev.filter(col("event_id") % 3 =!= 0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        val ins = ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_type"), lit("I").as("op"),
+            lit(null).cast("double").as("old_value"),
+            col("value").as("new_value"))
+        val del = ev.filter(col("event_id") % 3 =!= 0 &&
+            col("event_id") % 5 === 0)
+          .select(col("event_type"), lit("D").as("op"),
+            col("value").as("old_value"),
+            lit(null).cast("double").as("new_value"))
+        val upd = ev.filter(col("event_id") % 3 =!= 0 &&
+            col("event_id") % 5 =!= 0 && col("event_id") % 7 === 0)
+          .select(col("event_type"), lit("U").as("op"),
+            col("value").as("old_value"),
+            (col("value") + 10).as("new_value"))
+        StreamReplay.replaySink(s, del,
+            (stream, work, ckpt) => {
+              base.write.parquet(s"$work/v=-1")
+              EventStream.retractableRollupSink(stream, work, ckpt,
+                Seq("event_type"), "cnt", "sv")
+            },
+            (sp, work) => EventStream.readSnapshot(sp, work),
+            appends = Seq(upd, ins))
+          .select(col("event_type"), col("cnt"),
+            col("sv").cast("double").as("sum_value"))
+          .orderBy("event_type")
       }))
 }

@@ -254,6 +254,56 @@ object EventStream {
       .start()
   }
 
+  /** Streaming RETRACT-STREAM rollup sink — Flink's retraction model
+    * on Structured Streaming via exact batch group algebra: each
+    * micro-batch of CDC rows (`opCol` 'I'/'U'/'D' with old/new
+    * measure values) folds into the persisted per-key (count, sum)
+    * rollup through
+    * [[graft.operators.Incremental.mergeRetractable]] (foreachBatch —
+    * the batch operator IS the streaming operator, the
+    * [[upsertSnapshotSink]] convention, including the versioned
+    * `v=<batchId>` directories, strictly-below base selection for
+    * replay idempotence, and prune-after-land). Because counts and
+    * exact decimal sums form a GROUP (every op has an exact inverse),
+    * the fold is order- AND batching-insensitive: any micro-batch
+    * split of the same CDC set lands on the identical snapshot —
+    * the property that makes a retraction sink exactly-once without a
+    * transactional table format. Emptied groups vanish per merge and
+    * reappear when a later batch re-inserts them. Seed state (the
+    * pre-stream rollup) goes in as `v=-1` before the query starts,
+    * exactly like [[upsertSnapshotSink]] deployments seed their base.
+    */
+  def retractableRollupSink(cdc: DataFrame, path: String,
+      checkpoint: String, keys: Seq[String], cntCol: String,
+      sumCol: String, opCol: String = "op", oldCol: String = "old_value",
+      newCol: String = "new_value", keepVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // >= 2 for the same crash-window reason as upsertSnapshotSink
+    require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
+    cdc.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = versionsOf(spark, path).filter(_ < batchId).sorted
+          .lastOption match {
+          case Some(v) => spark.read.parquet(s"$path/v=$v")
+          case None => // empty rollup in the merged-output schema
+            batch.select(keys.map(col) :+ lit(0L).as(cntCol) :+
+              lit(null).cast("decimal(18,2)").as(sumCol): _*).limit(0)
+        }
+        graft.operators.Incremental
+          .mergeRetractable(base, batch, keys, cntCol, sumCol,
+            opCol, oldCol, newCol)
+          .write.mode("overwrite").parquet(s"$path/v=$batchId")
+        versionsOf(spark, path).sorted.dropRight(keepVersions).foreach { v =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/v=$v")
+          p.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(p, true)
+        }
+      }
+      .start()
+  }
+
   private def versionsOf(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

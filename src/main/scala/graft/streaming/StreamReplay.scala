@@ -92,11 +92,17 @@ object StreamReplay {
     * result is pinned via localCheckpoint and the whole scratch tree
     * (staged input + checkpoint + sink versions) is deleted before
     * returning.
+    *
+    * `appends`: extra input frames, each landed as its OWN
+    * micro-batch after the first drains (the [[replay]] sentinel
+    * mechanics) — the way to prove a sink's CROSS-BATCH fold rather
+    * than one batch-0 pass.
     */
   def replaySink(spark: SparkSession, input: DataFrame,
       start: (DataFrame, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery,
-      read: (SparkSession, String) => DataFrame): DataFrame = {
+      read: (SparkSession, String) => DataFrame,
+      appends: Seq[DataFrame] = Seq.empty): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_replay")
     val stage = s"$base/stage"
     val work = s"$base/work"
@@ -104,7 +110,13 @@ object StreamReplay {
     input.write.parquet(stage)
     val stream = spark.readStream.schema(input.schema).parquet(stage)
     val q = start(stream, work, ckpt)
-    try q.processAllAvailable()
+    try {
+      q.processAllAvailable()
+      appends.foreach { adf =>
+        adf.write.mode("append").parquet(stage)
+        q.processAllAvailable()
+      }
+    }
     finally {
       q.stop()
       org.apache.spark.sql.execution.streaming.state

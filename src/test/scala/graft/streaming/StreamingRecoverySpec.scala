@@ -147,4 +147,47 @@ class StreamingRecoverySpec extends SparkSpec {
       assert(vs.length <= 2, s"version pruning stopped: ${vs.mkString(",")}")
     } finally q2.stop()
   }
+
+  test("retractableRollupSink: retraction folds span a restart; an " +
+      "emptied group vanishes and a later re-insert revives it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = tmp("graft_retract_rec")
+    val (path, ckpt) = (s"$base/snap", s"$base/ckpt")
+    val mem = MemoryStream[(String, String, Option[Double], Option[Double])]
+    def start() = EventStream.retractableRollupSink(
+      mem.toDF().toDF("k", "op", "old_value", "new_value"),
+      path, ckpt, Seq("k"), "cnt", "sv")
+    def snap(): Map[String, (Long, Double)] =
+      EventStream.readSnapshot(spark, path).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+
+    val q1 = start()
+    try {
+      mem.addData(("a", "I", None, Some(1.0)), ("a", "I", None, Some(2.0)),
+        ("b", "I", None, Some(5.0)))
+      q1.processAllAvailable()
+      assert(snap() == Map("a" -> ((2L, 3.0)), "b" -> ((1L, 5.0))))
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      // post-restart: retract BOTH a facts (the group must VANISH —
+      // count reached zero) and update b 5 -> 7; a's pre-restart state
+      // only survives via the versioned base chain
+      mem.addData(("a", "D", Some(1.0), None), ("a", "D", Some(2.0), None),
+        ("b", "U", Some(5.0), Some(7.0)))
+      q2.processAllAvailable()
+      assert(snap() == Map("b" -> ((1L, 7.0))), snap().toString)
+      // a later batch re-inserts the emptied group — it must revive
+      // from nothing, not from stale state
+      mem.addData(("a", "I", None, Some(9.0)))
+      q2.processAllAvailable()
+      assert(snap() == Map("a" -> ((1L, 9.0)), "b" -> ((1L, 7.0))))
+      val vs = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("v=")).map(_.getName)
+      assert(vs.length <= 2, s"version pruning stopped: ${vs.mkString(",")}")
+    } finally q2.stop()
+  }
 }
