@@ -1159,6 +1159,76 @@ object Multimodal {
         Map("src" -> "synthetic", "group" -> (id / 3).toString))))
   }
 
+  /** One synthetic animated GIF whose [[videoFingerprint64]] is
+    * EXACTLY [[groundTruthHash]](id) — the GIF member of the
+    * ground-truth family, certifying the LAST real decode path
+    * without a machine oracle (PNG → q224, WAV → q228, AVI → q229):
+    * 65 constant-gray frames whose level walks ±1 from 128 per hash
+    * bit, written by the JVM's OWN GIF `ImageWriter` in sequence mode
+    * so the probe exercises the production `decodeGifAnimation` read
+    * path (ImageReader frame iteration, per-frame pixels, envelope).
+    * GIF palettes are LOSSLESS for constant-color frames — the
+    * writer's palette holds the exact gray — so mean luminance is
+    * exactly g/255, and adjacent frames differ by a full level, seven
+    * orders above float rounding. 65 frames at dim = 65 make segment
+    * binning the identity, the same construction as
+    * [[groundTruthAvi]].
+    */
+  private[operators] def groundTruthGif(id: Long): Array[Byte] = {
+    val h = groundTruthHash(id)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "JVM GIF writer missing")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var g = 128
+      var i = 0
+      while (i < 65) {
+        if (i > 0) g += (if (((h >>> (i - 1)) & 1L) == 1L) 1 else -1)
+        val img = new java.awt.image.BufferedImage(4, 4,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        i += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      try ios.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic animated-GIF corpus — completes the
+    * decode-oracle family across every REAL decoder in the engine:
+    * real GIF bytes generated ON THE EXECUTORS by the JVM's own
+    * encoder, whose fingerprints a SQL oracle recomputes from
+    * [[groundTruthHash]]'s integer arithmetic. Through the REAL
+    * pipeline (ImageIO GIF ImageReader frame walk → mean luminance →
+    * 65-segment envelope → [[videoFingerprint64]] → pigeonhole
+    * pairing), a hash match proves the GIF container parse, palette
+    * frame decode, envelope, fingerprint bits, and pairing end to
+    * end.
+    */
+  def syntheticGifCorpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
+    import spark.implicits._
+    require(n > 0, s"corpus size must be positive, got $n")
+    spark.range(n).as[Long].mapPartitions(_.map(id =>
+      MediaItem(id, "video", groundTruthGif(id),
+        Map("src" -> "synthetic", "group" -> (id / 3).toString))))
+  }
+
   /** "Resize": emit target dimensions + scale factors as metadata —
     * the real implementation would transform pixels; the plumbing
     * (projection shape, aspect-ratio math) is real.

@@ -1407,6 +1407,25 @@ object AnalyticsQueries {
           "media_id", "vfp", maxHamming = 3)
           .orderBy("id_a", "id_b")),
 
+    // GIF perceptual near-dup — certifies the LAST real decode path
+    // without a machine oracle (PNG q224, WAV q228, AVI q229, GIF
+    // here): a deterministic synthetic animated-GIF corpus written by
+    // the JVM's OWN GIF encoder on the executors (65 constant-gray
+    // frames walking the same analytic 63-bit formula; GIF palettes
+    // are lossless for constant frames), pushed through the REAL
+    // pipeline: ImageIO GIF ImageReader frame walk → mean luminance →
+    // 65-segment envelope → videoFingerprint64 → pigeonhole pairing.
+    // The oracle recomputes the planted hashes from the integer
+    // arithmetic and replays the pairing brute-force.
+    Query("q233_gif_neardup", Some(multimodalNearDupOracleSql(
+      n = 60)))(
+      (s, dir) =>
+        Dedup.fingerprintNearDupPairs(
+          Multimodal.videoFingerprints(
+            Multimodal.syntheticGifCorpus(s, 60)),
+          "media_id", "vfp", maxHamming = 3)
+          .orderBy("id_a", "id_b")),
+
     // LSH OPERATING-POINT recommendation — the auto-tuner the q225
     // calibration census feeds (r12 verdict stretch #7): score every
     // candidate (bands, rows) banding's S-curve P(J) = 1 − (1 − J^r)^b

@@ -639,6 +639,30 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == (0L until n by 3).map(b => (b, b + 1)).toSet, s"$pairs")
   }
 
+  test("syntheticGifCorpus: decoded GIF fingerprint equals the " +
+      "analytic ground truth for every id (the q233 bridge)") {
+    // JVM GIF encoder → ImageReader frame walk → mean luminance →
+    // envelope → delta-sign fingerprint must read the planted bits
+    // back VERBATIM (GIF palettes are lossless for constant frames)
+    import spark.implicits._
+    val n = 60
+    val got = Multimodal.videoFingerprints(
+        Multimodal.syntheticGifCorpus(spark, n))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (0L until n).foreach { id =>
+      assert(got(id) == Multimodal.groundTruthHash(id),
+        s"id $id: decoded ${got(id).toHexString} != " +
+          s"analytic ${Multimodal.groundTruthHash(id).toHexString}")
+    }
+    val pairs = Dedup.fingerprintNearDupPairs(
+        Multimodal.videoFingerprints(
+          Multimodal.syntheticGifCorpus(spark, n)),
+        "media_id", "vfp", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until n by 3).map(b => (b, b + 1)).toSet, s"$pairs")
+  }
+
   /** Amplitude-modulated sine (the envelope carries the content): a
     * flat tone has a featureless RMS envelope, so the fingerprint
     * tests modulate loudness at `modHz` and vary only `gain` for the
