@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Association, Bpe, Decontaminate, Dedup, Drift,
-  Sampling, Temporal, TextAnalysis}
+  Ranking, Sampling, Temporal, TextAnalysis}
 
 /** Round-6 curation + monitoring surface (SURVEY.md §2.10
   * continuation): rule-based quality gating (Gopher heuristics), PMI
@@ -255,14 +255,24 @@ object CurationQueries {
         |    * 1e6 + 0.5) / 1e6 AS rho
         |FROM m ORDER BY event_type""".stripMargin))(
       (s, dir) => {
+        // NO per-event_type window sort (a single task would own
+        // ~corpus/5 rows at scale): average ranks come from the
+        // distributed (event_type, value) rank frames — two-pass
+        // prefix sums over bounded count frames — joined back to the
+        // fact rows on the high-cardinality (event_type, value) key.
+        // The half-integer ranks are bit-identical to the window form.
         val e = t(s, dir, "events")
           .filter(col("value").isNotNull)
           .select(col("event_type"), col("value").as("v"), tsUs.as("u"))
-        def avgRank(c: String) =
-          rank().over(Window.partitionBy("event_type").orderBy(c)) +
-            (count(lit(1)).over(Window.partitionBy("event_type", c)) - 1) / 2.0
-        e.select(col("event_type"), avgRank("v").as("ra"),
-            avgRank("u").as("rb"))
+          .persist()
+        val rv = Ranking.rankFrame(e.select("event_type", "v"),
+            "event_type", "v")
+          .select(col("event_type"), col("v"), Ranking.avgRank.as("ra"))
+        val ru = Ranking.rankFrame(e.select("event_type", "u"),
+            "event_type", "u")
+          .select(col("event_type"), col("u"), Ranking.avgRank.as("rb"))
+        e.join(rv, Seq("event_type", "v"))
+          .join(ru, Seq("event_type", "u"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum(col("ra").cast("decimal(20,1)")).cast("double").as("sa"),
@@ -293,15 +303,30 @@ object CurationQueries {
         |          ORDER BY value, event_id) AS q
         |      FROM events WHERE value IS NOT NULL)
         |GROUP BY 1, 2 ORDER BY event_type, q""".stripMargin))(
-      (s, dir) =>
-        t(s, dir, "events").filter(col("value").isNotNull)
-          .select(col("event_type"), col("value"),
-            ntile(4).over(Window.partitionBy("event_type")
-              .orderBy("value", "event_id")).as("q"))
-          .groupBy("event_type", "q")
-          .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
-            max(col("value")).as("hi"))
-          .orderBy("event_type", "q")),
+      (s, dir) => {
+        // NTILE without per-row tile assignment (the window form sorts
+        // a whole event_type group on one task): the output only needs
+        // per-bucket count/lo/hi, and position order IS value order,
+        // so buckets are ANALYTIC position ranges [s, e] over the
+        // distributed rank frame — n = e−s+1 by construction, lo/hi =
+        // min/max of the values whose position interval overlaps the
+        // bucket. The event_id tiebreak never affects lo/hi/n because
+        // ties share a value. Tiny bucket frame broadcasts; the join
+        // is linear in the count frame.
+        val rf = Ranking.rankFrame(
+          t(s, dir, "events").filter(col("value").isNotNull)
+            .select("event_type", "value"), "event_type", "value")
+        val buckets = Ranking.ntileBuckets(rf, "event_type", 4)
+          .withColumnRenamed("event_type", "bet")
+        rf.join(broadcast(buckets),
+            rf("event_type") === buckets("bet") &&
+              rf("cum_prev") < buckets("e") &&
+              (rf("cum_prev") + rf("cnt")) >= buckets("s"))
+          .groupBy(col("event_type"), col("q"))
+          .agg((first(col("e")) - first(col("s")) + 1).as("n"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"))
+          .orderBy("event_type", "q")
+      }),
 
     // Time-weighted average event value per user: each observation
     // weighted by how long it was current (lead window, last
@@ -738,13 +763,21 @@ object CurationQueries {
         |      FROM events WHERE value IS NOT NULL)
         |ORDER BY event_id""".stripMargin))(
       (s, dir) => {
-        val part = Window.partitionBy("event_type")
-        val w = part.orderBy("value")
-        t(s, dir, "events").filter(col("value").isNotNull)
-          .select(col("event_id"), col("event_type"), col("value"),
-            min(col("value")).over(part).as("mn"),
-            max(col("value")).over(part).as("mx"),
-            percent_rank().over(w).as("__pr"))
+        // percent_rank = (rank−1)/(n−1) from the distributed rank
+        // frame (no per-event_type single-task window sort); the
+        // per-group min/max come from a 5-row aggregate broadcast back
+        // — both replace whole-group Window operators with joins on
+        // keys whose cardinality scales with the data.
+        val e = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val rf = Ranking.rankFrame(e.select("event_type", "value"),
+            "event_type", "value")
+          .select(col("event_type"), col("value"),
+            Ranking.percentRank.as("__pr"))
+        val stats = e.groupBy("event_type")
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        e.join(rf, Seq("event_type", "value"))
+          .join(broadcast(stats), Seq("event_type"))
           .select(col("event_id"), col("event_type"),
             r6(col("__pr")).as("pr"),
             when(col("mx") > col("mn"),

@@ -372,6 +372,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(1500))
   }
 
+  test("no declared query windows raw events partitioned by the " +
+      "low-cardinality event_type alone (q139/q140/q152 regression pin)") {
+    // a Window partitioned ONLY by event_type puts ~corpus/|types| rows
+    // in ONE task's sort — the scale trap the Ranking rank-frame
+    // rewrite removed. Plans print such a spec as
+    // `windowspecdefinition(event_type#N, <order> ASC|DESC ...` or,
+    // for orderless frames, `windowspecdefinition(event_type#N,
+    // specifiedwindowframe(...`. Composite partition keys (event_type
+    // plus a scaling column) print additional non-ordered columns
+    // first and don't match.
+    val solo = ("windowspecdefinition\\(event_type#\\d+, " +
+      "(\\S+#\\d+L? (ASC|DESC)|specifiedwindowframe)").r
+    SparkEntry.allQueries.foreach { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(solo.findFirstIn(p).isEmpty,
+        s"${q.name} windows a whole event_type group on one task:\n" +
+          solo.findFirstIn(p).getOrElse(""))
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
