@@ -596,6 +596,15 @@ object Dedup {
     * `deltaNodes` ids must be new (disjoint from base); delta edge
     * endpoints must exist in base ∪ deltaNodes (unknown endpoints are
     * dropped by the lookup join rather than invented).
+    *
+    * CONTRACT NARROWING (r13, breaking): component labels must be an
+    * integral type (Long/Int) — the merge pass became a driver
+    * union-find over primitive comp ids after the distributed CC pass
+    * measured job-overhead-bound, and it hard-errors on other label
+    * types at runtime. The registry convention has always been
+    * labels-are-min-ids (integral), so no declared caller is affected;
+    * a non-integral-label caller must run [[connectedComponents]] on
+    * the merged graph instead.
     */
   def deltaMergeComponents(baseLabels: DataFrame, deltaNodes: DataFrame,
       deltaEdges: DataFrame, aCol: String = "a", bCol: String = "b")
@@ -647,8 +656,14 @@ object Dedup {
     require(compType == org.apache.spark.sql.types.LongType ||
         compType == org.apache.spark.sql.types.IntegerType,
       s"component labels must be integral for delta merge, got $compType")
-    val pairs = edgeComps
+    // collected as SPECIALIZED (Long, Long) tuples, not GenericRows:
+    // at the 5M-pair cap, boxed Rows cost hundreds of MB of driver
+    // heap before the size check below can even fire (r13 advice)
+    val spark0 = baseLabels.sparkSession
+    import spark0.implicits._
+    val pairs: Array[(Long, Long)] = edgeComps
       .select(col("__ca").cast("long"), col("__cb").cast("long"))
+      .as[(Long, Long)]
       .limit(maxMergePairs + 1).collect()
     require(pairs.length <= maxMergePairs,
       s"delta merge graph exceeds $maxMergePairs distinct component " +
@@ -666,8 +681,8 @@ object Dedup {
       }
       r
     }
-    pairs.foreach { row =>
-      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
       if (ra < rb) parent.put(rb, ra)
       else if (rb < ra) parent.put(ra, rb)
     }
@@ -676,8 +691,6 @@ object Dedup {
       parent.keySet().asScala.toSeq
         .map(c => (c, find(c))).filter { case (c, r) => c != r }
     }
-    val spark = baseLabels.sparkSession
-    import spark.implicits._
     // merge map re-cast to the original label type so the remap join
     // and the emitted comp column keep the input schema exactly
     (labels0, remapped.toDF("__oldc", "__newc")
