@@ -1229,6 +1229,80 @@ object Multimodal {
         Map("src" -> "synthetic", "group" -> (id / 3).toString))))
   }
 
+  /** One synthetic ISO BMFF (MP4) byte tree whose [[parseMp4Meta]]
+    * result is an ANALYTIC integer formula of `id` — the oracle probe
+    * for the last byte parser without a machine-checked row (the
+    * [[groundTruthAvi]] hand-built-container trick transferred to
+    * BMFF): `ftyp` + `moov { mvhd, [0×0 audio trak,] video trak {
+    * tkhd } }` with
+    *
+    *   width     = 16 + (id mod 31) · 8       (tkhd 16.16 fixed-point)
+    *   height    = 16 + (id mod 23) · 8
+    *   timescale = 600 · (1 + id mod 5)
+    *   duration  = timescale · (1 + id mod 29) + (id mod 97)  ticks
+    *
+    * and the parser's branchy surface deliberately exercised: odd ids
+    * carry a version-1 mvhd (64-bit times) and a LEADING zero-dim
+    * audio track (the "first track with nonzero dims wins" rule);
+    * ids ≡ 0 (mod 3) write `moov` with a 64-bit (size = 1 largesize)
+    * box header. All fields a real muxer fills that the parser skips
+    * (rate/volume/matrix) are zero — layout per public ISO 14496-12.
+    */
+  private[operators] def groundTruthMp4(id: Long): Array[Byte] = {
+    val w = 16 + (id % 31).toInt * 8
+    val h = 16 + (id % 23).toInt * 8
+    val ts = 600L * (1 + id % 5)
+    val dur = ts * (1 + id % 29) + (id % 97) // fits u32 for the v0 form
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, body: Array[Byte], wide: Boolean = false)
+        : Array[Byte] =
+      if (wide)
+        be32(1L) ++ typ.getBytes("ISO-8859-1") ++
+          be64(body.length + 16L) ++ body
+      else be32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+    val mvhd =
+      if (id % 2 == 1) // version 1: 64-bit creation/modification/duration
+        box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++
+          be32(ts) ++ be64(dur) ++ new Array[Byte](80))
+      else // version 0
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+          be32(ts) ++ be32(dur) ++ new Array[Byte](80))
+    def tkhd(tw: Int, th: Int): Array[Byte] =
+      // v0 fullbox: times/track/reserved/duration (20) + reserved (8)
+      // + layer/alternate/volume/reserved (8) + matrix (36) + dims (8)
+      box("tkhd", Array[Byte](0, 0, 0, 0) ++ new Array[Byte](20 + 8 + 8 + 36)
+        ++ be32(tw.toLong << 16) ++ be32(th.toLong << 16))
+    val audioTrak = box("trak", tkhd(0, 0)) // dims 0×0: must be skipped
+    val videoTrak = box("trak", tkhd(w, h))
+    val moovBody = mvhd ++
+      (if (id % 2 == 1) audioTrak ++ videoTrak else videoTrak)
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ be32(512L) ++
+        "isomiso2".getBytes("ISO-8859-1"))
+    ftyp ++ box("moov", moovBody, wide = id % 3 == 0) ++
+      box("free", Array.empty[Byte])
+  }
+
+  /** Deterministic synthetic MP4 corpus — the BMFF metadata oracle
+    * bridge: real ISO box trees generated ON THE EXECUTORS whose
+    * parsed (width, height, duration) a SQL oracle recomputes from
+    * [[groundTruthMp4]]'s integer formulas. Through the production
+    * path ([[extractFeatures]] → [[decodeVideo]] → the declared
+    * metadata fallback [[parseMp4Meta]]), a hash match proves the box
+    * walk (32/64-bit headers), mvhd v0/v1 field layout, tkhd
+    * fixed-point dims, and the zero-dim-track skip rule end to end.
+    */
+  def syntheticMp4Corpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
+    import spark.implicits._
+    require(n > 0, s"corpus size must be positive, got $n")
+    spark.range(n).as[Long].mapPartitions(_.map(id =>
+      MediaItem(id, "video", groundTruthMp4(id),
+        Map("src" -> "synthetic"))))
+  }
+
   /** "Resize": emit target dimensions + scale factors as metadata —
     * the real implementation would transform pixels; the plumbing
     * (projection shape, aspect-ratio math) is real.

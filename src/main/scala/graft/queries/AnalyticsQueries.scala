@@ -1442,7 +1442,40 @@ object AnalyticsQueries {
       (s, dir) =>
         Dedup.minhashOperatingPoint(t(s, dir, "documents"), "doc_id",
           "text", targetJaccard = 0.5, recallFloor = 0.9,
-          maxDocs = 500))
+          maxDocs = 500)),
+
+    // MP4 (ISO BMFF) box-parse metadata — the LAST byte parser to get
+    // a machine oracle (PNG q224, WAV q228, AVI q229, GIF q233): a
+    // synthetic corpus of hand-built ftyp/moov/mvhd/trak/tkhd box
+    // trees generated on the executors (Multimodal.groundTruthMp4 —
+    // analytic width/height/timescale/duration; odd ids carry a
+    // version-1 mvhd AND a leading 0×0 audio track, ids ≡ 0 mod 3 a
+    // 64-bit moov header) pushed through the PRODUCTION path:
+    // extractFeatures → decodeVideo → the declared parseMp4Meta
+    // metadata fallback. The oracle recomputes dims from the integer
+    // formulas and duration from the same float division — a hash
+    // match proves the 32/64-bit box walk, mvhd v0/v1 layouts, 16.16
+    // fixed-point dims, and the zero-dim-track skip rule end to end.
+    Query("q235_mp4_meta", Some(
+      """WITH ids AS (SELECT unnest(generate_series(0, 59)) AS id),
+        |v AS (SELECT id,
+        |    16 + (id % 31) * 8 AS width, 16 + (id % 23) * 8 AS height,
+        |    600 * (1 + id % 5) AS ts,
+        |    600 * (1 + id % 5) * (1 + id % 29) + (id % 97) AS dur
+        |  FROM ids)
+        |SELECT id AS media_id, width, height,
+        |  FLOOR(CAST(CAST(CAST(dur AS DOUBLE) / ts AS FLOAT) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS duration_s
+        |FROM v ORDER BY media_id""".stripMargin))(
+      (s, dir) =>
+        Multimodal.extractFeatures(Multimodal.syntheticMp4Corpus(s, 60))
+          .toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            (floor(col("duration_s").cast("double") * 1e6 + 0.5) / 1e6)
+              .as("duration_s"))
+          .orderBy("media_id"))
   )
 
   /** The q215/q220 sketch key: md5-uint32 of `user:day` — the same

@@ -419,5 +419,37 @@ object StreamingQueries {
           .select(col("event_type"), col("cnt"),
             col("sv").cast("double").as("sum_value"))
           .orderBy("event_type")
+      }),
+
+    // Streaming near-dup candidates, end to end — the TENTH replay
+    // and the last streaming operator to graduate from spec-only: the
+    // q40 clone-planting design run through a REAL two-micro-batch
+    // readStream replay. Batch 0 carries the original documents (all
+    // absorbed into pigeonhole-bucket state), batch 1 the planted
+    // clones (doc_id + 1e6, identical text), so every detection is a
+    // CROSS-BATCH state hit: identical text ⇒ identical simhash ⇒ all
+    // 4 chunk buckets agree at hamming 0, which is exactly what the
+    // oracle demands per planted pair (n_chunks = 4 proves all four
+    // pigeonhole routes fired, not just one lucky bucket). Restricted
+    // to planted pairs like q40: organic near-dups among originals are
+    // DedupSpec's business, not a portable-oracle set.
+    Query("q234_stream_neardup", Some(
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming, CAST(4 AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY id_a""".stripMargin))(
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val clones = d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"))
+        StreamReplay.replay(s, d, Seq(clones),
+            stream => EventStream.streamingNearDupCandidates(
+              stream.as[EventStream.Doc]).toDF())
+          .filter(col("id_b") === col("id_a") + 1000000)
+          .groupBy("id_a", "id_b")
+          .agg(min(col("hamming")).as("hamming"),
+            countDistinct(col("chunk_idx")).as("n_chunks"))
+          .orderBy("id_a")
       }))
 }

@@ -663,6 +663,38 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == (0L until n by 3).map(b => (b, b + 1)).toSet, s"$pairs")
   }
 
+  test("syntheticMp4Corpus: production box walk reads the analytic " +
+      "dims/timescale/duration back for every id (the q235 bridge)") {
+    // hand-built ftyp/moov/mvhd/trak/tkhd trees through
+    // extractFeatures → decodeVideo → parseMp4Meta: the v0/v1 mvhd
+    // layouts, the 64-bit moov header (ids ≡ 0 mod 3), the 16.16
+    // fixed-point dims and the leading 0×0 audio-track skip (odd ids)
+    // must all read back verbatim
+    val n = 60
+    val got = Multimodal.extractFeatures(
+        Multimodal.syntheticMp4Corpus(spark, n))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got.size == n)
+    (0L until n).foreach { id =>
+      val f = got(id)
+      val ts = 600L * (1 + id % 5)
+      val dur = ts * (1 + id % 29) + (id % 97)
+      assert(f.width == 16 + (id % 31).toInt * 8, s"id $id width")
+      assert(f.height == 16 + (id % 23).toInt * 8, s"id $id height")
+      assert(f.duration_s == (dur.toDouble / ts).toFloat, s"id $id dur")
+    }
+    // malformed/truncated bytes must parse to None, not throw: the
+    // corpus generator's own output truncated mid-moov falls back to
+    // the stub decoder (duration 0) rather than erroring
+    import spark.implicits._
+    val broken = Multimodal.groundTruthMp4(7L).take(40)
+    val brokenDf = Seq((99L, "video", broken, Map.empty[String, String]))
+      .toDF("media_id", "kind", "payload", "meta")
+    val stub = Multimodal.extractFeatures(
+      Multimodal.asMedia(brokenDf)(spark)).collect().head
+    assert(stub.duration_s == 0f)
+  }
+
   /** Amplitude-modulated sine (the envelope carries the content): a
     * flat tone has a featureless RMS envelope, so the fingerprint
     * tests modulate loudness at `modHz` and vary only `gain` for the
