@@ -53,9 +53,20 @@ object Association {
     * operator only deliberately. A tighter `maxBasketSize` bounds the
     * worst basket's k² contribution when the per-pair rows are needed
     * but tail baskets are junk.
+    *
+    * DEFAULT CAP = 1000 (r14 decision, was 10000): the expansion
+    * builds C(k, 2) structs inside ONE row before exploding, so the
+    * cap bounds a single task's row size, not just total work — at
+    * 10000 the worst basket is a ~50M-struct array (multi-GB in one
+    * row, an executor OOM in waiting); at 1000 it is ≤ ~500K structs
+    * (~tens of MB), while catalog baskets past 1000 distinct items
+    * are curation junk by any retail/session reading. No declared
+    * query's data comes near either value (TPC-H orders hold ≤ 7
+    * items), so oracle hashes are unchanged; callers with legitimate
+    * mega-baskets raise it explicitly and own the row-size math.
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long = 2, maxBasketSize: Int = 10000): DataFrame = {
+      minSupport: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
     // ONE basket-key shuffle builds the distinct item sets directly
     // (collect_set dedups in the aggregation buffer) — the previous
     // distinct-then-collect form shuffled the full membership frame
