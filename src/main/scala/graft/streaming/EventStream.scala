@@ -392,14 +392,26 @@ object EventStream {
     def mk(userId: Long, es: List[(Long, Long, Long)]): UsSession =
       UsSession(userId, es.length.toLong, es.head._1, es.last._1,
         es.map(_._3).sum.toDouble / 100.0)
+    // gap-split the sorted buffer into sessions. Members PREPEND and
+    // each group reverses ONCE at the end — linear in buffer length.
+    // The previous `cur :+ e` / `cur.last` fold was O(session²): fine
+    // for ordinary entities (sessions are short), pathological for a
+    // hot one — the r14 skew rehearsal's 30%-hot user put 3M events
+    // in ONE session and the fold became ~10¹² list traversals, a
+    // hang that read as "streaming can't take skew" when it was just
+    // an accidentally-quadratic append.
     def split(buf: List[(Long, Long, Long)])
         : (List[List[(Long, Long, Long)]], List[(Long, Long, Long)]) = {
       if (buf.isEmpty) return (Nil, Nil)
-      val groups = buf.tail.foldLeft(List(List(buf.head))) { (acc, e) =>
-        val cur = acc.head
-        if (e._1 - cur.last._1 <= gapUs) (cur :+ e) :: acc.tail
-        else List(e) :: acc
-      }.reverse
+      var acc: List[List[(Long, Long, Long)]] = Nil
+      var lastTs = Long.MinValue
+      buf.foreach { e =>
+        if (acc.nonEmpty && e._1 - lastTs <= gapUs)
+          acc = (e :: acc.head) :: acc.tail
+        else acc = List(e) :: acc
+        lastTs = e._1
+      }
+      val groups = acc.reverse.map(_.reverse)
       (groups.init, groups.last)
     }
     events
@@ -562,12 +574,19 @@ object EventStream {
     * before a successor) and the still-open tail.
     */
   private def splitSessions(buf: List[Event], gapMs: Long): (List[List[Event]], List[Event]) = {
+    // prepend + single reverse, not `cur :+ e` / `cur.last` — the
+    // append form is O(session²) and hangs on a hot entity whose whole
+    // history is one session (see sessionizeExact.split)
     if (buf.isEmpty) return (Nil, Nil)
-    val groups = buf.tail.foldLeft(List(List(buf.head))) { (acc, e) =>
-      val cur = acc.head
-      if (e.ts.getTime - cur.last.ts.getTime <= gapMs) (cur :+ e) :: acc.tail
-      else List(e) :: acc
-    }.reverse
+    var acc: List[List[Event]] = Nil
+    var lastMs = Long.MinValue
+    buf.foreach { e =>
+      if (acc.nonEmpty && e.ts.getTime - lastMs <= gapMs)
+        acc = (e :: acc.head) :: acc.tail
+      else acc = List(e) :: acc
+      lastMs = e.ts.getTime
+    }
+    val groups = acc.reverse.map(_.reverse)
     (groups.init, groups.last)
   }
 

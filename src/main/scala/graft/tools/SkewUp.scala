@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew-rehearsal data generator (r13 verdict #6): the 100× rehearsal
+  * scales VOLUME but keeps the testdata's benign key distributions, so
+  * the skew machinery (AQE skew-join splitting, [[graft.operators.Skew
+  * .saltedJoin]], the composite-key window conventions) is proven
+  * correct but economically unmeasured. This tool rewrites a testdata
+  * directory into a genuinely Zipfian-headed variant:
+  *
+  *   - `events`: ~30% of rows remapped onto ONE existing user_id —
+  *     every user-keyed window/session/interval operator now has a
+  *     single key owning a third of the fact table;
+  *   - `lineitem`: ~30% of rows remapped onto ONE existing o_orderkey
+  *     — the orders⋈lineitem family (plain, salted, bucketed) now has
+  *     a hot join key whose matches dwarf every other reducer.
+  *
+  * Row selection is a deterministic hash of stable columns (never the
+  * remapped key itself), so the same rows skew on every run; all other
+  * tables copy through unchanged, so any declared query can run
+  * against the directory. Results are NOT oracle-comparable (the data
+  * changed); the artifact this feeds (BENCH_SKEW.json) is a timing
+  * A/B against the same-scale unskewed run (BENCH_SF10.json) via the
+  * bench's regression gate — the regression list IS the skew bill.
+  *
+  * Usage: runMain graft.tools.SkewUp [srcDir] [dstDir] [tenths]
+  * (tenths = how many tenths of rows land on the hot key, default 3)
+  */
+object SkewUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/tmp/graft_sf10")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf10_skew")
+    val tenths = args.lift(2).map(_.toInt).getOrElse(3)
+    require(tenths >= 0 && tenths <= 10, s"tenths in [0,10], got $tenths")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // hot keys must EXIST in their dimension so FK joins stay honest
+    val hotUser = spark.read.parquet(s"$src/events.parquet")
+      .agg(min("user_id")).head().getLong(0)
+    val hotOrder = spark.read.parquet(s"$src/orders.parquet")
+      .agg(min("o_orderkey")).head().getLong(0)
+
+    spark.read.parquet(s"$src/events.parquet")
+      .withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(10)) < tenths, lit(hotUser))
+          .otherwise(col("user_id")))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+    println(s"SKEWUP events: ~${tenths}0% of rows on user $hotUser")
+
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .withColumn("l_orderkey",
+        when(pmod(xxhash64(col("l_partkey"), col("l_linenumber")), lit(10))
+            < tenths, lit(hotOrder))
+          .otherwise(col("l_orderkey")))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/lineitem.parquet")
+    println(s"SKEWUP lineitem: ~${tenths}0% of rows on order $hotOrder")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      println(s"SKEWUP $t copied")
+    }
+    spark.stop()
+  }
+}
