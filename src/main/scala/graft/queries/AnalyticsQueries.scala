@@ -37,13 +37,25 @@ object AnalyticsQueries {
     * least twice), from a (l_orderkey, l_partkey) frame. ONE basket
     * shuffle builds distinct per-order item sets (collect_set dedups —
     * no separate membership distinct), the pair explode is bounded by
-    * order size, and the support filter is one partial-aggregated
-    * (pa, pb) shuffle. Shared by the from-scratch q114 enumeration and
-    * the [[copurchaseEdgeTable]] build.
+    * order size UNDER THE DECLARED CAP, and the support filter is one
+    * partial-aggregated (pa, pb) shuffle. Shared by the from-scratch
+    * q114 enumeration and the [[copurchaseEdgeTable]] build.
+    *
+    * `maxBasketSize` (r14, found by the skew rehearsal): the nested
+    * transform materializes the FULL k×k struct array inside one row
+    * BEFORE the a<b filter, so a single hot order bounds a single
+    * task's row size — the 30%-hot-key rehearsal put ~2M distinct
+    * parts in one order and the 4×10¹²-struct row OOMed any heap.
+    * Orders past the cap are dropped, the same declared-quadratic-
+    * safety convention as [[graft.operators.Association.basketPairs]]
+    * and the Adamic-Adar `maxCenterDegree`; TPC-H orders hold ≤ 7
+    * items, so declared-query hashes are unaffected.
     */
-  private def copurchaseEdges(li: DataFrame): DataFrame = {
+  private def copurchaseEdges(li: DataFrame,
+      maxBasketSize: Int = 1000): DataFrame = {
     val perOrder = li.groupBy("l_orderkey")
       .agg(collect_set(col("l_partkey")).as("ps"))
+      .filter(size(col("ps")) <= maxBasketSize)
     val pairArr = filter(
       flatten(transform(col("ps"), x =>
         transform(col("ps"), y => struct(x.as("pa"), y.as("pb"))))),
