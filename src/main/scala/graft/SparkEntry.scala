@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries,
   ExtendedQueries, PipelineQueries, Query, SelectionQueries,
-  StreamingQueries, TemporalQueries, TrainingQueries}
+  StreamingQueries, TemporalQueries, TrainingQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,7 +17,8 @@ object SparkEntry {
   val allQueries: Seq[Query] = {
     val qs = CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all ++
       TemporalQueries.all ++ AnalyticsQueries.all ++ CurationQueries.all ++
-      SelectionQueries.all ++ PipelineQueries.all ++ StreamingQueries.all
+      SelectionQueries.all ++ PipelineQueries.all ++ StreamingQueries.all ++
+      WarehouseQueries.all
     val dups = qs.groupBy(_.name).filter(_._2.sizeIs > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs

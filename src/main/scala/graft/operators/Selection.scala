@@ -383,4 +383,48 @@ object Selection {
       .select(col(idCol), col("__cls").as(classCol),
         col("__pred").as("predicted"), col("score6"))
   }
+
+  /** Z-ORDER TABLE LAYOUT PLAN + pruning audit: assign every row to a
+    * target file by the Morton interleave of two bucketized
+    * dimensions ([[graft.functions.BitExprs.mortonInterleave]]), then
+    * report per-file row counts and min/max statistics for BOTH
+    * dimensions plus the verdict of a declared range predicate
+    * against those stats — the data-layout decision that at 100 TB
+    * decides whether a two-dimensional scan reads 2% of files or all
+    * of them (a single-column sort layout prunes one dimension
+    * perfectly and the other not at all; the Z-curve alternates bits
+    * so BOTH dimensions land in bounded per-file ranges).
+    *
+    * Scale shape: one projection computes z (a 2·bits-term integer
+    * sum, whole-stage codegen) and file_id (z >> fileShift — the top
+    * 2·bits−fileShift bits, i.e. 2^(2·bits−fileShift) files); one
+    * partial-aggregated groupBy(file_id) produces the bounded stats
+    * frame. Nothing shuffles except the (file count)-sized aggregate.
+    * An actual rewrite would `repartitionByRange(z)` and write; the
+    * plan frame here is the audit that makes that decision, so the
+    * oracle can hash-check it.
+    *
+    * `xb`/`yb` must already be buckets in [0, 2^bits); `prune_x` = 1
+    * iff the file's x-range misses [predXLo, predXHi] entirely (the
+    * min/max skip-scan rule), likewise `prune_y`.
+    */
+  def zorderLayout(df: DataFrame, xb: Column, yb: Column,
+      bits: Int = 10, fileShift: Int = 14,
+      predXLo: Long = 0L, predXHi: Long = 0L,
+      predYLo: Long = 0L, predYHi: Long = 0L): DataFrame = {
+    require(fileShift >= 0 && fileShift < 2 * bits,
+      s"fileShift must be in [0, ${2 * bits}), got $fileShift")
+    val z = graft.functions.BitExprs.mortonInterleave(xb, yb, bits)
+    df.select(xb.cast("long").as("__x"), yb.cast("long").as("__y"),
+        shiftright(z, fileShift).as("file_id"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+      .withColumn("prune_x",
+        (col("max_x") < predXLo || col("min_x") > predXHi).cast("int"))
+      .withColumn("prune_y",
+        (col("max_y") < predYLo || col("min_y") > predYHi).cast("int"))
+      .orderBy(col("file_id"))
+  }
 }

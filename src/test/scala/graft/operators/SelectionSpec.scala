@@ -282,4 +282,27 @@ class SelectionSpec extends SparkSpec {
         s"shard $s underfilled: $tot")
     }
   }
+
+  test("zorderLayout: quadrant assignment, stats, and pruning verdicts") {
+    // bits=2 (buckets 0..3), fileShift=2 -> 4 files, each one 2x2
+    // quadrant of the 4x4 grid (file = top bit of y, top bit of x)
+    val pts = for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y)
+    val df = pts.toDF("x", "y")
+    val out = Selection.zorderLayout(df, col("x"), col("y"),
+        bits = 2, fileShift = 2,
+        predXLo = 0L, predXHi = 1L, predYLo = 2L, predYHi = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+        (r.getInt(6), r.getInt(7))))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(_._2 == 4L), "each quadrant holds 4 of 16 points")
+    // file 0 = x in [0,1], y in [0,1]; file 1 = x in [2,3], y in [0,1];
+    // file 2 = x in [0,1], y in [2,3]; file 3 = x in [2,3], y in [2,3]
+    assert(out.map(_._3).toSeq == Seq(
+      (0L, 1L, 0L, 1L), (2L, 3L, 0L, 1L), (0L, 1L, 2L, 3L),
+      (2L, 3L, 2L, 3L)))
+    // predicate x in [0,1] AND y in [2,3]: prune_x kills files 1,3;
+    // prune_y kills files 0,1 -> only file 2 survives both
+    assert(out.map(_._4).toSeq == Seq((0, 1), (1, 1), (0, 0), (1, 0)))
+  }
 }

@@ -392,6 +392,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom runtime filter sits on the fact side BELOW the join " +
+      "(q240)") {
+    val p = plan("q240_bloom_pruned_join")
+    // the membership test (its variable-amount unsigned shift is the
+    // tell) must filter lineitem before any join: in the plan string a
+    // parent prints before its children, so join < filter < fact scan
+    val iJoin = p.indexOf("Join")
+    val iFilter = p.indexOf("shiftrightunsigned")
+    val iScan = p.indexOf("lineitem.parquet")
+    assert(iJoin >= 0 && iFilter >= 0 && iScan >= 0, p.take(1500))
+    assert(iJoin < iFilter && iFilter < iScan,
+      s"bloom filter not below the join on the fact side " +
+        s"(join@$iJoin filter@$iFilter scan@$iScan):\n${p.take(1500)}")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
