@@ -587,11 +587,10 @@ object Profiling {
     // same frame
     val pk = probe.select(probeKey.cast("string").as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("nrows"))
-    val a = BitExprs.md5Uint32(col("key"), "A")
-    val b = BitExprs.md5Uint32(col("key"), "B")
-    val pass = (0 until k)
-      .map(i => BitExprs.bloomTest(words, BitExprs.bloomPos(a, b, i, mBits)))
-      .reduce(_ && _)
+    // single-pass probe expression (spec-pinned equivalent to the
+    // declarative bloomPos/bloomTest chain the oracle replays — see
+    // BloomProbe's scaladoc for why the declarative form is 10× here)
+    val pass = graft.functions.BloomProbe.probe(words, col("key"), mBits, k)
     val truth = bk.distinct().withColumn("is_true", lit(1))
     pk.withColumn("pass", pass.cast("int"))
       .join(truth, Seq("key"), "left")

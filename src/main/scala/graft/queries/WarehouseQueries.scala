@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Linkage, Profiling, Selection}
+import graft.operators.{Dedup, Linkage, Profiling, Selection}
 
 /** Warehouse-layer operators (extended surface, SURVEY.md §2.10
   * continuation): probabilistic record linkage (Fellegi–Sunter),
@@ -39,11 +39,17 @@ object WarehouseQueries {
   private val FsCap = 200
   private val FsThreshold = 5000000L
 
-  private def linkageOracleSql: String = {
+  /** Shared oracle CTE chain for the linkage family (q236/q241):
+    * dirty-copy derivation, blocking, per-side rn<=cap keep set,
+    * agreement bits, and the inlined integer-micro score. `recursive`
+    * prepends the RECURSIVE keyword for consumers that close the
+    * match graph.
+    */
+  private def linkageCtes(recursive: Boolean): String = {
     val Seq(name, nat, seg, bal) = fsFields
     def w(f: Linkage.FsField, ag: String) =
       s"CASE WHEN $ag = 1 THEN ${f.agreeMicro} ELSE ${f.disagreeMicro} END"
-    s"""WITH a AS (
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}a AS (
        |  SELECT c_custkey AS id, c_name AS name,
        |    CAST(c_nationkey AS INT) AS nat, c_acctbal AS bal,
        |    c_mktsegment AS seg,
@@ -81,14 +87,41 @@ object WarehouseQueries {
        |  WHERE ar.rn <= $FsCap AND br.rn <= $FsCap),
        |s AS (SELECT *, CAST(${w(name, "ag_name")} + ${w(nat, "ag_nat")}
        |    + ${w(seg, "ag_seg")} + ${w(bal, "ag_bal")} AS BIGINT)
-       |    AS score_micro FROM p)
+       |    AS score_micro FROM p)""".stripMargin
+  }
+
+  private def linkageOracleSql: String =
+    linkageCtes(recursive = false) +
+      s"""
        |SELECT block, a_id, b_id, ag_name, ag_nat, ag_seg, ag_bal,
        |  score_micro,
        |  CAST(score_micro >= $FsThreshold AS INT) AS is_match,
        |  census.n_capped_blocks
        |FROM s CROSS JOIN census
        |ORDER BY a_id, b_id""".stripMargin
-  }
+
+  /** q241 oracle: close the match graph with a recursive min-label
+    * reach (the q67 convention) over ALL records from both sources,
+    * then census each entity cluster.
+    */
+  private def entityClustersOracleSql: String =
+    linkageCtes(recursive = true) +
+      s""",
+       |m AS (SELECT a_id, b_id FROM s WHERE score_micro >= $FsThreshold),
+       |edges AS (SELECT a_id AS ea, b_id AS eb FROM m
+       |          UNION ALL SELECT b_id, a_id FROM m),
+       |nodes AS (SELECT id FROM a UNION ALL SELECT id FROM b),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.eb FROM reach JOIN edges e ON e.ea = reach.r),
+       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(CASE WHEN id < 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clean,
+       |  CAST(SUM(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dirty
+       |FROM comp GROUP BY comp ORDER BY comp""".stripMargin
 
   // ---- q237: Z-order layout plan -------------------------------------
 
@@ -292,17 +325,43 @@ object WarehouseQueries {
           .agg(BloomAgg.bloomSketch(BloomM, BloomK)(packed))
           .head().getSeq[Long](0).toArray
         val lk = col("l_orderkey").cast("string")
-        val a = BitExprs.md5Uint32(lk, "A")
-        val b = BitExprs.md5Uint32(lk, "B")
-        val pass = (0 until BloomK).map(i =>
-          BitExprs.bloomTest(words, BitExprs.bloomPos(a, b, i, BloomM)))
-          .reduce(_ && _)
+        val pass = graft.functions.BloomProbe
+          .probe(words, lk, BloomM, BloomK)
         t(s, dir, "lineitem").filter(pass)
           .join(orders, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_items"),
             Query.dsum(col("l_extendedprice")).as("revenue"))
           .orderBy(col("o_orderpriority"))
+      }),
+
+    // Entity clusters — the linkage family's end product: q236's
+    // match edges closed into connected components over ALL records
+    // from both sources ([[Dedup.connectedComponents]]: the iterative
+    // min-label pass over the once-partitioned persisted edge frame),
+    // then a per-entity census (members, clean-source vs
+    // dirty-source counts). Unmatched records stay singleton
+    // entities. The oracle recomputes the same match graph and closes
+    // it with a recursive min-label CTE — exact at any scale.
+    Query("q241_entity_clusters", Some(entityClustersOracleSql))(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val aSide = Linkage.cleanCustomerSide(cust)
+        val bSide = Linkage.dirtyCustomerCopy(cust)
+        val edges = Linkage.fellegiSunter(aSide, bSide, fsFields,
+            maxPerSide = FsCap, matchThresholdMicro = FsThreshold)
+          .filter(col("is_match") === 1)
+          .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+        val nodes = aSide.select(col("id"))
+          .unionAll(bSide.select(col("id")))
+        Dedup.connectedComponents(nodes, "id", edges)
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("id") < 10000000L, 1L).otherwise(0L))
+              .cast("long").as("n_clean"),
+            sum(when(col("id") >= 10000000L, 1L).otherwise(0L))
+              .cast("long").as("n_dirty"))
+          .orderBy(col("comp"))
       })
   )
 }

@@ -81,6 +81,29 @@ class BitExprsSpec extends SparkSpec {
     assert(misses == 0, "a Bloom filter can never have false negatives")
   }
 
+  test("BloomProbe expression equals the declarative " +
+      "bloomPos/bloomTest chain key for key (the oracle's form)") {
+    val keys = (1 to 400).map(i => s"k$i")
+    val packed = shiftleft(BitExprs.md5Uint32(col("key"), "A"), 32)
+      .bitwiseOR(BitExprs.md5Uint32(col("key"), "B"))
+    val words = keys.take(150).toDF("key")
+      .agg(BloomAgg.bloomSketch(4096, 4)(packed))
+      .head().getSeq[Long](0).toArray
+    val a = BitExprs.md5Uint32(col("key"), "A")
+    val b = BitExprs.md5Uint32(col("key"), "B")
+    val declarative = (0 until 4).map(i =>
+      BitExprs.bloomTest(words, BitExprs.bloomPos(a, b, i, 4096)))
+      .reduce(_ && _)
+    val fused = BloomProbe.probe(words, col("key"), 4096, 4)
+    val diff = keys.toDF("key")
+      .select(col("key"), declarative.as("d"), fused.as("f"))
+      .filter(col("d") =!= col("f")).count()
+    assert(diff == 0, "fused probe diverged from the declarative chain")
+    // and some non-members must exist at this m/k (sanity the pin bites)
+    val passes = keys.toDF("key").filter(fused).count()
+    assert(passes >= 150 && passes < 400)
+  }
+
   test("bloomDeltaMerge: merged bitmap equals the recompute, " +
       "populations bounded by the union") {
     val base = (1 to 300).map(i => s"k$i").toDF("key")

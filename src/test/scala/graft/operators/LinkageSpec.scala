@@ -65,6 +65,23 @@ class LinkageSpec extends SparkSpec {
     assert(out == Seq((1L, 11L)))
   }
 
+  test("entity clustering: a double-matched dirty record pulls both " +
+      "clean records into one entity") {
+    val a = Seq((1L, 1L, "x", 1.0), (2L, 1L, "x", 1.0), (3L, 2L, "y", 9.0))
+      .toDF("id", "block", "s", "v")
+    val b = Seq((11L, 1L, "x", 1.0)).toDF("id", "block", "s", "v")
+    val edges = Linkage.fellegiSunter(a, b, fields,
+        matchThresholdMicro = sAg) // s-agreement alone clears
+      .filter(col("is_match") === 1)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+    val comp = Dedup.connectedComponents(
+        a.select("id").unionAll(b.select("id")), "id", edges)
+      .orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    // 1, 2, 11 collapse to entity 1; 3 stays a singleton
+    assert(comp == Seq((1L, 1L), (2L, 1L), (3L, 3L), (11L, 1L)))
+  }
+
   test("dirtyCustomerCopy plants the declared corruption schedule") {
     val cust = t(sf, "customer")
     val joined = Linkage.dirtyCustomerCopy(cust)

@@ -395,11 +395,11 @@ class PlanSpec extends SparkSpec {
   test("bloom runtime filter sits on the fact side BELOW the join " +
       "(q240)") {
     val p = plan("q240_bloom_pruned_join")
-    // the membership test (its variable-amount unsigned shift is the
-    // tell) must filter lineitem before any join: in the plan string a
-    // parent prints before its children, so join < filter < fact scan
+    // the single-pass membership expression must filter lineitem
+    // before any join: in the plan string a parent prints before its
+    // children, so join < filter < fact scan
     val iJoin = p.indexOf("Join")
-    val iFilter = p.indexOf("shiftrightunsigned")
+    val iFilter = p.indexOf("probe(")
     val iScan = p.indexOf("lineitem.parquet")
     assert(iJoin >= 0 && iFilter >= 0 && iScan >= 0, p.take(1500))
     assert(iJoin < iFilter && iFilter < iScan,
