@@ -41,7 +41,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamReplay {
 
+  /** State-store parallelism for replays. A stateful streaming query
+    * fixes its state partition count from `spark.sql.shuffle.
+    * partitions` at FIRST start, and every micro-batch then commits
+    * one state file + delta per instance — at 32 instances that
+    * per-batch fsync fan-out was ~60% of the replay bucket (measured:
+    * q184 sessionize 10.8 s → 4.4 s at 8 instances, identical
+    * output). The replay corpora are bounded, so 8 instances hold the
+    * whole keyspace comfortably; a real deployment sizes this to load
+    * and would RAISE it — the aggregation results themselves are
+    * partitioning-independent (exactly what the ten oracle-hash-
+    * matched replays prove).
+    */
+  private val ReplayStatePartitions = "8"
+
+  /** Run `body` with the session's shuffle-partition conf pinned to
+    * the replay parallelism, restoring the caller's value after —
+    * only the streaming query started inside captures it.
+    */
+  private def withReplayParallelism[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, ReplayStatePartitions)
+    try body finally spark.conf.set(key, prior)
+  }
+
   def replay(spark: SparkSession, input: DataFrame,
+      sentinels: Seq[DataFrame],
+      transform: DataFrame => DataFrame): DataFrame =
+    withReplayParallelism(spark) {
+      replayImpl(spark, input, sentinels, transform)
+    }
+
+  private def replayImpl(spark: SparkSession, input: DataFrame,
       sentinels: Seq[DataFrame],
       transform: DataFrame => DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_replay")
@@ -102,7 +134,16 @@ object StreamReplay {
       start: (DataFrame, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery,
       read: (SparkSession, String) => DataFrame,
-      appends: Seq[DataFrame] = Seq.empty): DataFrame = {
+      appends: Seq[DataFrame] = Seq.empty): DataFrame =
+    withReplayParallelism(spark) {
+      replaySinkImpl(spark, input, start, read, appends)
+    }
+
+  private def replaySinkImpl(spark: SparkSession, input: DataFrame,
+      start: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+      read: (SparkSession, String) => DataFrame,
+      appends: Seq[DataFrame]): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_replay")
     val stage = s"$base/stage"
     val work = s"$base/work"
