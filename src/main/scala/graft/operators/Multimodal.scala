@@ -913,7 +913,13 @@ object Multimodal {
   def syntheticImageCorpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._
     require(n > 0, s"corpus size must be positive, got $n")
-    spark.range(n).as[Long].mapPartitions(_.map(id =>
+    // bounded slice count (here and in the sibling generators): the
+    // default parallelism put ~60 items on 32 near-empty tasks, and
+    // the resulting scheduler/GC jitter made these fixed-size oracle
+    // queries the noisiest in the bench (q229 spanned 0.35-2.2 s
+    // across quiet-box runs)
+    spark.range(0L, n, 1L, numPartitions = math.min(n, 8)).as[Long]
+      .mapPartitions(_.map(id =>
       MediaItem(id, "image", groundTruthPng(id),
         Map("src" -> "synthetic", "group" -> (id / 3).toString))))
   }
@@ -980,7 +986,8 @@ object Multimodal {
   def syntheticAudioCorpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._
     require(n > 0, s"corpus size must be positive, got $n")
-    spark.range(n).as[Long].mapPartitions(_.map(id =>
+    spark.range(0L, n, 1L, numPartitions = math.min(n, 8)).as[Long]
+      .mapPartitions(_.map(id =>
       MediaItem(id, "audio", groundTruthWav(id),
         Map("src" -> "synthetic", "group" -> (id / 3).toString))))
   }
@@ -1154,7 +1161,8 @@ object Multimodal {
   def syntheticVideoCorpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._
     require(n > 0, s"corpus size must be positive, got $n")
-    spark.range(n).as[Long].mapPartitions(_.map(id =>
+    spark.range(0L, n, 1L, numPartitions = math.min(n, 8)).as[Long]
+      .mapPartitions(_.map(id =>
       MediaItem(id, "video", groundTruthAvi(id),
         Map("src" -> "synthetic", "group" -> (id / 3).toString))))
   }
@@ -1224,7 +1232,8 @@ object Multimodal {
   def syntheticGifCorpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._
     require(n > 0, s"corpus size must be positive, got $n")
-    spark.range(n).as[Long].mapPartitions(_.map(id =>
+    spark.range(0L, n, 1L, numPartitions = math.min(n, 8)).as[Long]
+      .mapPartitions(_.map(id =>
       MediaItem(id, "video", groundTruthGif(id),
         Map("src" -> "synthetic", "group" -> (id / 3).toString))))
   }
@@ -1298,7 +1307,8 @@ object Multimodal {
   def syntheticMp4Corpus(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._
     require(n > 0, s"corpus size must be positive, got $n")
-    spark.range(n).as[Long].mapPartitions(_.map(id =>
+    spark.range(0L, n, 1L, numPartitions = math.min(n, 8)).as[Long]
+      .mapPartitions(_.map(id =>
       MediaItem(id, "video", groundTruthMp4(id),
         Map("src" -> "synthetic"))))
   }
