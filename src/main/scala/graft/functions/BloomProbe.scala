@@ -74,6 +74,11 @@ object BloomProbe {
       k: Int) extends UnaryExpression {
     require(mBits % 64 == 0 && mBits > 0 && words.length == mBits / 64,
       s"bitmap must hold exactly $mBits bits, got ${words.length} words")
+    // mirror BloomAgg's build-side bound (r14 advice): probe k MUST
+    // equal the k the sketch was built with — a larger probe k tests
+    // positions the build never set, i.e. silent false NEGATIVES, the
+    // one failure mode a Bloom filter must never have
+    require(k >= 1 && k <= 16, s"bloom probe k must be in [1,16], got $k")
     override def dataType: DataType = BooleanType
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

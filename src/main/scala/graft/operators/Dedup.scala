@@ -360,6 +360,12 @@ object Dedup {
     * Intra-group twin pairs carry jacc 1 (exact duplicates), except
     * degenerate sub-n-token content (empty shingles ⇒ Jaccard 0 by
     * convention ⇒ dropped), matching the all-pairs oracle.
+    *
+    * CRASH IDEMPOTENCE: a PURE frame transform — no persisted
+    * state is mutated; re-running a died job recomputes the same
+    * frame (run-twice ≡ run-once), and whatever sink publishes the
+    * result owns its own atomicity (the engine's convention:
+    * versioned snapshot dirs or batch-identity partitions).
     */
   def deltaDedupVerified(newDf: DataFrame, idCol: String, textCol: String,
       indexTable: String, textSource: DataFrame, n: Int = 3,
@@ -605,6 +611,12 @@ object Dedup {
     * labels-are-min-ids (integral), so no declared caller is affected;
     * a non-integral-label caller must run [[connectedComponents]] on
     * the merged graph instead.
+    *
+    * CRASH IDEMPOTENCE: a PURE frame transform — no persisted
+    * state is mutated; re-running a died job recomputes the same
+    * frame (run-twice ≡ run-once), and whatever sink publishes the
+    * result owns its own atomicity (the engine's convention:
+    * versioned snapshot dirs or batch-identity partitions).
     */
   def deltaMergeComponents(baseLabels: DataFrame, deltaNodes: DataFrame,
       deltaEdges: DataFrame, aCol: String = "a", bCol: String = "b")
@@ -1891,6 +1903,12 @@ object Dedup {
     * content hash probes; members re-expand through a narrow hash
     * join), and the probe join reads the gram-bucketed index without
     * shuffling it — only delta anchors move.
+    *
+    * CRASH IDEMPOTENCE: a PURE frame transform — no persisted
+    * state is mutated; re-running a died job recomputes the same
+    * frame (run-twice ≡ run-once), and whatever sink publishes the
+    * result owns its own atomicity (the engine's convention:
+    * versioned snapshot dirs or batch-identity partitions).
     */
   def substringDupAgainstIndex(newDf: DataFrame, idCol: String,
       textCol: String, indexTable: String, k: Int = 8,

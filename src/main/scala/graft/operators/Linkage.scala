@@ -116,10 +116,20 @@ object Linkage {
     * (name-digit suffix mod 500) survives the case corruption, the
     * way a real phonetic/suffix blocker is chosen to.
     */
+  /** Id offset separating the dirty source's re-ingested records from
+    * the clean side's native keys. 2^40 sits ~7 orders of magnitude
+    * above any plausible c_custkey (TPC-H customers number 150k × sf,
+    * so even sf 1,000,000 stays below it) — the r14 advice flagged the
+    * old 1e7 offset as colliding beyond roughly sf66. Consumers
+    * classify provenance as `id < DirtySourceOffset` (clean) vs `>=`
+    * (dirty); the q236/q241 oracles inline the same constant.
+    */
+  val DirtySourceOffset: Long = 1L << 40
+
   def dirtyCustomerCopy(cust: DataFrame): DataFrame =
     cust.filter(col("c_custkey") % 3 === 0)
       .select(
-        (col("c_custkey") + 10000000L).as("id"),
+        (col("c_custkey") + DirtySourceOffset).as("id"),
         when(col("c_custkey") % 2 === 0, upper(col("c_name")))
           .otherwise(col("c_name")).as("name"),
         when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)

@@ -243,6 +243,12 @@ object Profiling {
     * union is the union of bottom-ks, truncated). Groups new in the
     * delta (or absent from it) survive via the full-outer empty-array
     * coalesce.
+    *
+    * CRASH IDEMPOTENCE: a PURE frame transform — no persisted
+    * state is mutated; re-running a died job recomputes the same
+    * frame (run-twice ≡ run-once), and whatever sink publishes the
+    * result owns its own atomicity (the engine's convention:
+    * versioned snapshot dirs or batch-identity partitions).
     */
   def kmvDeltaMerge(baseSketches: DataFrame, delta: DataFrame,
       groupCol: Column, hashCol: Column, k: Int): DataFrame = {
@@ -288,6 +294,12 @@ object Profiling {
 
   /** Bin-wise merge of two histogram registries — the delta-refresh
     * op (state ∪ deltaSketch), exact by integer addition.
+    *
+    * CRASH IDEMPOTENCE: a PURE frame transform — no persisted
+    * state is mutated; re-running a died job recomputes the same
+    * frame (run-twice ≡ run-once), and whatever sink publishes the
+    * result owns its own atomicity (the engine's convention:
+    * versioned snapshot dirs or batch-identity partitions).
     */
   def histMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.select("group", "bin", "cnt")
@@ -606,9 +618,16 @@ object Profiling {
           .cast("long").as("pass_rows"))
       .withColumn("n_build_keys", lit(nBuildKeys))
       .withColumn("bits_set", lit(bitsSet))
-      .withColumn("fp_rate", round(
-        col("false_pos_keys").cast("double") /
-          (col("n_probe_keys") - col("true_keys")).cast("double"), 6))
+      // NULL when every probe key is a true member: the 0/0 division
+      // would yield IEEE NaN here but engine-dependent results in an
+      // oracle (r14 advice) — "no non-member was probed" has no
+      // measured fp rate, and NULL says so portably
+      .withColumn("fp_rate",
+        when(col("n_probe_keys") === col("true_keys"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            col("false_pos_keys").cast("double") /
+              (col("n_probe_keys") - col("true_keys")).cast("double"), 6)))
       .select(col("n_build_keys"), col("bits_set"), col("n_probe_keys"),
         col("pass_keys"), col("true_keys"), col("false_pos_keys"),
         col("n_probe_rows"), col("pass_rows"), col("fp_rate"))
@@ -642,6 +661,12 @@ object Profiling {
     * ITSELF; the base contributes 8 KB of persisted words. The
     * recompute column exists for the oracle — a deployment would
     * drop it and trust the group property this query certifies.
+    *
+    * CRASH IDEMPOTENCE: a PURE frame transform — no persisted
+    * state is mutated; re-running a died job recomputes the same
+    * frame (run-twice ≡ run-once), and whatever sink publishes the
+    * result owns its own atomicity (the engine's convention:
+    * versioned snapshot dirs or batch-identity partitions).
     */
   def bloomDeltaMerge(baseKeys: DataFrame, baseKey: Column,
       deltaKeys: DataFrame, deltaKey: Column,

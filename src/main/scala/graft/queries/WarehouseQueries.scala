@@ -56,7 +56,7 @@ object WarehouseQueries {
        |    CAST(substr(c_name, 10, 9) AS BIGINT) % 500 AS block
        |  FROM customer),
        |b0 AS (
-       |  SELECT c_custkey + 10000000 AS id,
+       |  SELECT c_custkey + ${Linkage.DirtySourceOffset} AS id,
        |    CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
        |         ELSE c_name END AS name,
        |    CAST(CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
@@ -117,10 +117,10 @@ object WarehouseQueries {
        |  SELECT reach.id, e.eb FROM reach JOIN edges e ON e.ea = reach.r),
        |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
        |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
-       |  CAST(SUM(CASE WHEN id < 10000000 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_clean,
-       |  CAST(SUM(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_dirty
+       |  CAST(SUM(CASE WHEN id < ${Linkage.DirtySourceOffset} THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_clean,
+       |  CAST(SUM(CASE WHEN id >= ${Linkage.DirtySourceOffset} THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_dirty
        |FROM comp GROUP BY comp ORDER BY comp""".stripMargin
 
   // ---- q237: Z-order layout plan -------------------------------------
@@ -154,6 +154,13 @@ object WarehouseQueries {
   private val BloomM = 65536
   private val BloomK = 4
 
+  /** The k hash-position indices as a DuckDB unnest list, DERIVED from
+    * [[BloomK]] (r14 advice: a hardcoded [0, 1, 2, 3] would silently
+    * desynchronize engine and oracle if BloomK changed).
+    */
+  private def bloomKUnnest: String =
+    s"unnest([${(0 until BloomK).mkString(", ")}])"
+
   private def bloomOracleSql: String = {
     def h(col: String, salt: String) =
       s"('0x' || substring(md5($col || ':$salt'), 1, 8))::BIGINT"
@@ -162,13 +169,13 @@ object WarehouseQueries {
        |bh AS (SELECT key, ${h("key", "A")} AS a, ${h("key", "B")} AS b
        |  FROM bk),
        |bits AS (SELECT DISTINCT (a + t.i * b) % $BloomM AS pos
-       |  FROM bh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t),
+       |  FROM bh CROSS JOIN (SELECT $bloomKUnnest AS i) t),
        |pk AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
        |    COUNT(*) AS nrows FROM lineitem GROUP BY 1),
        |ph AS (SELECT key, nrows, ${h("key", "A")} AS a,
        |    ${h("key", "B")} AS b FROM pk),
        |ppos AS (SELECT key, nrows, (a + t.i * b) % $BloomM AS pos
-       |  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t),
+       |  FROM ph CROSS JOIN (SELECT $bloomKUnnest AS i) t),
        |pflag AS (SELECT key, MAX(nrows) AS nrows,
        |    MIN(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END)
        |      AS pass
@@ -187,9 +194,10 @@ object WarehouseQueries {
        |  CAST(SUM(nrows) AS BIGINT) AS n_probe_rows,
        |  CAST(SUM(CASE WHEN pass = 1 THEN nrows ELSE 0 END) AS BIGINT)
        |    AS pass_rows,
-       |  ROUND(CAST(SUM(CASE WHEN pass = 1 AND is_true = 0 THEN 1 ELSE 0
-       |    END) AS DOUBLE) / CAST(COUNT(*) - SUM(is_true) AS DOUBLE), 6)
-       |    AS fp_rate
+       |  CASE WHEN COUNT(*) = SUM(is_true) THEN NULL
+       |    ELSE ROUND(CAST(SUM(CASE WHEN pass = 1 AND is_true = 0 THEN 1
+       |      ELSE 0 END) AS DOUBLE)
+       |      / CAST(COUNT(*) - SUM(is_true) AS DOUBLE), 6) END AS fp_rate
        |FROM pt""".stripMargin
   }
 
@@ -198,7 +206,7 @@ object WarehouseQueries {
       s"('0x' || substring(md5($col || ':$salt'), 1, 8))::BIGINT"
     def bitsOf(src: String) =
       s"""SELECT DISTINCT (a + t.i * b) % $BloomM AS pos
-         |  FROM $src CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t"""
+         |  FROM $src CROSS JOIN (SELECT $bloomKUnnest AS i) t"""
         .stripMargin
     s"""WITH bk AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
        |  FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -357,10 +365,10 @@ object WarehouseQueries {
         Dedup.connectedComponents(nodes, "id", edges)
           .groupBy(col("comp"))
           .agg(count(lit(1)).as("n_members"),
-            sum(when(col("id") < 10000000L, 1L).otherwise(0L))
-              .cast("long").as("n_clean"),
-            sum(when(col("id") >= 10000000L, 1L).otherwise(0L))
-              .cast("long").as("n_dirty"))
+            sum(when(col("id") < Linkage.DirtySourceOffset, 1L)
+              .otherwise(0L)).cast("long").as("n_clean"),
+            sum(when(col("id") >= Linkage.DirtySourceOffset, 1L)
+              .otherwise(0L)).cast("long").as("n_dirty"))
           .orderBy(col("comp"))
       })
   )

@@ -41,46 +41,89 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamReplay {
 
-  /** State-store parallelism for replays. A stateful streaming query
-    * fixes its state partition count from `spark.sql.shuffle.
+  /** State-store parallelism floor for replays. A stateful streaming
+    * query fixes its state partition count from `spark.sql.shuffle.
     * partitions` at FIRST start, and every micro-batch then commits
     * one state file + delta per instance — at 32 instances that
     * per-batch fsync fan-out was ~60% of the replay bucket (measured:
     * q184 sessionize 10.8 s → 4.4 s at 8 instances, identical
-    * output). The replay corpora are bounded, so 8 instances hold the
-    * whole keyspace comfortably; a real deployment sizes this to load
-    * and would RAISE it — the aggregation results themselves are
-    * partitioning-independent (exactly what the ten oracle-hash-
-    * matched replays prove).
+    * output). 8 instances amortize the per-batch commit cost without
+    * serializing the state work.
     */
-  private val ReplayStatePartitions = "8"
+  private val MinStatePartitions = 8
+
+  /** Input rows one state instance is sized to own. The dominant
+    * per-instance state is the batch-1 buffer of a sessionization-
+    * shaped operator — roughly the instance's share of the input, at
+    * ~100 B/row ≈ 400 MB per 4M rows: comfortably inside an
+    * executor's storage share, far enough from pressure that the
+    * commit-amortization floor stays the binding constraint at every
+    * benched scale (sf0.1 replays stage ≤ ~100k rows, the 100×
+    * rehearsal ≤ ~10M — both resolve to the floor of 8, so the rule
+    * reproduces the measured configuration and only grows past it
+    * above 32M staged rows).
+    */
+  private val RowsPerStateInstance = 4000000L
+
+  /** DERIVED state-store parallelism (r14 verdict #5: the pinned 8
+    * was right for the benched corpora but a magic constant the next
+    * scale jump invalidates): one instance per [[RowsPerStateInstance]]
+    * staged input rows, floored at [[MinStatePartitions]] (per-batch
+    * commit amortization — the measured r14 win), capped at the
+    * session's declared shuffle width (the box's parallelism budget).
+    * The aggregation results themselves are partitioning-independent —
+    * exactly what the oracle-hash-matched replays prove.
+    */
+  private def replayStatePartitions(spark: SparkSession, nRows: Long): Int = {
+    val sessionWidth =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val byVolume =
+      ((nRows + RowsPerStateInstance - 1) / RowsPerStateInstance).toInt
+    math.min(math.max(MinStatePartitions, byVolume),
+      math.max(MinStatePartitions, sessionWidth))
+  }
 
   /** Run `body` with the session's shuffle-partition conf pinned to
     * the replay parallelism, restoring the caller's value after —
     * only the streaming query started inside captures it.
+    *
+    * SERIAL-EXECUTION ASSUMPTION (r14 advice): this mutates the
+    * session-global conf for the duration of `body`, so any query
+    * PLANNED concurrently on the same session would capture the
+    * pinned value. The bench and verify harnesses run queries
+    * serially; a concurrent deployment would scope the override to a
+    * dedicated `spark.newSession()` instead.
     */
-  private def withReplayParallelism[T](spark: SparkSession)(body: => T): T = {
+  private def withReplayParallelism[T](spark: SparkSession, nRows: Long)(
+      body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
-    spark.conf.set(key, ReplayStatePartitions)
+    spark.conf.set(key, replayStatePartitions(spark, nRows).toString)
     try body finally spark.conf.set(key, prior)
   }
 
   def replay(spark: SparkSession, input: DataFrame,
       sentinels: Seq[DataFrame],
-      transform: DataFrame => DataFrame): DataFrame =
-    withReplayParallelism(spark) {
-      replayImpl(spark, input, sentinels, transform)
+      transform: DataFrame => DataFrame): DataFrame = {
+    // stage OUTSIDE the parallelism override (the input's own plan
+    // should run at the session's width), then size the state store
+    // from the staged row count — a parquet-footer metadata read
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val stage = s"$base/stage"
+    input.write.parquet(stage)
+    val n = spark.read.parquet(stage).count()
+    withReplayParallelism(spark, n) {
+      replayImpl(spark, base, input, sentinels, transform)
     }
+  }
 
-  private def replayImpl(spark: SparkSession, input: DataFrame,
+  private def replayImpl(spark: SparkSession,
+      base: java.nio.file.Path, input: DataFrame,
       sentinels: Seq[DataFrame],
       transform: DataFrame => DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_replay")
     val stage = s"$base/stage"
     val out = s"$base/out"
     val ckpt = s"$base/ckpt"
-    input.write.parquet(stage)
     val stream = spark.readStream.schema(input.schema).parquet(stage)
     val q = transform(stream).writeStream
       .format("parquet")
@@ -113,6 +156,73 @@ object StreamReplay {
     result
   }
 
+  /** RESTART-RECOVERY replay (r14 verdict #4): like [[replay]], but
+    * the StreamingQuery is KILLED and RESTARTED from its checkpoint at
+    * every micro-batch boundary — each element of `inputParts` and
+    * `sentinels` is drained by a FRESH query instance (new
+    * readStream → transform → writeStream over the same stage/out/
+    * checkpoint paths), the previous instance having been stopped
+    * cold. What this proves, per stateful shape: the operator's state
+    * (flatMapGroupsWithState buffers and their event-time timeouts,
+    * window partials, dedup keys, stream-stream join rows) RESTORES
+    * from the state store and folds the next batch identically to an
+    * uninterrupted run — the recovery contract a nightly 100 TB replay
+    * that dies mid-stream actually needs. The checkpoint's offset log
+    * also guarantees the restarted instance re-reads exactly the files
+    * the dead one hadn't committed, so the sink holds each result row
+    * exactly once.
+    *
+    * `inputParts` must be EVENT-TIME-ORDERED (part k+1's event times
+    * all past part k's max): batch k+1 runs on the watermark batch k
+    * established, so an arbitrary (e.g. round-robin) split would feed
+    * events BELOW the watermark — late-data drops that are declared
+    * semantics, not a restart artifact. Time-splitting is also the
+    * honest crash scenario: a replay dies partway through a
+    * chronological backlog.
+    *
+    * State-store parallelism derives from the FIRST part's staged row
+    * count (the instance count is fixed at first query start; later
+    * parts cannot change it).
+    */
+  def replayRestarted(spark: SparkSession, inputParts: Seq[DataFrame],
+      sentinels: Seq[DataFrame],
+      transform: DataFrame => DataFrame): DataFrame = {
+    require(inputParts.nonEmpty, "need at least one input part")
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val stage = s"$base/stage"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val schema = inputParts.head.schema
+    inputParts.head.write.parquet(stage)
+    val n = spark.read.parquet(stage).count()
+    withReplayParallelism(spark, n) {
+      def drainOnce(): Unit = {
+        val q = transform(
+            spark.readStream.schema(schema).parquet(stage))
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state
+            .GraftStateStoreHooks.unloadProviders()
+        }
+      }
+      drainOnce() // part 0, first query instance
+      (inputParts.tail ++ sentinels).foreach { part =>
+        part.write.mode("append").parquet(stage)
+        drainOnce() // fresh instance resumes from the checkpoint
+      }
+    }
+    val result = spark.read.parquet(out).localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    result
+  }
+
   /** Replay variant for operators that ARE sinks (foreachBatch /
     * custom StreamingQuery builders, e.g.
     * [[EventStream.upsertSnapshotSink]]) rather than
@@ -134,21 +244,25 @@ object StreamReplay {
       start: (DataFrame, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery,
       read: (SparkSession, String) => DataFrame,
-      appends: Seq[DataFrame] = Seq.empty): DataFrame =
-    withReplayParallelism(spark) {
-      replaySinkImpl(spark, input, start, read, appends)
+      appends: Seq[DataFrame] = Seq.empty): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val stage = s"$base/stage"
+    input.write.parquet(stage)
+    val n = spark.read.parquet(stage).count()
+    withReplayParallelism(spark, n) {
+      replaySinkImpl(spark, base, input, start, read, appends)
     }
+  }
 
-  private def replaySinkImpl(spark: SparkSession, input: DataFrame,
+  private def replaySinkImpl(spark: SparkSession,
+      base: java.nio.file.Path, input: DataFrame,
       start: (DataFrame, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery,
       read: (SparkSession, String) => DataFrame,
       appends: Seq[DataFrame]): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_replay")
     val stage = s"$base/stage"
     val work = s"$base/work"
     val ckpt = s"$base/ckpt"
-    input.write.parquet(stage)
     val stream = spark.readStream.schema(input.schema).parquet(stage)
     val q = start(stream, work, ckpt)
     try {

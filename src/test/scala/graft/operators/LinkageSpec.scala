@@ -85,7 +85,7 @@ class LinkageSpec extends SparkSpec {
   test("dirtyCustomerCopy plants the declared corruption schedule") {
     val cust = t(sf, "customer")
     val joined = Linkage.dirtyCustomerCopy(cust)
-      .withColumn("ck", col("id") - 10000000L)
+      .withColumn("ck", col("id") - Linkage.DirtySourceOffset)
       .join(cust, col("ck") === col("c_custkey"))
     // every third customer, ids shifted by 1e7
     assert(joined.count() ==
