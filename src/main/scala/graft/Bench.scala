@@ -159,6 +159,23 @@ object Bench {
     }
   } catch { case _: Throwable => Map.empty }
 
+  /** Per-build seconds from a prior artifact's `"index_builds":{...}`
+    * map (`"name":[sec,ext]` entries). Missing file/key degrades to
+    * "no prebuild regression check", same as [[prevTimes]].
+    */
+  private def prevBuildTimes(path: String): Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val at = txt.indexOf("\"index_builds\":{")
+    if (at < 0) Map.empty
+    else {
+      val body = txt.substring(at + 16, txt.indexOf('}', at))
+      val re = """"([a-z0-9_]+)":\[([0-9.eE+-]+)""".r
+      re.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -195,8 +212,16 @@ object Bench {
     // q66) need the prebuild and will fail without it — never set
     // this for a full run
     val skipPrebuild = sys.env.contains("SPARK_GRAFT_SKIP_PREBUILD")
+    // each named build carries its OWN time + external-cores bracket
+    // (r14 verdict #2: the aggregate index_build number sat outside the
+    // contention machinery and a 2.1×-inflated figure shipped with no
+    // flag) — builds overlap, but ext-cores subtracts ALL self jiffies,
+    // so a sibling build never reads as external load
+    val buildEvidence = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    val contThreshEarly = cpus.toDouble / 8.0
     val idxSec = if (skipPrebuild) 0.0 else try {
-      // the four artifacts are independent one-time builds; Spark
+      // the artifacts are independent one-time builds; Spark
       // schedules concurrent jobs fine, so overlap them — the metric
       // is wall-clock, the way a deployment would run them
       import scala.concurrent.{Await, Future}
@@ -207,24 +232,44 @@ object Bench {
       // un-cancelled sibling builds still run — skewing early timings
       // and racing q66's bucketedTable against an in-flight build of
       // the same table
-      val builds = Seq[() => Any](
-        () => graft.queries.ExtendedQueries.prebuildIndexes(spark, sfDir),
-        // one-time bucketed-layout builds (q66), same amortized-artifact
-        // treatment as the ANN indexes
-        () => graft.sources.Layout.bucketedTable(spark, sfDir, "lineitem",
-          Seq("l_orderkey"), numBuckets = 8),
-        () => graft.sources.Layout.bucketedTable(spark, sfDir, "orders",
-          Seq("o_orderkey"), numBuckets = 8))
-        .map(b => Future(b()).map(_ => true).recover { case e =>
-          System.err.println(s"[bench] prebuild FAILED: ${e.getMessage}")
-          false
-        })
+      val builds = (graft.queries.ExtendedQueries.prebuilds(spark, sfDir)
+        ++ Seq[(String, () => Any)](
+          // one-time bucketed-layout builds (q66), same amortized-
+          // artifact treatment as the ANN indexes
+          "bucketed_lineitem" -> (() => graft.sources.Layout
+            .bucketedTable(spark, sfDir, "lineitem",
+              Seq("l_orderkey"), numBuckets = 8)),
+          "bucketed_orders" -> (() => graft.sources.Layout
+            .bucketedTable(spark, sfDir, "orders",
+              Seq("o_orderkey"), numBuckets = 8))))
+        .map { case (name, b) =>
+          Future {
+            val b0 = boxBusyJiffies(); val s0 = selfJiffies()
+            val t0 = System.nanoTime()
+            b()
+            val t = (System.nanoTime() - t0) / 1e9
+            val e = extCores(b0, s0, boxBusyJiffies(), selfJiffies(), t)
+            buildEvidence.synchronized {
+              buildEvidence(name) = (math.rint(t * 1000) / 1000,
+                math.rint(e * 10) / 10)
+            }
+          }.map(_ => true).recover { case e =>
+            System.err.println(
+              s"[bench] prebuild $name FAILED: ${e.getMessage}")
+            false
+          }
+        }
       val ok = Await.result(Future.sequence(builds), Duration.Inf)
       if (ok.forall(identity)) (System.nanoTime() - tIdx) / 1e9 else -1.0
     } catch { case e: Throwable =>
       System.err.println(s"[bench] index prebuild FAILED: ${e.getMessage}")
       -1.0
     }
+    // a build is flagged when its own window saw external load above
+    // cpus/8 — disclosure (no requeue: builds mutate one-time artifacts
+    // and cannot be harmlessly re-measured mid-suite), so a polluted
+    // index_build can never read as clean again
+    val buildContended = buildEvidence.exists(_._2._2 > contThreshEarly)
     // optional subset for standalone profiling (comma-separated name
     // prefixes); the driver never sets it, so driver benches run all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -447,6 +492,21 @@ object Bench {
       }
     }
     val regJson = regressions.mkString("[", ",", "]")
+    // prebuild evidence (r14 verdict #2): per-build [sec, ext_cores],
+    // the contended flag, and a regression check against the previous
+    // committed artifact's per-build map (absent in older artifacts →
+    // check degrades to nothing, never to a failure)
+    val idxBuildsJson = buildEvidence.map { case (k, (t, e)) =>
+      s"\"" + k + s"\":[$t,$e]"
+    }.mkString("{", ",", "}")
+    val prevBuilds = prevBuildTimes(prevPath)
+    val buildRegressions = buildEvidence.toSeq.flatMap { case (k, (t, _)) =>
+      prevBuilds.get(k).collect {
+        case p if t > 2 * p && t - p > 0.5 =>
+          s"""{"build":"$k","prev":$p,"now":$t}"""
+      }
+    }
+    val buildRegJson = buildRegressions.mkString("[", ",", "]")
     val regressionsCleared = results0.keys.toSeq.sorted
       .filter(n => isRegression(n, results0(n)) &&
         !results.get(n).exists(isRegression(n, _)))
@@ -469,7 +529,7 @@ object Bench {
     // a crashing query must not masquerade as a fast one. Summary keys
     // (total, counts, failures) come BEFORE the per-query map so a
     // tail-truncated capture still carries the headline numbers.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"index_build":$idxSec,"streaming_replay":$streamingSec,"contended":$contended,"n_contended_queries":${stillContended.size},"contended_queries":$stillJson,"load":$loadJson,"n_regressions":${regressions.size},"regressions":$regJson,"n_regressions_cleared":${regressionsCleared.size},"regressions_cleared":$regClearedJson,"n_requeue_skipped":$nRequeueSkipped,"quiet_wait_exhausted":$quietBudgetExhausted,"rerun":$rerunJson,"requeued":$requeuedJson,"sf":"$sfDir","queries":$qs,"qext_cores":$qextJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"index_build":$idxSec,"index_builds":$idxBuildsJson,"index_build_contended":$buildContended,"n_index_build_regressions":${buildRegressions.size},"index_build_regressions":$buildRegJson,"streaming_replay":$streamingSec,"contended":$contended,"n_contended_queries":${stillContended.size},"contended_queries":$stillJson,"load":$loadJson,"n_regressions":${regressions.size},"regressions":$regJson,"n_regressions_cleared":${regressionsCleared.size},"regressions_cleared":$regClearedJson,"n_requeue_skipped":$nRequeueSkipped,"quiet_wait_exhausted":$quietBudgetExhausted,"rerun":$rerunJson,"requeued":$requeuedJson,"sf":"$sfDir","queries":$qs,"qext_cores":$qextJson}"""
     println(fullLine)
     // Self-contained side artifact: the stdout tail the driver keeps is
     // ~4 KB, so in a failure-heavy run neither printed line can carry
@@ -500,7 +560,7 @@ object Bench {
     val failedCapped = failed.sorted.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val regCapped = regressions.take(5).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCapped,"index_build":$idxSec,"streaming_replay":$streamingSec,"contended":$contended,"n_contended_queries":${stillContended.size},"n_requeued":${requeued.size},"n_requeue_skipped":$nRequeueSkipped,"quiet_wait_exhausted":$quietBudgetExhausted,"load":$loadJson,"n_regressions":${regressions.size},"regressions":$regCapped,"n_regressions_cleared":${regressionsCleared.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCapped,"index_build":$idxSec,"index_build_contended":$buildContended,"n_index_build_regressions":${buildRegressions.size},"streaming_replay":$streamingSec,"contended":$contended,"n_contended_queries":${stillContended.size},"n_requeued":${requeued.size},"n_requeue_skipped":$nRequeueSkipped,"quiet_wait_exhausted":$quietBudgetExhausted,"load":$loadJson,"n_regressions":${regressions.size},"regressions":$regCapped,"n_regressions_cleared":${regressionsCleared.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
