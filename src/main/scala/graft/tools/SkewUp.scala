@@ -15,7 +15,15 @@ import org.apache.spark.sql.functions._
   *     single key owning a third of the fact table;
   *   - `lineitem`: ~30% of rows remapped onto ONE existing o_orderkey
   *     — the orders⋈lineitem family (plain, salted, bucketed) now has
-  *     a hot join key whose matches dwarf every other reducer.
+  *     a hot join key whose matches dwarf every other reducer;
+  *   - `customer` (r15, the warehouse-family rehearsal): ~30% of
+  *     customers' name-digit suffixes rewritten onto ONE linkage
+  *     block (digits ≡ 0 mod 500, names kept DISTINCT via a dense
+  *     rank so no spurious exact-name agreements are planted) — the
+  *     q236/q241 Fellegi–Sunter blocking key now has a block holding
+  *     ~30% of EACH side (the dirty copy inherits the suffix through
+  *     its case corruption), which is exactly the hot-block case the
+  *     TopKAgg cap² bound was designed against.
   *
   * Row selection is a deterministic hash of stable columns (never the
   * remapped key itself), so the same rows skew on every run; all other
@@ -66,7 +74,25 @@ object SkewUp {
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/lineitem.parquet")
     println(s"SKEWUP lineitem: ~${tenths}0% of rows on order $hotOrder")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
+    // customer: slam ~tenths/10 of rows onto ONE linkage block. The
+    // rewritten digit suffix is (dense rank)·500 — block 0 for every
+    // selected row, names still pairwise distinct (a shared literal
+    // name would plant exact-name agreements the real corruption
+    // model never produces). The single-task rank sort is fine here:
+    // this is a one-off generator, not an engine path.
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c_custkey")
+    spark.read.parquet(s"$src/customer.parquet")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("c_name",
+        when(pmod(xxhash64(col("c_custkey")), lit(10)) < tenths,
+          format_string("Customer#%09d", col("__rn") * 500))
+          .otherwise(col("c_name")))
+      .drop("__rn")
+      .repartition(8)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/customer.parquet")
+    println(s"SKEWUP customer: ~${tenths}0% of rows on linkage block 0")
+
+    Seq("region", "nation", "supplier", "part", "orders",
         "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
