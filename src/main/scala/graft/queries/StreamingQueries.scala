@@ -443,10 +443,20 @@ object StreamingQueries {
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val clones = d.select((col("doc_id") + 1000000).as("doc_id"),
           col("text"))
+        // the planted-pair restriction runs INSIDE the streaming
+        // transform (a stateless post-state filter — no event-time
+        // column exists here, so no watermark-pushdown hazard), not on
+        // the replayed sink: the raw candidate stream is O(docs ×
+        // bucket-members) and at the true-100× rehearsal (1M docs,
+        // every text 100×-duplicated by ScaleUp's dedup-stress design)
+        // pinning it wholesale via the replay's localCheckpoint
+        // exhausted execution memory — the sink a real deployment
+        // keeps is whatever its verifier consumes, and the harness's
+        // declared result set is exactly the planted pairs
         StreamReplay.replay(s, d, Seq(clones),
             stream => EventStream.streamingNearDupCandidates(
-              stream.as[EventStream.Doc]).toDF())
-          .filter(col("id_b") === col("id_a") + 1000000)
+                stream.as[EventStream.Doc]).toDF()
+              .filter(col("id_b") === col("id_a") + 1000000))
           .groupBy("id_a", "id_b")
           .agg(min(col("hamming")).as("hamming"),
             countDistinct(col("chunk_idx")).as("n_chunks"))
