@@ -268,7 +268,13 @@ object Bench {
     // a build is flagged when its own window saw external load above
     // cpus/8 — disclosure (no requeue: builds mutate one-time artifacts
     // and cannot be harmlessly re-measured mid-suite), so a polluted
-    // index_build can never read as clean again
+    // index_build can never read as clean again. Caveat shared with the
+    // streaming replays: builds WRITE heavily, and buffered-write
+    // flushes run in kernel worker threads (box-busy, never self-busy),
+    // so the ext readings carry a self-induced writeback floor that
+    // grows with data scale (measured ~2.6-3.7 "cores" during the
+    // true-100× parallel builds on a quiet box) — a crossing means
+    // "inspect", not "discard"
     val buildContended = buildEvidence.exists(_._2._2 > contThreshEarly)
     // optional subset for standalone profiling (comma-separated name
     // prefixes); the driver never sets it, so driver benches run all
