@@ -74,7 +74,8 @@ object StreamReplay {
     * The aggregation results themselves are partitioning-independent —
     * exactly what the oracle-hash-matched replays prove.
     */
-  private def replayStatePartitions(spark: SparkSession, nRows: Long): Int = {
+  private[streaming] def replayStatePartitions(spark: SparkSession,
+      nRows: Long): Int = {
     val sessionWidth =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
     val byVolume =

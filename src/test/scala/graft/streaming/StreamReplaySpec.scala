@@ -172,6 +172,22 @@ class StreamReplaySpec extends SparkSpec {
       "stream-stream interval join replay diverged from the batch twin")
   }
 
+  test("derived replay state parallelism: floor 8 at benched corpora, " +
+      "volume-proportional above 32M rows, capped at session width") {
+    def at(n: Long): Int = StreamReplay.replayStatePartitions(spark, n)
+    // session width is 4 in specs; the floor dominates it
+    assert(at(0) == 8 && at(100000) == 8, "sf0.1-scale corpora -> floor")
+    assert(at(10000000L) == 8, "100x-scale corpora -> still the floor")
+    assert(at(32000001L) == 8, "cap: session width 4 < floor 8 -> 8")
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      assert(at(32000001L) == 9, "past 32M rows the volume term grows")
+      assert(at(4000000L * 32) == 32, "128M rows -> 32 instances")
+      assert(at(4000000L * 100) == 32, "capped at the session width")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   test("sentinel groups leave no trace: no negative user sessions, no " +
       "sentinel-day PSI windows") {
     val sess = graft.SparkEntry.queries("q184_stream_sessionize")(spark, sf)
