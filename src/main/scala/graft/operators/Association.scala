@@ -76,7 +76,12 @@ object Association {
     // than materializing the multi-GB set frame through a storage
     // pool it cannot fit in — MEMORY_AND_DISK spilled it to disk and
     // the writeback fought the pair stage (and the next query) for
-    // the same spindle.
+    // the same spindle. The r15 middle ground — eagerly persisting
+    // only the SMALL derived frames (item counts + basket total) to
+    // share one set-build — also measured WORSE at true 100× (48-55 s
+    // vs 34-36 s): the extra materialization jobs serialize a DAG
+    // that otherwise pipelines all three subtrees' stages inside one
+    // job. Three logical builds, one scheduled job, is the fast form.
     val sets =
       df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
         .groupBy("__bk").agg(collect_set(col("__it")).as("its"))
