@@ -19,6 +19,15 @@ object Layout {
 
   /** Write `df` as a bucketed managed table (saveAsTable is required —
     * plain parquet paths can't carry bucket metadata).
+    *
+    * CRASH IDEMPOTENCE: every caller (bucketedTable, the minhash /
+    * winnow index builders) runs the drop-and-rebuild protocol — DROP
+    * TABLE IF EXISTS + stale-location delete + this overwrite write —
+    * so a build that dies mid-write leaves a table the catalog either
+    * never registered or the re-run drops; run-twice ≡ run-once. The
+    * batch-identity partition layer (`Similarity.publishDeltaBatch`)
+    * is only needed where a DELTA mutates a LIVE layout in place;
+    * one-shot table builds heal by rebuilding.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int): Unit =
