@@ -682,8 +682,15 @@ object Similarity {
     *     double-appending vectors (run-twice ≡ run-once);
     *   - a job that DIES mid-write leaves only an uncommitted
     *     `.spark-staging-*` directory (dynamic overwrite stages, then
-    *     commits by move + replaced-partition delete) — readers never
-    *     see half a batch, and the re-run publishes cleanly over it.
+    *     commits per partition by delete + move), and the re-run
+    *     publishes cleanly over it. The guarantee is RE-RUN HEALING,
+    *     not reader-side atomicity: the commit replaces partitions
+    *     one at a time, so a driver death MID-COMMIT (not just
+    *     mid-stage) or a reader racing an in-flight publish CAN
+    *     observe a partially-replaced batch — callers must not probe
+    *     an index while a publish is running (the bench's serial
+    *     execution satisfies this; a deployment would fence with a
+    *     manifest/table commit).
     *
     * The mode is scoped to this write and restored after: dynamic
     * overwrite is exactly right for batch-identity publishes and

@@ -80,12 +80,28 @@ object SkewUp {
     // name would plant exact-name agreements the real corruption
     // model never produces). The single-task rank sort is fine here:
     // this is a one-off generator, not an engine path.
+    //
+    // The suffix must stay a 9-digit value: the q236/q241 blocking key
+    // reads EXACTLY substr(c_name, 10, 9), so rn*500 >= 1e9 (rn >= 2M,
+    // i.e. customer counts past ~sf13 when ~30% are selected) would
+    // widen the printed name past 9 digits and the planted block
+    // silently evaporates — the rehearsal would "pass" while measuring
+    // nothing. rn is computed in LONG (IntegerType rn*500 overflows
+    // past rn≈4.29M) and the generator REFUSES to emit an out-of-range
+    // suffix rather than degrade to an unskewed directory that still
+    // claims to be a skew rehearsal (r15 advice).
     val w = org.apache.spark.sql.expressions.Window.orderBy("c_custkey")
+    val nCustomers = spark.read.parquet(s"$src/customer.parquet").count()
+    require(nCustomers * 500L < 1000000000L,
+      s"SkewUp customer rewrite needs rn*500 to fit in 9 digits; " +
+        s"$nCustomers customers would widen Customer#%09d past 9 digits " +
+        s"and unplant the q236/q241 hot block — derive a different " +
+        s"block-0 suffix scheme before running at this scale")
     spark.read.parquet(s"$src/customer.parquet")
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("c_name",
         when(pmod(xxhash64(col("c_custkey")), lit(10)) < tenths,
-          format_string("Customer#%09d", col("__rn") * 500))
+          format_string("Customer#%09d", col("__rn") * 500L))
           .otherwise(col("c_name")))
       .drop("__rn")
       .repartition(8)
