@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's RUN-LEVEL evidence machinery (r15 verdict #1/#2/#5),
+  * tested as the pure functions they were factored into:
+  *
+  *   - the scale-chain guard must make a cross-scale regression
+  *     compare fail LOUDLY at startup (the r14 "100×" artifact was a
+  *     mislabeled 10× run that no machine check caught), while the
+  *     deliberate skew A/B stays possible behind an explicit opt-in
+  *     that is disclosed in-artifact;
+  *   - the run-environment verdict must classify the r15 driver run
+  *     (23% whole-suite inflation, clean per-query ext story, five
+  *     phantom regressions certified) as SUSPECT using its real
+  *     numbers, while leaving clean runs and per-query-attributed
+  *     contention uncontested.
+  */
+class BenchEvidenceSpec extends AnyFunSuite {
+
+  // ---- scale-chain guard -------------------------------------------
+
+  test("cross-scale compare fails loudly by default") {
+    val e = intercept[IllegalArgumentException] {
+      Bench.checkScaleChain(Some("/root/testdata/sf0.1"),
+        "/tmp/graft_sf10", allowCrossSf = false)
+    }
+    assert(e.getMessage.contains("scale-chain violation"))
+    assert(e.getMessage.contains("/root/testdata/sf0.1"))
+    assert(e.getMessage.contains("/tmp/graft_sf10"))
+  }
+
+  test("matching scales pass with no disclosure") {
+    assert(Bench.checkScaleChain(Some("/tmp/graft_sf10"),
+      "/tmp/graft_sf10", allowCrossSf = false).isEmpty)
+  }
+
+  test("absent prev sf (missing file / pre-field artifact) degrades to no check") {
+    assert(Bench.checkScaleChain(None, "/tmp/graft_sf10",
+      allowCrossSf = false).isEmpty)
+  }
+
+  test("explicit opt-in permits the skew A/B and returns the disclosure pair") {
+    val d = Bench.checkScaleChain(Some("/tmp/graft_sf10"),
+      "/tmp/graft_sf10_skew", allowCrossSf = true)
+    assert(d.contains(("/tmp/graft_sf10", "/tmp/graft_sf10_skew")))
+  }
+
+  test("prevSfField reads the sf of a committed artifact") {
+    // BENCH_PREV.json is the committed clean sf0.1 chain head
+    assert(Bench.prevSfField("BENCH_PREV.json")
+      .contains("/root/testdata/sf0.1"))
+    assert(Bench.prevSfField("/nonexistent/path.json").isEmpty)
+  }
+
+  // ---- run-environment verdict -------------------------------------
+
+  test("the r15 driver run's real numbers classify as environment-suspect") {
+    // BENCH_r15: suite 201.4 s vs committed prev 163.8 s on identical
+    // code (only comment-grade diffs), zero contended queries, so the
+    // per-query ext story explained ~none of the 37.6 s inflation —
+    // yet five regressions shipped certified. The gate must say
+    // SUSPECT here.
+    val (ratio, suspect) =
+      Bench.runEnvironmentVerdict(201.36, 163.8, 0.0, 241)
+    assert(ratio > 1.22 && ratio < 1.24)
+    assert(suspect)
+  }
+
+  test("a clean run (ratio ~1) is not suspect") {
+    val (ratio, suspect) =
+      Bench.runEnvironmentVerdict(165.2, 163.8, 0.0, 241)
+    assert(ratio < 1.15 && !suspect)
+  }
+
+  test("inflation the per-query ext story explains is not run-suspect") {
+    // 30% inflation, but 80% of it happened in queries whose own
+    // windows read busy — the per-query machinery already attributes
+    // it (stillContended/contended carry that verdict), so the
+    // run-level gate stays quiet rather than double-flagging.
+    val (ratio, suspect) =
+      Bench.runEnvironmentVerdict(213.0, 163.8, 40.0, 241)
+    assert(ratio > 1.15 && !suspect)
+  }
+
+  test("a faster-than-prev run is never suspect") {
+    val (_, suspect) =
+      Bench.runEnvironmentVerdict(150.0, 163.8, 0.0, 241)
+    assert(!suspect)
+  }
+
+  test("a too-thin chain yields no verdict instead of a noisy one") {
+    // subset runs (SPARK_GRAFT_ONLY) and first-ever runs have no
+    // meaningful suite total to compare
+    assert(Bench.runEnvironmentVerdict(9.0, 3.0, 0.0, 5) == (-1.0, false))
+    assert(Bench.runEnvironmentVerdict(2.0, 0.5, 0.0, 241) == (-1.0, false))
+  }
+}
