@@ -637,7 +637,7 @@ object Profiling {
     * single `key` string column — the shared build for
     * [[bloomJoinPrune]]/[[bloomDeltaMerge]].
     */
-  private def bloomSketchFrame(keys: DataFrame, mBits: Int,
+  private[graft] def bloomSketchFrame(keys: DataFrame, mBits: Int,
       k: Int): DataFrame = {
     import graft.functions.{BitExprs, BloomAgg}
     val packed = shiftleft(BitExprs.md5Uint32(col("key"), "A"), 32)
