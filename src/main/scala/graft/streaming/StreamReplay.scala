@@ -224,6 +224,67 @@ object StreamReplay {
     result
   }
 
+  /** SINGLE mid-stream restart replay — the BENCHED replay path's
+    * recovery exercise (r15 verdict #6): instance 1 drains `first`
+    * and is stopped cold; a FRESH instance resumes from the
+    * checkpoint, drains `second`, then each sentinel as its own
+    * micro-batch (the [[replay]] mechanics). Every driver bench and
+    * correctness run of a query wired through this performs — and
+    * oracle-gates — an actual kill/restart, at ONE instance-restart
+    * of overhead instead of one per boundary
+    * ([[replayRestarted]] stays the exhaustive spec harness).
+    *
+    * `second`'s event times must all be past `first`'s max (the
+    * [[replayRestarted]] time-split contract) — a median event-time
+    * cut satisfies it. State-store parallelism derives from `first`'s
+    * staged count, as in [[replayRestarted]]; the halved count
+    * resolves to the same clamp floor (8) at every benched scale.
+    */
+  def replayWithRestart(spark: SparkSession, first: DataFrame,
+      second: DataFrame, sentinels: Seq[DataFrame],
+      transform: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val stage = s"$base/stage"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val schema = first.schema
+    first.write.parquet(stage)
+    val n = spark.read.parquet(stage).count()
+    withReplayParallelism(spark, n) {
+      def freshQuery() = transform(
+          spark.readStream.schema(schema).parquet(stage))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      val q1 = freshQuery()
+      try q1.processAllAvailable()
+      finally {
+        q1.stop() // the kill
+        org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreHooks.unloadProviders()
+      }
+      second.write.mode("append").parquet(stage)
+      val q2 = freshQuery() // resumes from the checkpoint
+      try {
+        q2.processAllAvailable()
+        sentinels.foreach { sdf =>
+          sdf.write.mode("append").parquet(stage)
+          q2.processAllAvailable()
+        }
+      } finally {
+        q2.stop()
+        org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreHooks.unloadProviders()
+      }
+    }
+    val result = spark.read.parquet(out).localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    result
+  }
+
   /** Replay variant for operators that ARE sinks (foreachBatch /
     * custom StreamingQuery builders, e.g.
     * [[EventStream.upsertSnapshotSink]]) rather than
@@ -253,6 +314,56 @@ object StreamReplay {
     withReplayParallelism(spark, n) {
       replaySinkImpl(spark, base, input, start, read, appends)
     }
+  }
+
+  /** RESTART-RECOVERY variant of [[replaySink]] (r15 advice): each
+    * input part is drained by a FRESH StreamingQuery built by `start`
+    * over the same stage/work/checkpoint paths — the previous instance
+    * stopped cold — so the foreachBatch/custom-sink recovery contract
+    * is exercised by an actual kill/restart instead of argued from the
+    * batch-id algebra: the checkpoint's commit log makes the restarted
+    * instance skip batches the dead one committed, and the sinks'
+    * strictly-below versioned-base convention makes a batch replayed
+    * from an UNcommitted write rewrite its own `v=<batchId>` — the
+    * crash window [[EventStream.upsertSnapshotSink]]'s keepVersions
+    * floor exists for. Parts must be event-time-ordered for
+    * watermarked inputs, as in [[replayRestarted]]; the sinks here are
+    * watermark-free foreachBatch folds, so the honest scenario is just
+    * a chronological backlog drained across kills. Same scratch
+    * hygiene as [[replaySink]].
+    */
+  def replaySinkRestarted(spark: SparkSession, inputParts: Seq[DataFrame],
+      start: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+      read: (SparkSession, String) => DataFrame): DataFrame = {
+    require(inputParts.nonEmpty, "need at least one input part")
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val stage = s"$base/stage"
+    val work = s"$base/work"
+    val ckpt = s"$base/ckpt"
+    val schema = inputParts.head.schema
+    inputParts.head.write.parquet(stage)
+    val n = spark.read.parquet(stage).count()
+    withReplayParallelism(spark, n) {
+      def drainOnce(): Unit = {
+        val q = start(
+          spark.readStream.schema(schema).parquet(stage), work, ckpt)
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          org.apache.spark.sql.execution.streaming.state
+            .GraftStateStoreHooks.unloadProviders()
+        }
+      }
+      drainOnce() // part 0, first query instance
+      inputParts.tail.foreach { part =>
+        part.write.mode("append").parquet(stage)
+        drainOnce() // fresh instance resumes from the checkpoint
+      }
+    }
+    val result = read(spark, work).localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    result
   }
 
   private def replaySinkImpl(spark: SparkSession,

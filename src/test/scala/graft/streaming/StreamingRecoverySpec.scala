@@ -250,4 +250,76 @@ class StreamingRecoverySpec extends SparkSpec {
       lit(0).cast("int").as("hamming"), lit(4L).as("n_chunks"))
     assertSame(restarted, expected, "q234 restart vs planted oracle")
   }
+
+  // ---- sink-side recovery (r15 advice: the foreachBatch/custom-sink
+  // checkpoint contract must stay ASSERTED under an actual restart,
+  // not only exercised restart-free by EventStreamSpec) --------------
+
+  test("upsertSnapshotSink: keys and versions survive kill/restart; " +
+      "prune holds across instances") {
+    import spark.implicits._
+    // chronological changelog backlog, drained across two kills:
+    // insert → (update + delete + insert) → (re-insert + update)
+    val p0 = Seq((1L, 10.0, "U", 1L, 1L), (1L, 11.0, "U", 2L, 2L),
+      (2L, 20.0, "U", 2L, 3L)).toDF("k", "bal", "op", "t", "eid")
+    val p1 = Seq((1L, 12.0, "U", 3L, 4L), (2L, 0.0, "D", 3L, 5L),
+      (3L, 30.0, "U", 3L, 6L)).toDF("k", "bal", "op", "t", "eid")
+    val p2 = Seq((2L, 21.0, "U", 4L, 7L), (3L, 31.0, "U", 4L, 8L))
+      .toDF("k", "bal", "op", "t", "eid")
+    val start = (stream: DataFrame, work: String, ckpt: String) =>
+      EventStream.upsertSnapshotSink(stream, work, ckpt,
+        "k", Seq("t", "eid"), "op", deleteOp = "D")
+    val read = (s: SparkSession, work: String) => {
+      // versioned layout + prune must hold at read time, across the
+      // restarts: at most keepVersions dirs, newest = last batch id
+      val vs = new java.io.File(work).listFiles()
+        .filter(_.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong).sorted
+      assert(vs.length <= 2 && vs.last == 2, vs.mkString(","))
+      EventStream.readSnapshot(s, work)
+    }
+    val restarted = StreamReplay
+      .replaySinkRestarted(spark, Seq(p0, p1, p2), start, read)
+    // the delete of k=2 folded in a DIFFERENT query instance than its
+    // insert, and its re-insert in a third — latest-wins end state
+    assert(restarted.as[(Long, Double)].collect().toSet ==
+      Set((1L, 12.0), (2L, 21.0), (3L, 31.0)))
+    // and the restarted run equals the uninterrupted one
+    val plain = StreamReplay.replaySink(spark, p0, start,
+      (s: SparkSession, work: String) => EventStream.readSnapshot(s, work),
+      appends = Seq(p1, p2))
+    assertSame(restarted, plain, "upsertSnapshotSink restart")
+  }
+
+  test("retractableRollupSink: retraction folds span a restart and an " +
+      "emptied group revives in a later instance") {
+    import spark.implicits._
+    // (g, op, old_value, new_value): part 1 retracts b to EMPTY and
+    // updates a; part 2 re-inserts b — both against state a fresh
+    // instance restored from the checkpointed versions
+    val p0 = Seq[(String, String, Option[Double], Option[Double])](
+      ("a", "I", None, Some(10.0)), ("a", "I", None, Some(5.0)),
+      ("b", "I", None, Some(7.0)))
+      .toDF("g", "op", "old_value", "new_value")
+    val p1 = Seq[(String, String, Option[Double], Option[Double])](
+      ("b", "D", Some(7.0), None), ("a", "U", Some(10.0), Some(12.0)))
+      .toDF("g", "op", "old_value", "new_value")
+    val p2 = Seq[(String, String, Option[Double], Option[Double])](
+      ("b", "I", None, Some(9.0)))
+      .toDF("g", "op", "old_value", "new_value")
+    val start = (stream: DataFrame, work: String, ckpt: String) =>
+      EventStream.retractableRollupSink(stream, work, ckpt,
+        keys = Seq("g"), cntCol = "cnt", sumCol = "sum_v")
+    val read = (s: SparkSession, work: String) =>
+      EventStream.readSnapshot(s, work)
+    val restarted = StreamReplay
+      .replaySinkRestarted(spark, Seq(p0, p1, p2), start, read)
+    assert(restarted
+      .select(col("g"), col("cnt"), col("sum_v").cast("string"))
+      .as[(String, Long, String)].collect().toSet ==
+      Set(("a", 2L, "17.00"), ("b", 1L, "9.00")))
+    val plain = StreamReplay.replaySink(spark, p0, start, read,
+      appends = Seq(p1, p2))
+    assertSame(restarted, plain, "retractableRollupSink restart")
+  }
 }
