@@ -26,18 +26,32 @@ object ScaleUp {
   // source key range (testdata keys are dense from 0)
   private val Stride = 100000000L
 
+  // One scan + explode(sequence(0, factor-1)), not a factor-way union:
+  // a 1000-branch union plan rescans the source per branch and its
+  // analysis cost grows with the branch count, while the explode form
+  // is a single codegen'd pass whatever the factor. Output multiset is
+  // identical to the union form (copy k's keys shifted by k*Stride).
+  // The source is repartitioned BEFORE the explode: a small source
+  // reads as one input split, and without the spread the entire
+  // factor-times fan-out runs as a single task.
   private def copies(spark: SparkSession, df: DataFrame, factor: Int,
-      keyCols: Seq[String]): DataFrame =
-    (0 until factor).map { k =>
-      keyCols.foldLeft(df) { (d, c) =>
-        d.withColumn(c, col(c) + lit(k * Stride))
-      }
-    }.reduce(_ unionAll _)
+      keyCols: Seq[String], srcParts: Int): DataFrame = {
+    val copied = df.repartition(srcParts).withColumn("__k",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    copied.select(df.columns.map { c =>
+      if (keyCols.contains(c)) (col(c) + col("__k") * lit(Stride)).as(c)
+      else col(c)
+    }: _*)
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional table subset (comma-separated): a 1000x rehearsal of
+    // the volume-linear shapes needs three fact tables, not a full
+    // star-schema copy
+    val onlyTables = args.lift(3).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -56,19 +70,37 @@ object ScaleUp {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
     val shared = Seq("region", "nation")
+    // more output files at higher factors so a 1000x table lands in
+    // ~200 MB parquet parts instead of 32 oversized ones
+    val parts = math.max(32, factor / 16)
+    // <= 100x keeps the post-explode repartition: it hash-mixes the
+    // copies across output files, the layout the committed 10x/100x
+    // chains were measured on. Above that the mixing shuffle is the
+    // dominant cost of the WHOLE generation (measured: ~45 GB of
+    // shuffle spill for lineitem alone at 1000x) and threatens the
+    // disk budget, so the explode streams straight into the parquet
+    // writer — each output file then holds every copy of its slice of
+    // source rows (copy-clustered). Disclose the layout wherever the
+    // resulting directory is benched: identical twins sharing a file
+    // dictionary-compress flatteringly, but the queries rehearsed at
+    // this scale are shuffle/pair-bound, not scan-bound.
+    val mixCopies = factor <= 100
 
-    keyed.foreach { case (t, keys) =>
-      val df = spark.read.parquet(s"$src/$t.parquet")
-      copies(spark, df, factor, keys)
-        .repartition(32)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
-      println(s"SCALEUP $t x$factor done")
-    }
-    shared.foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
-      println(s"SCALEUP $t shared done")
-    }
+    keyed.filter(t => onlyTables.forall(_.contains(t._1)))
+      .foreach { case (t, keys) =>
+        val df = spark.read.parquet(s"$src/$t.parquet")
+        val scaled = copies(spark, df, factor, keys,
+          srcParts = if (mixCopies) 32 else parts)
+        (if (mixCopies) scaled.repartition(parts) else scaled)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+        println(s"SCALEUP $t x$factor done")
+      }
+    shared.filter(t => onlyTables.forall(_.contains(t)))
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+        println(s"SCALEUP $t shared done")
+      }
     spark.stop()
   }
 }
