@@ -258,12 +258,53 @@ object Bench {
       (math.rint(ratio * 1000) / 1000, suspect)
     }
 
+  /** Data-derived AQE initial shuffle width: the largest table's
+    * on-disk bytes / 32 MB, clamped to [cpus, cpus*16]. 32 MB of
+    * COMPRESSED parquet per initial bucket approximates the ~64 MB
+    * advisory target after shuffle-row expansion; the floor keeps
+    * every committed small-scale chain at the session width
+    * (identical plans to the static-width era), the cap bounds
+    * per-map-task bucket overhead. Tables are <name>.parquet files or
+    * directories of part files directly under the scale directory.
+    */
+  private[graft] def initialShufflePartitions(sfDir: String,
+      cpus: Int): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+    val largest = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+      .map(bytes).foldLeft(0L)(math.max)
+    val byVolume = (largest / (32L << 20)).toInt
+    math.min(math.max(cpus, byVolume), cpus * 16)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalesces DOWN from initialPartitionNum and never scales a
+      // shuffle up (skew-split aside), so the static partition count is
+      // a hard ceiling: at the 1000x rehearsal, 32 partitions put ~19M
+      // rows in every shuffle task and the suite went superlinear on
+      // spill (q114 x26.6 for 10x the data; 256 initial buckets brought
+      // q114 1209 -> 392 s and q145 728 -> 293 s, measured). A FIXED
+      // high bucket count is just as wrong at the other end — the same
+      // 256 at sf0.1 cost +32% suite and x12 index_build (iterative
+      // k-means builds drown in per-bucket overhead; the run-level
+      // gate stamped that run suspect). So the initial width derives
+      // from the data: largest table's bytes / 32 MB, clamped to
+      // [cpus, cpus*16] — sf0.1/10x floor at the session width
+      // (identical plans to the static-width chains), true-100x lands
+      // a hair above it (34), 1000x at ~350. The local twin of the
+      // cluster posture: size
+      // initialPartitionNum for the largest expected shuffle, let AQE
+      // right-size every smaller one from runtime stats.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

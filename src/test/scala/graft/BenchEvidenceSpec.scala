@@ -95,4 +95,44 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(Bench.runEnvironmentVerdict(9.0, 3.0, 0.0, 5) == (-1.0, false))
     assert(Bench.runEnvironmentVerdict(2.0, 0.5, 0.0, 241) == (-1.0, false))
   }
+
+  // --- data-derived AQE initial shuffle width (r16: the 1000x
+  // rehearsal went superlinear on 32-bucket spill; a FIXED 256 cost
+  // +32% suite and x12 index_build at sf0.1 — the width must follow
+  // the data) ---
+
+  private def fakeScaleDir(tableBytes: Long*): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_width")
+    tableBytes.zipWithIndex.foreach { case (n, i) =>
+      val f = new java.io.RandomAccessFile(
+        new java.io.File(dir.toFile, s"t$i.parquet"), "rw")
+      try f.setLength(n) finally f.close() // sparse — no disk cost
+    }
+    dir
+  }
+
+  test("small-scale dirs resolve to the session width (committed " +
+      "chains keep their static-era plans)") {
+    // sf0.1's largest table is ~11 MB — under one 32 MB bucket
+    val d = fakeScaleDir(11L << 20, 2L << 20)
+    assert(Bench.initialShufflePartitions(d.toString, 32) == 32)
+    // the true-100x directory (~1.1 GB largest) sits just above the
+    // floor — 34 buckets, coalesced back to the same effective widths
+    val d2 = fakeScaleDir(1100L << 20)
+    assert(Bench.initialShufflePartitions(d2.toString, 32) == 34)
+  }
+
+  test("a 1000x-sized table widens the initial buckets, capped at " +
+      "16x the session width") {
+    // 11 GB largest table -> 11 GB / 32 MB = 352 initial buckets
+    val d = fakeScaleDir(11L << 30)
+    assert(Bench.initialShufflePartitions(d.toString, 32) == 352)
+    // a terabyte-sized directory hits the cap, not an unbounded width
+    val big = fakeScaleDir(1L << 40)
+    assert(Bench.initialShufflePartitions(big.toString, 32) == 512)
+  }
+
+  test("a missing or empty scale dir falls back to the session width") {
+    assert(Bench.initialShufflePartitions("/nonexistent", 32) == 32)
+  }
 }
