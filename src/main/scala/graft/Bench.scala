@@ -441,10 +441,21 @@ object Bench {
     // on a real cluster and makes each number the query's own cost;
     // maintained index/bucketed TABLES live on disk and are not
     // touched.
+    var lastPassSec = 0.0
     def resetStorage(): Unit = {
       HeavyPersist.clear(spark)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // Shuffle files are unlinked by the ContextCleaner only after
+      // their ShuffleDependency is GC'd, and a near-idle rehearsal
+      // heap (96 GB at 1000x) may not collect for the whole suite —
+      // the accumulated shuffle files of three pair-heavy 1000x
+      // queries filled the disk and killed the replay that followed
+      // (ENOSPC). After any pass long enough to have shuffled real
+      // volume, force the collection so the next query starts with
+      // its disk back; the pause lands OUTSIDE every timed bracket,
+      // and no sf0.1 pass reaches the gate.
+      if (lastPassSec > 30.0) { System.gc(); Thread.sleep(500) }
     }
     // Each timed pass also brackets /proc/stat + /proc/self/stat, so
     // every number carries its own external-cores figure — a
@@ -459,6 +470,7 @@ object Bench {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
+      lastPassSec = t
       (t, extCores(b0, s0, boxBusyJiffies(), selfJiffies(), t))
     }
     // per-query external cores for the pass whose time was REPORTED

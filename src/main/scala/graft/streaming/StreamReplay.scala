@@ -103,13 +103,24 @@ object StreamReplay {
     try body finally spark.conf.set(key, prior)
   }
 
+  /** Scratch-directory scope shared by every replay path: the tree is
+    * deleted however `body` exits — a replay that DIES at rehearsal
+    * scale otherwise leaks its staged input + checkpoints into
+    * java.io.tmpdir mid-suite (the 1000x q184 ENOSPC death left its
+    * scratch behind for every later query). Results must be pinned
+    * (localCheckpoint) before `body` returns.
+    */
+  private def withScratch[T](body: java.nio.file.Path => T): T = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    try body(base) finally deleteRecursively(base.toFile)
+  }
+
   def replay(spark: SparkSession, input: DataFrame,
       sentinels: Seq[DataFrame],
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame): DataFrame = withScratch { base =>
     // stage OUTSIDE the parallelism override (the input's own plan
     // should run at the session's width), then size the state store
     // from the staged row count — a parquet-footer metadata read
-    val base = java.nio.file.Files.createTempDirectory("graft_replay")
     val stage = s"$base/stage"
     input.write.parquet(stage)
     val n = spark.read.parquet(stage).count()
@@ -149,12 +160,11 @@ object StreamReplay {
       org.apache.spark.sql.execution.streaming.state
         .GraftStateStoreHooks.unloadProviders()
     }
-    // pin the sink into the block manager, then drop the scratch (see
-    // class doc: the staged copy + state snapshots are the input-sized
-    // dirty-page bomb; the pinned result is the small aggregated tail)
-    val result = spark.read.parquet(out).localCheckpoint(true)
-    deleteRecursively(base.toFile)
-    result
+    // pin the sink into the block manager before withScratch drops the
+    // scratch (see class doc: the staged copy + state snapshots are the
+    // input-sized dirty-page bomb; the pinned result is the small
+    // aggregated tail)
+    spark.read.parquet(out).localCheckpoint(true)
   }
 
   /** RESTART-RECOVERY replay (r14 verdict #4): like [[replay]], but
@@ -189,7 +199,7 @@ object StreamReplay {
       sentinels: Seq[DataFrame],
       transform: DataFrame => DataFrame): DataFrame = {
     require(inputParts.nonEmpty, "need at least one input part")
-    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    withScratch { base =>
     val stage = s"$base/stage"
     val out = s"$base/out"
     val ckpt = s"$base/ckpt"
@@ -219,9 +229,8 @@ object StreamReplay {
         drainOnce() // fresh instance resumes from the checkpoint
       }
     }
-    val result = spark.read.parquet(out).localCheckpoint(true)
-    deleteRecursively(base.toFile)
-    result
+    spark.read.parquet(out).localCheckpoint(true)
+    }
   }
 
   /** SINGLE mid-stream restart replay — the BENCHED replay path's
@@ -243,7 +252,7 @@ object StreamReplay {
   def replayWithRestart(spark: SparkSession, first: DataFrame,
       second: DataFrame, sentinels: Seq[DataFrame],
       transform: DataFrame => DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    withScratch { base =>
     val stage = s"$base/stage"
     val out = s"$base/out"
     val ckpt = s"$base/ckpt"
@@ -280,9 +289,8 @@ object StreamReplay {
           .GraftStateStoreHooks.unloadProviders()
       }
     }
-    val result = spark.read.parquet(out).localCheckpoint(true)
-    deleteRecursively(base.toFile)
-    result
+    spark.read.parquet(out).localCheckpoint(true)
+    }
   }
 
   /** Replay variant for operators that ARE sinks (foreachBatch /
@@ -306,8 +314,7 @@ object StreamReplay {
       start: (DataFrame, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery,
       read: (SparkSession, String) => DataFrame,
-      appends: Seq[DataFrame] = Seq.empty): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+      appends: Seq[DataFrame] = Seq.empty): DataFrame = withScratch { base =>
     val stage = s"$base/stage"
     input.write.parquet(stage)
     val n = spark.read.parquet(stage).count()
@@ -337,7 +344,7 @@ object StreamReplay {
         org.apache.spark.sql.streaming.StreamingQuery,
       read: (SparkSession, String) => DataFrame): DataFrame = {
     require(inputParts.nonEmpty, "need at least one input part")
-    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    withScratch { base =>
     val stage = s"$base/stage"
     val work = s"$base/work"
     val ckpt = s"$base/ckpt"
@@ -361,9 +368,8 @@ object StreamReplay {
         drainOnce() // fresh instance resumes from the checkpoint
       }
     }
-    val result = read(spark, work).localCheckpoint(true)
-    deleteRecursively(base.toFile)
-    result
+    read(spark, work).localCheckpoint(true)
+    }
   }
 
   private def replaySinkImpl(spark: SparkSession,
@@ -389,9 +395,7 @@ object StreamReplay {
       org.apache.spark.sql.execution.streaming.state
         .GraftStateStoreHooks.unloadProviders()
     }
-    val result = read(spark, work).localCheckpoint(true)
-    deleteRecursively(base.toFile)
-    result
+    read(spark, work).localCheckpoint(true)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
