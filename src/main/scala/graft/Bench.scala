@@ -104,7 +104,7 @@ object Bench {
     * unlike the 1-min loadavg whose smoothing smears a 1-second query
     * window beyond recognition. -1 where unreadable (non-Linux).
     */
-  private def boxBusyJiffies(): Long = try {
+  private[graft] def boxBusyJiffies(): Long = try {
     val src = scala.io.Source.fromFile("/proc/stat")
     try {
       val f = src.getLines().next().trim.split("\\s+")
@@ -118,7 +118,7 @@ object Bench {
     * 14-15, summed over all threads). Parsed after the last ')' —
     * the comm field may contain spaces. -1 where unreadable.
     */
-  private def selfJiffies(): Long = try {
+  private[graft] def selfJiffies(): Long = try {
     val src = scala.io.Source.fromFile("/proc/self/stat")
     try {
       val line = src.getLines().next()
@@ -138,7 +138,7 @@ object Bench {
     * own jiffies isolates exactly the thing the flag is about:
     * somebody ELSE burning the box while a query was timed.
     */
-  private def extCores(box0: Long, self0: Long, box1: Long, self1: Long,
+  private[graft] def extCores(box0: Long, self0: Long, box1: Long, self1: Long,
       wallSec: Double): Double =
     if (box0 < 0 || self0 < 0 || box1 < 0 || self1 < 0 || wallSec <= 0) -1.0
     else math.max(0.0,
@@ -257,6 +257,41 @@ object Bench {
       val suspect = ratio > 1.15 && explained < 0.5 * (nowTotal - prevTotal)
       (math.rint(ratio * 1000) / 1000, suspect)
     }
+
+  /** THIN-CHAIN ENVIRONMENT VERDICT (r16 verdict #4): subset and
+    * rehearsal runs (SPARK_GRAFT_ONLY, the 5-shape 1000× artifacts)
+    * have fewer than 10 common queries, so [[runEnvironmentVerdict]]
+    * correctly refuses a suite-total ratio — and the artifacts that
+    * need certification MOST (a 15-minute rehearsal nobody wants to
+    * repeat) shipped with no run-level verdict at all. The thin-chain
+    * complement is the MEDIAN of per-query ratios over common queries
+    * whose prev time clears `minPrevSec` (sub-second entries ratio on
+    * jitter, not on environment): a busy box inflates every query in
+    * the run TOGETHER, so a synchronized median shift is the
+    * environment signature even at n=3, while the median is robust to
+    * one shape legitimately regressing or hitting its disclosed spill
+    * variance. The suspect band is WIDER than the suite-total gate's
+    * (2.0 vs 1.15): SCALE.md records ±2× same-code swings on
+    * individual spill-bound 1000× shapes under min-of-2, so a thin
+    * chain can only certify inflation the variance floor cannot
+    * explain — at median > 2× EVERY shape (not just the median one)
+    * has to sit at its variance ceiling simultaneously, which is the
+    * synchronized signature, not spill luck. Returns (-1, false) when
+    * fewer than 3 queries qualify — too thin even for this gate.
+    */
+  private[graft] def thinChainMedianRatio(now: Map[String, Double],
+      prev: Map[String, Double], minPrevSec: Double = 1.0): (Double, Boolean) = {
+    val ratios = now.keys.toSeq
+      .filter(n => prev.get(n).exists(_ >= minPrevSec))
+      .map(n => now(n) / prev(n)).sorted
+    if (ratios.size < 3) (-1.0, false)
+    else {
+      val m =
+        if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+      (math.rint(m * 1000) / 1000, m > 2.0)
+    }
+  }
 
   /** Data-derived AQE initial shuffle width: the largest table's
     * on-disk bytes / 32 MB, clamped to [cpus, cpus*16]. 32 MB of
@@ -468,9 +503,15 @@ object Bench {
       resetStorage()
       val b0 = boxBusyJiffies(); val s0 = selfJiffies()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      val t = (System.nanoTime() - t0) / 1e9
-      lastPassSec = t
+      // lastPassSec is assigned in a finally: a heavy pass that CRASHES
+      // after shuffling real volume must still arm the >30 s GC gate in
+      // the next resetStorage() — the crashed pass's shuffle files are
+      // exactly the ones that need reclaiming (the ENOSPC scenario the
+      // gate exists for), and a success-only assignment would leave the
+      // gate keyed to the previous, possibly sub-second, pass.
+      try fn(spark, sfDir).count()
+      finally lastPassSec = (System.nanoTime() - t0) / 1e9
+      val t = lastPassSec
       (t, extCores(b0, s0, boxBusyJiffies(), selfJiffies(), t))
     }
     // per-query external cores for the pass whose time was REPORTED
@@ -659,8 +700,20 @@ object Bench {
     val explainedInfl = commonQ
       .filter(n => firstPass(n)._2 > contThresh || stillSet(n))
       .map(n => math.max(0.0, results(n) - prev(n))).sum
-    val (suiteRatio, runEnvSuspect) = runEnvironmentVerdict(
+    val (suiteRatio, suiteSuspect) = runEnvironmentVerdict(
       nowCommonTotal, prevCommonTotal, explainedInfl, commonQ.size)
+    // thin chains (subset/rehearsal runs, < 10 common queries) fall
+    // back to the per-query MEDIAN ratio (r16 verdict #4) so a 1000×
+    // artifact still carries a run-level verdict; the basis is named
+    // in the artifact so a reader knows which gate judged it
+    val (thinRatio, thinSuspect) =
+      if (suiteRatio >= 0) (-1.0, false)
+      else thinChainMedianRatio(results, prev)
+    val envBasis =
+      if (suiteRatio >= 0) "suite_total"
+      else if (thinRatio >= 0) "per_query_median"
+      else "none"
+    val runEnvSuspect = suiteSuspect || thinSuspect
     val regStatus = if (runEnvSuspect) "unconfirmed" else "confirmed"
     val rerunJson = rerun.map { case (k, (a, b)) =>
       s"\"" + k + s"\":[$a,$b]"
@@ -725,6 +778,8 @@ object Bench {
       .getOrElse("null")
     val envJson =
       s""""run_environment_suspect":$runEnvSuspect,""" +
+        s""""env_ratio_basis":"$envBasis",""" +
+        s""""thin_median_ratio":$thinRatio,""" +
         s""""suite_total_ratio":$suiteRatio,""" +
         s""""suite_prev_total":${math.rint(prevCommonTotal * 100) / 100},""" +
         s""""suite_now_total":${math.rint(nowCommonTotal * 100) / 100},""" +
@@ -768,7 +823,7 @@ object Bench {
     val failedCapped = failed.sorted.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val regCapped = regressions.take(5).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCapped,"index_build":$idxSec,"index_build_contended":$buildContended,"n_index_build_regressions":${buildRegressions.size},"streaming_replay":$streamingSec,"contended":$contended,"n_contended_queries":${stillContended.size},"n_requeued":${requeued.size},"n_requeue_skipped":$nRequeueSkipped,"quiet_wait_exhausted":$quietBudgetExhausted,"run_environment_suspect":$runEnvSuspect,"suite_total_ratio":$suiteRatio,"requeue_sec":$requeuePhaseSec,"requeue_budget_exhausted":$requeueBudgetExhausted,"load":$loadJson,"n_regressions":${regressions.size},"regressions":$regCapped,"n_regressions_cleared":${regressionsCleared.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCapped,"index_build":$idxSec,"index_build_contended":$buildContended,"n_index_build_regressions":${buildRegressions.size},"streaming_replay":$streamingSec,"contended":$contended,"n_contended_queries":${stillContended.size},"n_requeued":${requeued.size},"n_requeue_skipped":$nRequeueSkipped,"quiet_wait_exhausted":$quietBudgetExhausted,"run_environment_suspect":$runEnvSuspect,"env_ratio_basis":"$envBasis","thin_median_ratio":$thinRatio,"suite_total_ratio":$suiteRatio,"requeue_sec":$requeuePhaseSec,"requeue_budget_exhausted":$requeueBudgetExhausted,"load":$loadJson,"n_regressions":${regressions.size},"regressions":$regCapped,"n_regressions_cleared":${regressionsCleared.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

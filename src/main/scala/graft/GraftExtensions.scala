@@ -138,7 +138,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSql.functions.foreach(ext.injectFunction)
     // restore parquet time-range pushdown through the events ns-epoch
-    // projection (see graft.plans.TsRangePushdown)
+    // projection (see graft.plans.TsRangePushdown)…
     ext.injectOptimizerRule(_ => graft.plans.TsRangePushdown)
+    // …and make the pushed NTZ range actually SKIP files: Spark's
+    // parquet reader builds no FilterPredicate for TIMESTAMP_NTZ, so
+    // footer-stats file pruning is the engine's own job
+    // (see graft.plans.NtzFileSkip)
+    ext.injectOptimizerRule(_ => graft.plans.NtzFileSkip)
   }
 }

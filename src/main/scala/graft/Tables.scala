@@ -44,7 +44,14 @@ object Tables {
       val viaExtensions = spark.conf
         .getOption("spark.sql.extensions")
         .exists(_.contains("graft.GraftExtensions"))
-      if (!viaExtensions) graft.plans.TsRangePushdown.ensureRegistered(spark)
+      if (!viaExtensions) {
+        graft.plans.TsRangePushdown.ensureRegistered(spark)
+        // …and make the pushed range actually SKIP: Spark's parquet
+        // reader builds no FilterPredicate for TIMESTAMP_NTZ (r17
+        // finding), so file-grain footer-stats pruning is the engine's
+        // own job — see graft.plans.NtzFileSkip
+        graft.plans.NtzFileSkip.ensureRegistered(spark)
+      }
       normalizeEventsTs(df)
     } else df
   }

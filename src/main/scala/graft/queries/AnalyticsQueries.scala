@@ -1209,13 +1209,20 @@ object AnalyticsQueries {
     // union of bottom-ks). Oracle: full recompute over base ∪ delta.
     Query("q220_kmv_delta", Some(kmvDeltaOracleSql(k = 64)))(
       (s, dir) => {
+        val root = kmvRegistryRoot(s, dir)
         val delta = t(s, dir, "events")
           .filter(col("event_id") % 7 === 0)
-        val merged = Profiling.kmvDeltaMerge(
-          s.read.parquet(kmvIndexPath(s, dir)), delta,
-          col("event_type"), kmvUserDayHash(col("user_id") + 1000),
-          k = 64)
-        merged.select(col("group"), size(col("sk")).as("sketch_size"),
+        // the VERSIONED refresh the spec certifies, run for real: read
+        // the immutable v=0, merge the delta, overwrite v=1 (never the
+        // input), then serve estimates from the refreshed version —
+        // run-twice rewrites identical v=1 content, a torn v=1 heals
+        Profiling.kmvDeltaMerge(
+            s.read.parquet(s"$root/v=0"), delta,
+            col("event_type"), kmvUserDayHash(col("user_id") + 1000),
+            k = 64)
+          .write.mode("overwrite").parquet(s"$root/v=1")
+        s.read.parquet(s"$root/v=1")
+          .select(col("group"), size(col("sk")).as("sketch_size"),
             Profiling.kmvEstimate(col("sk"), 64).as("est"))
           .orderBy("group")
       })
@@ -1499,17 +1506,26 @@ object AnalyticsQueries {
       1, 8), 16, 10).cast("long")
 
   /** The persisted per-event-type KMV sketch registry q220 refreshes —
-    * one aggregation over the base events, written as (group, sk).
+    * one aggregation over the base events, written as (group, sk) and
+    * PUBLISHED AS VERSION `v=0` of a versioned registry root. This is
+    * the RegistryIdempotenceSpec convention running on the benched
+    * path itself (r16 verdict #5: the spec certified `reg/v=<n>` while
+    * every query-path registry ran a session-scoped fresh-dir
+    * overwrite — idempotent by construction, but proving a convention
+    * the benched code never exercised). q220's refresh below reads the
+    * immutable v=0 and overwrites v=1 — never its own input — so a
+    * re-run or crash re-run of the refresh is idempotent exactly the
+    * way the spec demonstrates per family.
     */
   private val kmvIdxCache = new graft.SessionCache[String]
-  private def kmvIndexPath(s: SparkSession, dir: String): String =
+  private def kmvRegistryRoot(s: SparkSession, dir: String): String =
     kmvIdxCache.get(s, dir) {
-      val p = ExtendedQueries.newIdxDir("graft_kmv_idx")
+      val p = ExtendedQueries.newIdxDir("graft_kmv_reg")
       t(s, dir, "events")
         .groupBy(col("event_type").cast("string").as("group"))
         .agg(graft.functions.KmvAgg.kmvSketch(64)(
           kmvUserDayHash(col("user_id"))).as("sk"))
-        .write.mode("overwrite").parquet(p)
+        .write.mode("overwrite").parquet(s"$p/v=0")
       p
     }
 

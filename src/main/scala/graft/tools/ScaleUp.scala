@@ -18,26 +18,44 @@ import org.apache.spark.sql.functions._
   * dedup/near-dup stress test (bucket sizes grow 10×, pair counts
   * ~45×) that exercises the quadratic guards.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [factor]
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [factor] \
+  *   [tables] [mix]
+  *   - tables: optional comma-separated subset (default: all); the
+  *     shared dims (region, nation) copy only when named or defaulted
+  *   - mix: the literal word `mix` — force the hash-mixed layout at
+  *     factor > 100 via bounded CHUNKED generation (100 copies per
+  *     chunk, each chunk shuffled independently and appended), so no
+  *     single mixing shuffle ever exceeds the 100× volume that fit the
+  *     disk budget; without it, factor > 100 streams copy-clustered
+  *     (see mixCopies below)
   */
 object ScaleUp {
 
   // key-shift stride per table column; one stride safely above any
-  // source key range (testdata keys are dense from 0)
+  // source key range (testdata keys are dense from 0). Divisible by
+  // every small modulus the queries bucket keys with (32, 10, 7 are
+  // NOT all divisors — 32 is: 1e8 = 2^8 * 5^8 * ... — specifically
+  // Stride % 32 == 0, so (key + k*Stride) % 32 == key % 32 and the
+  // z-order bucket distribution survives scaling exactly).
   private val Stride = 100000000L
 
-  // One scan + explode(sequence(0, factor-1)), not a factor-way union:
-  // a 1000-branch union plan rescans the source per branch and its
-  // analysis cost grows with the branch count, while the explode form
-  // is a single codegen'd pass whatever the factor. Output multiset is
-  // identical to the union form (copy k's keys shifted by k*Stride).
-  // The source is repartitioned BEFORE the explode: a small source
-  // reads as one input split, and without the spread the entire
+  // One scan + explode(sequence(off, off+factor-1)), not a factor-way
+  // union: a 1000-branch union plan rescans the source per branch and
+  // its analysis cost grows with the branch count, while the explode
+  // form is a single codegen'd pass whatever the factor. Output
+  // multiset is identical to the union form (copy k's keys shifted by
+  // k*Stride; `copyOffset` lets chunked callers generate copies
+  // [off, off+factor) so chunk appends tile the same key space as one
+  // big run). The source is repartitioned BEFORE the explode: a small
+  // source reads as one input split, and without the spread the entire
   // factor-times fan-out runs as a single task.
-  private def copies(spark: SparkSession, df: DataFrame, factor: Int,
-      keyCols: Seq[String], srcParts: Int): DataFrame = {
+  private[tools] def copies(df: DataFrame, factor: Int,
+      keyCols: Seq[String], srcParts: Int, copyOffset: Long = 0L): DataFrame = {
+    require(!df.columns.contains("__k"),
+      "source table already has a __k column — the copy-index column " +
+        "would silently collide")
     val copied = df.repartition(srcParts).withColumn("__k",
-      explode(sequence(lit(0L), lit(factor - 1L))))
+      explode(sequence(lit(copyOffset), lit(copyOffset + factor - 1L))))
     copied.select(df.columns.map { c =>
       if (keyCols.contains(c)) (col(c) + col("__k") * lit(Stride)).as(c)
       else col(c)
@@ -52,6 +70,9 @@ object ScaleUp {
     // the volume-linear shapes needs three fact tables, not a full
     // star-schema copy
     val onlyTables = args.lift(3).map(_.split(",").toSet)
+    // optional `mix`: force the hash-mixed layout above factor 100 via
+    // chunked appends (see the chunk loop below)
+    val forceMix = args.lift(4).contains("mix")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -83,16 +104,46 @@ object ScaleUp {
     // source rows (copy-clustered). Disclose the layout wherever the
     // resulting directory is benched: identical twins sharing a file
     // dictionary-compress flatteringly, but the queries rehearsed at
-    // this scale are shuffle/pair-bound, not scan-bound.
+    // this scale are shuffle/pair-bound, not scan-bound. Scan-bound
+    // rehearsals pass `mix` for the bounded CHUNKED mixing path below
+    // instead (honest bytes at any factor, shuffle bounded per chunk).
     val mixCopies = factor <= 100
 
     keyed.filter(t => onlyTables.forall(_.contains(t._1)))
       .foreach { case (t, keys) =>
         val df = spark.read.parquet(s"$src/$t.parquet")
-        val scaled = copies(spark, df, factor, keys,
-          srcParts = if (mixCopies) 32 else parts)
-        (if (mixCopies) scaled.repartition(parts) else scaled)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+        if (mixCopies || !forceMix) {
+          val scaled = copies(df, factor, keys,
+            srcParts = if (mixCopies) 32 else parts)
+          (if (mixCopies) scaled.repartition(parts) else scaled)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+        } else {
+          // CHUNKED mixing (r16 verdict: the copy-clustered fast path
+          // above factor 100 left the SCAN-bound operators with no
+          // honest 1000× directory — identical twins sharing a file
+          // dictionary-compress flatteringly). Generate 100 copies at
+          // a time, hash-mix each chunk independently, and APPEND: the
+          // per-chunk shuffle is exactly the 100× volume that fit the
+          // disk budget on the committed chains, the chunks tile
+          // disjoint copy ranges of the same key space, and every
+          // output file holds a hash-random sample of (source row,
+          // copy) pairs — the same layout as the committed true-100×
+          // directory, repeated. Twins land in the same file only at
+          // the birthday rate, so on-disk bytes scale honestly.
+          val chunk = 100
+          val nChunks = (factor + chunk - 1) / chunk
+          val chunkParts = math.max(8, parts / nChunks)
+          (0 until nChunks).foreach { c =>
+            val n = math.min(chunk, factor - c * chunk)
+            copies(df, n, keys, srcParts = 32,
+                copyOffset = c.toLong * chunk)
+              .repartition(chunkParts)
+              .write
+              .mode(if (c == 0) SaveMode.Overwrite else SaveMode.Append)
+              .parquet(s"$dst/$t.parquet")
+            println(s"SCALEUP $t chunk ${c + 1}/$nChunks done")
+          }
+        }
         println(s"SCALEUP $t x$factor done")
       }
     shared.filter(t => onlyTables.forall(_.contains(t)))

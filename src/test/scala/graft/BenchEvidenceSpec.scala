@@ -96,6 +96,57 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(Bench.runEnvironmentVerdict(2.0, 0.5, 0.0, 241) == (-1.0, false))
   }
 
+  // ---- thin-chain per-query-median verdict (r16 verdict #4: the
+  // 5-shape 1000× rehearsal artifacts shipped with suite_total_ratio
+  // -1 — no run-level certification at all, at exactly the scale a
+  // re-measure costs 15 minutes) ----------------------------------
+
+  test("the r16 1000x rehearsal's real numbers carry a clean thin verdict") {
+    // BENCH_SF100_SUBSET committed pass values vs the discovery run's
+    // shapes would ratio ~1; here: the committed artifact compared to
+    // itself-with-jitter must read clean
+    val prev = Map("q114_triangles" -> 241.8, "q145_basket_pairs" -> 436.4,
+      "q153_set_similarity" -> 152.0, "q175_corpus_pipeline_e2e" -> 21.0,
+      "q184_stream_sessionize" -> 29.6)
+    val now = prev.map { case (k, v) => k -> v * 1.1 }
+    val (ratio, suspect) = Bench.thinChainMedianRatio(now, prev)
+    assert(math.abs(ratio - 1.1) < 0.001 && !suspect)
+  }
+
+  test("a synchronized >2x inflation across a thin chain is suspect") {
+    // the environment signature: EVERY shape at 2.5x together — spill
+    // variance (the disclosed ±2× per-shape swing) cannot put all five
+    // medians past 2x simultaneously
+    val prev = Map("a" -> 100.0, "b" -> 50.0, "c" -> 30.0,
+      "d" -> 20.0, "e" -> 10.0)
+    val now = prev.map { case (k, v) => k -> v * 2.5 }
+    val (ratio, suspect) = Bench.thinChainMedianRatio(now, prev)
+    assert(ratio == 2.5 && suspect)
+  }
+
+  test("one shape at its spill-variance ceiling does not flag the run") {
+    // q114-class ±2× swing on ONE shape while the rest hold: the
+    // median stays put, the per-query regression machinery (not the
+    // run-level gate) owns that story
+    val prev = Map("a" -> 100.0, "b" -> 50.0, "c" -> 30.0,
+      "d" -> 20.0, "e" -> 10.0)
+    val now = prev ++ Map("a" -> 220.0)
+    val (ratio, suspect) = Bench.thinChainMedianRatio(now, prev)
+    assert(ratio == 1.0 && !suspect)
+  }
+
+  test("sub-second prev entries are excluded from the thin median") {
+    // a 0.2 s query ratioing 5x on jitter must not poison the verdict;
+    // with fewer than 3 qualifying queries there is no verdict at all
+    val prev = Map("a" -> 0.2, "b" -> 0.3, "c" -> 40.0, "d" -> 20.0)
+    val now = Map("a" -> 1.0, "b" -> 1.5, "c" -> 41.0, "d" -> 21.0)
+    assert(Bench.thinChainMedianRatio(now, prev) == (-1.0, false))
+    val prev3 = prev ++ Map("e" -> 10.0)
+    val now3 = now ++ Map("e" -> 10.5)
+    val (ratio, suspect) = Bench.thinChainMedianRatio(now3, prev3)
+    assert(ratio > 1.0 && ratio < 1.1 && !suspect)
+  }
+
   // --- data-derived AQE initial shuffle width (r16: the 1000x
   // rehearsal went superlinear on 32-bucket spill; a FIXED 256 cost
   // +32% suite and x12 index_build at sf0.1 — the width must follow
@@ -103,9 +154,15 @@ class BenchEvidenceSpec extends AnyFunSuite {
 
   private def fakeScaleDir(tableBytes: Long*): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory("graft_width")
+    // deleteOnExit runs in reverse registration order — dir first so
+    // the files inside are gone by the time it is attempted; keeps
+    // test-run tmp hygiene consistent with the repo's scratch
+    // discipline (nothing graft_* survives a JVM exit)
+    dir.toFile.deleteOnExit()
     tableBytes.zipWithIndex.foreach { case (n, i) =>
-      val f = new java.io.RandomAccessFile(
-        new java.io.File(dir.toFile, s"t$i.parquet"), "rw")
+      val file = new java.io.File(dir.toFile, s"t$i.parquet")
+      file.deleteOnExit()
+      val f = new java.io.RandomAccessFile(file, "rw")
       try f.setLength(n) finally f.close() // sparse — no disk cost
     }
     dir
