@@ -99,13 +99,36 @@ object Bpe {
     * and the corpus scan never re-runs.
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L): Seq[(String, String)] = {
+      minCount: Long = 2L, maxDriverCensus: Long = 1000000L)
+      : Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
     val mergeUdf = udf(
       (syms: Seq[String], a: String, b: String) => mergeOnce(syms, a, b))
     var census = wordCensus(df, textCol)
       .select(split(col("w"), "").as("sym"), col("cnt"))
       .localCheckpoint(false)
+    // SIZE-GATED DRIVER FAST PATH (the componentMergeMap precedent:
+    // bounded metadata may run on the driver, behind a measured gate):
+    // when the distinct-word census fits the cap, the merge rounds run
+    // as a driver loop over the collected census — bit-identical
+    // merges (shared mergeOnce, same minCount stop, same
+    // (count desc, a, b) tie-break with UTF-8-byte string order, which
+    // is Spark's own UTF8String comparison) — instead of numMerges
+    // sequential Spark jobs whose per-round fixed cost (pair-count
+    // shuffle + TakeOrdered + checkpoint, ~0.1 s each) dwarfs the
+    // census compute at bench scale. Above the cap the distributed
+    // loop below is unchanged: a 100 TB corpus's census (usernames,
+    // typos, numerals) is NOT bounded metadata, and each round stays
+    // one partial-aggregated vocabulary-sized shuffle.
+    // The materializing count is the same first action the checkpoint
+    // needed anyway.
+    if (census.count() <= maxDriverCensus) {
+      val rows = census.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      val out = trainOnDriver(rows, numMerges, minCount)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(census)
+      return out
+    }
     // the superseded round's checkpoint blocks are released only AFTER
     // the argmax action has materialized its successor — the lazy
     // checkpoint still reads the parent's blocks until then
@@ -138,6 +161,62 @@ object Bpe {
     }
     prior.foreach(release)
     release(census)
+    merges.toSeq
+  }
+
+  /** Driver twin of the distributed merge loop: identical rounds over
+    * the collected (symbols, count) census. Strings compare as UTF-8
+    * bytes — Spark's UTF8String order — so the (count desc, a, b)
+    * argmax picks exactly the merge the distributed
+    * `orderBy(c.desc, a, b).limit(1)` picks (BpeSpec pins the
+    * equivalence on a fixture).
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private[operators] def trainOnDriver(census0: Array[(Array[String], Long)],
+      numMerges: Int, minCount: Long): Seq[(String, String)] = {
+    var census = census0
+    val merges = ArrayBuffer.empty[(String, String)]
+    var r = 0
+    while (r < numMerges) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      census.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { case (k, c) =>
+        if (c >= minCount && (best == null || c > best._2 ||
+            (c == best._2 && (utf8Lt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))) {
+          best = (k, c)
+        }
+      }
+      if (best == null) r = numMerges
+      else {
+        val (a, b) = best._1
+        merges += ((a, b))
+        census = census.map { case (syms, cnt) =>
+          (mergeOnce(syms.toSeq, a, b).toArray, cnt)
+        }
+        r += 1
+      }
+    }
     merges.toSeq
   }
 

@@ -546,15 +546,21 @@ object Dedup {
       var prev = sig(labels)
       var i = 0
       while (i < maxIter) {
-        val nbr = sym
-          .join(labels.select(col("id").as("dst"), col("comp").as("nc")),
-            "dst")
-          .groupBy("src").agg(min(col("nc")).as("nbrMin"))
+        // one FUSED round: min(own label, neighbors' labels) as a
+        // union + single partial-aggregated groupBy — algebraically
+        // identical to the join-then-groupBy-then-left-join form it
+        // replaces, one exchange and one join operator cheaper per
+        // round (the label frame used to be shuffled twice per round:
+        // once to the edge key and once back to id for the left join;
+        // now the own-label row rides the same aggregation as the
+        // neighbor candidates). Nodes without neighbors keep their
+        // label through the union side.
         val next = labels
-          .join(nbr.withColumnRenamed("src", "id"), Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nbrMin"), col("comp")))
-              .as("comp"))
+          .unionAll(sym
+            .join(labels.select(col("id").as("dst"), col("comp").as("nc")),
+              "dst")
+            .select(col("src").as("id"), col("nc").as("comp")))
+          .groupBy("id").agg(min(col("comp")).as("comp"))
           .localCheckpoint(false)
         val cur = sig(next)
         // the superseded round's checkpoint blocks are dead once `next`
@@ -1641,20 +1647,40 @@ object Dedup {
     val members = grouped.select(col("gid"), col("id"))
     val reps = grouped.filter(col("id") === col("gid"))
       .select(col("id"), col("ts"), col("sz"))
-    // prefix length: sz − ceil(sz·num/den) + 1, integer ceil
+    // prefix length: sz − ceil(sz·num/den) + 1, integer ceil. Each
+    // prefix entry carries its 1-based POSITION in the rarest-first
+    // order — the PPJoin positional filter below needs it.
     val p = col("sz") - floor((col("sz") * num + (den - 1)) / lit(den))
       .cast("int") + 1
     val prefixes = reps.select(col("id"), col("sz"),
-        explode(slice(col("ts"), lit(1), p)).as("tok"))
+        posexplode(slice(col("ts"), lit(1), p)))
+      .select(col("id"), col("sz"), (col("pos") + 1).as("pos"),
+        col("col").as("tok"))
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy("tok")))
       .filter(col("__bsz") <= maxTokenBucket)
     // candidates: prefix collision + the size pigeonhole (J ≥ τ ⇒
     // τ·|a| ≤ |b| for |a| ≥ |b| — integer form, a necessary condition)
+    // + the PPJoin POSITIONAL filter (Xiao et al. WWW'08): a common
+    // token at positions (i, j) of the shared rarest-first order caps
+    // the overlap at 1 + min(sz_a − i, sz_b − j) — only suffix tokens
+    // can still match beyond this one — and J ≥ num/den needs overlap
+    // ≥ num·(sz_a + sz_b)/(num + den). EXACTNESS: a true pair's FIRST
+    // common token (both arrays share the global (freq, tok) order)
+    // sits inside both prefixes (the pigeonhole proof) and every
+    // other common token follows it in both arrays, so that collision
+    // row satisfies the bound and the pair survives the distinct.
+    // Integer arithmetic throughout, like the size filter. Measured at
+    // sf0.1 (q175's survivor corpus, 2570 docs): candidates 121,037 →
+    // 41,865 and the array_intersect verify 4.6 s → 1.5 s, verified
+    // pair set identical.
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         col("a.sz") * num <= col("b.sz") * den &&
-        col("b.sz") * num <= col("a.sz") * den)
+        col("b.sz") * num <= col("a.sz") * den &&
+        (lit(1) + least(col("a.sz") - col("a.pos"),
+          col("b.sz") - col("b.pos"))) * (num + den) >=
+          (col("a.sz") + col("b.sz")) * num)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val inter = size(array_intersect(col("ta"), col("tb")))

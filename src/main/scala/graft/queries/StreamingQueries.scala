@@ -71,7 +71,18 @@ object StreamingQueries {
           timestamp_micros(tsUs).as("ts"), tsUs.as("ts_us"),
           (coalesce(col("value"), lit(0.0)).cast("decimal(18,2)") * 100)
             .cast("long").as("cents"))
-        val maxUs = staged.agg(max(col("ts_us"))).head().getLong(0)
+        // max + median cut in ONE aggregation pass (guide §2.3 — the
+        // separate max agg and approxQuantile action each re-scanned
+        // the events table; at 100 TB those are two extra full reads
+        // per replay). percentile_approx is the same Greenwald–Khanna
+        // sketch approxQuantile wraps; the cut only has to be a valid
+        // event-time split point — the DECLARED result is restart-
+        // invariant (that is exactly what this replay proves), so the
+        // sketch's tie-breaking is not result-affecting.
+        val prep = staged.agg(max(col("ts_us")).as("mx"),
+          percentile_approx(col("ts_us"), lit(0.5), lit(1000)).as("cut"))
+          .head()
+        val maxUs = prep.getLong(0)
         def sentinel(k: Int): DataFrame = s.range(1).select(
           lit(-1L).as("user_id"), lit(-(k.toLong)).as("event_id"),
           timestamp_micros(lit(maxUs + k * DayUs)).as("ts"),
@@ -84,8 +95,7 @@ object StreamingQueries {
         // not only the specs' one-off harness. Sessions straddling
         // the cut MUST merge across the restart for the batch oracle
         // to match.
-        val cut = staged.stat
-          .approxQuantile("ts_us", Array(0.5), 0.001).head.toLong
+        val cut = prep.getLong(1)
         StreamReplay.replayWithRestart(s,
             staged.filter(col("ts_us") <= cut),
             staged.filter(col("ts_us") > cut),
@@ -141,14 +151,22 @@ object StreamingQueries {
         |FROM p GROUP BY bucket ORDER BY win_start_us""".stripMargin))(
       (s, dir) => {
         val ev = t(s, dir, "events")
-        // static reference: corpus marginal over [0, 500) in 20 bins —
-        // bounded driver metadata (20 longs), the streamingPsi contract
-        val refHist = graft.operators.Profiling
-          .histogram(ev, col("value"), 0.0, 500.0, 20)
-          .orderBy("bin").select("cnt").collect().map(_.getLong(0)).toSeq
+        // static reference + watermark horizon in ONE aggregation pass
+        // (guide §2.3): the 20-bin corpus marginal and max(ts) used to
+        // be a grouped histogram job plus a separate max agg — two
+        // full scans of events per replay. The conditional counts
+        // below reproduce Profiling.histogram's binning exactly
+        // (clamp(floor((v − lo)/w), 0, nBins−1) over non-null values),
+        // collapsed into a single-row partial-aggregated pass.
+        val histBin = least(greatest(floor(col("value") / 25.0),
+          lit(0.0)), lit(19.0)).cast("long")
+        val prep = ev.agg(max(tsUs).as("mx"),
+          (0 until 20).map(i => count(when(col("value").isNotNull &&
+            histBin === i, 1)).as(s"b$i")): _*).head()
+        val refHist = (0 until 20).map(i => prep.getLong(i + 1))
         val staged = ev.select(timestamp_micros(tsUs).as("ts"),
           col("value"))
-        val maxUs = ev.agg(max(tsUs)).head().getLong(0)
+        val maxUs = prep.getLong(0)
         def sentinel(k: Int): DataFrame = s.range(1).select(
           timestamp_micros(lit(maxUs + k * DayUs)).as("ts"),
           lit(0.0).as("value"))
@@ -255,18 +273,22 @@ object StreamingQueries {
       (s, dir) => {
         val ev = t(s, dir, "events")
         val cuts = (1 to 19).map(_ * 25.0)
-        // reference CDF at the grid: one bounded aggregate over the
-        // corpus (20 longs of driver metadata)
-        val refRow = ev.filter(col("value").isNotNull)
-          .agg(count(lit(1)).as("refn"),
-            cuts.zipWithIndex.map { case (c, i) =>
+        // reference CDF at the grid + the watermark horizon in ONE
+        // bounded aggregate over the corpus (guide §2.3 — the separate
+        // max agg was a second full scan per replay): count(value)
+        // counts exactly the non-null rows the filtered form counted,
+        // and `value <= c` is null for null values so the conditional
+        // sums are unchanged; max(ts) runs over ALL rows, as before.
+        val refRow = ev
+          .agg(count(col("value")).as("refn"),
+            (cuts.zipWithIndex.map { case (c, i) =>
               sum(when(col("value") <= c, 1L).otherwise(0L)).as(s"c$i")
-            }: _*).head()
+            } :+ max(tsUs).as("mx")): _*).head()
         val refN = refRow.getLong(0)
         val refCum = cuts.indices.map(i => refRow.getLong(i + 1))
         val staged = ev.select(timestamp_micros(tsUs).as("ts"),
           col("value"))
-        val maxUs = ev.agg(max(tsUs)).head().getLong(0)
+        val maxUs = refRow.getLong(cuts.size + 1)
         def sentinel(k: Int): DataFrame = s.range(1).select(
           timestamp_micros(lit(maxUs + k * DayUs)).as("ts"),
           lit(0.0).as("value"))

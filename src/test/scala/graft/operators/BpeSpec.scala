@@ -57,6 +57,19 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("driver fast path == distributed rounds, merge-for-merge " +
+    "(the size gate must never change the learned table)") {
+    val df = corpus.toDF("doc_id", "text")
+    for (n <- Seq(5, 15, 40)) {
+      // cap 0 forces the distributed per-round loop; the default cap
+      // routes this census through the driver loop
+      val distributed = Bpe.bpeTrain(df, "text", n, maxDriverCensus = 0L)
+      val driver = Bpe.bpeTrain(df, "text", n)
+      assert(driver == distributed, s"numMerges=$n")
+      assert(driver == refTrain(censusOf(corpus), n), s"numMerges=$n")
+    }
+  }
+
   test("segment replays the training merges: encoding a census word " +
       "yields the word's final training-time symbols") {
     val words = censusOf(corpus)
