@@ -99,7 +99,8 @@ object Bpe {
     * and the corpus scan never re-runs.
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L, maxDriverCensus: Long = 1000000L)
+      minCount: Long = 2L, maxDriverCensus: Long = 1000000L,
+      maxDriverSymbols: Long = 2000000L)
       : Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
     val mergeUdf = udf(
@@ -120,9 +121,19 @@ object Bpe {
     // loop below is unchanged: a 100 TB corpus's census (usernames,
     // typos, numerals) is NOT bounded metadata, and each round stays
     // one partial-aggregated vocabulary-sized shuffle.
-    // The materializing count is the same first action the checkpoint
-    // needed anyway.
-    if (census.count() <= maxDriverCensus) {
+    // The gate bounds the TOTAL SYMBOL COUNT, not just rows: each
+    // collected row is a boxed Array of 1-char strings (~48 bytes per
+    // symbol on the driver heap), so a row-only cap admits a census an
+    // order of magnitude heavier than the (long, long)
+    // componentMergeMap precedent it cites — 1M long words could
+    // pressure a modest driver heap. The materializing agg is the same
+    // first action the checkpoint needed anyway.
+    val gate = census
+      .agg(count(lit(1)).as("rows"), sum(size(col("sym"))).as("syms"))
+      .head()
+    val censusRows = gate.getLong(0)
+    val censusSyms = if (gate.isNullAt(1)) 0L else gate.getLong(1)
+    if (censusRows <= maxDriverCensus && censusSyms <= maxDriverSymbols) {
       val rows = census.collect().map(r =>
         (r.getSeq[String](0).toArray, r.getLong(1)))
       val out = trainOnDriver(rows, numMerges, minCount)

@@ -1652,34 +1652,51 @@ object Dedup {
     // order — the PPJoin positional filter below needs it.
     val p = col("sz") - floor((col("sz") * num + (den - 1)) / lit(den))
       .cast("int") + 1
-    val prefixes = reps.select(col("id"), col("sz"),
+    // persisted (freshScope = false: same pipeline scope as `grouped`)
+    // because the self-join below references it TWICE — unpersisted,
+    // the whole posexplode + exchange + sort + window subtree ran once
+    // PER SIDE (the r17 plan shows the duplication), doubling the
+    // prefix-stage work and its exchange count at every scale.
+    val prefixes = persistHeavy(reps.select(col("id"), col("sz"),
         posexplode(slice(col("ts"), lit(1), p)))
       .select(col("id"), col("sz"), (col("pos") + 1).as("pos"),
         col("col").as("tok"))
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy("tok")))
       .filter(col("__bsz") <= maxTokenBucket)
+      .select(col("id"), col("sz"), col("pos"), col("tok")),
+      freshScope = false)
     // candidates: prefix collision + the size pigeonhole (J ≥ τ ⇒
     // τ·|a| ≤ |b| for |a| ≥ |b| — integer form, a necessary condition)
     // + the PPJoin POSITIONAL filter (Xiao et al. WWW'08): a common
     // token at positions (i, j) of the shared rarest-first order caps
-    // the overlap at 1 + min(sz_a − i, sz_b − j) — only suffix tokens
-    // can still match beyond this one — and J ≥ num/den needs overlap
-    // ≥ num·(sz_a + sz_b)/(num + den). EXACTNESS: a true pair's FIRST
-    // common token (both arrays share the global (freq, tok) order)
-    // sits inside both prefixes (the pigeonhole proof) and every
-    // other common token follows it in both arrays, so that collision
-    // row satisfies the bound and the pair survives the distinct.
-    // Integer arithmetic throughout, like the size filter. Measured at
-    // sf0.1 (q175's survivor corpus, 2570 docs): candidates 121,037 →
-    // 41,865 and the array_intersect verify 4.6 s → 1.5 s, verified
-    // pair set identical.
+    // the overlap at min(i, j) − 1 + 1 + min(sz_a − i, sz_b − j) =
+    // least(i, j) + least(sz_a − i, sz_b − j) — at most min(i,j) − 1
+    // earlier tokens can match, this one matches, and only suffix
+    // tokens can match beyond it — and J ≥ num/den needs overlap
+    // ≥ num·(sz_a + sz_b)/(num + den). The bound is valid at EVERY
+    // collision row (not just the pair's first common token), so a
+    // true pair survives through ANY uncapped shared prefix token —
+    // the exactness condition in the operator doc is exactly the
+    // pigeonhole one, unchanged by this filter. (The r17 form of this
+    // filter used the tighter first-common-token bound
+    // 1 + min(sz − pos) — valid only at a pair's first common token,
+    // so when maxTokenBucket capped that token out of the prefixes, a
+    // borderline true pair could lose its one valid collision row: a
+    // strictly wider false-negative condition than the documented
+    // all-prefix-tokens-capped contract. The per-row bound restores
+    // the contract.) Integer arithmetic throughout, like the size
+    // filter. Measured at sf0.1 (q153's corpus: 4992 reps, 55,046
+    // prefix rows): candidates 43,500 (no positional filter) →
+    // 39,530 (this bound; the unsound tight bound gave 12,760),
+    // verified pair set identical across all three (241 pairs).
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         col("a.sz") * num <= col("b.sz") * den &&
         col("b.sz") * num <= col("a.sz") * den &&
-        (lit(1) + least(col("a.sz") - col("a.pos"),
-          col("b.sz") - col("b.pos"))) * (num + den) >=
+        (least(col("a.pos"), col("b.pos")) +
+          least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos"))) * (num + den) >=
           (col("a.sz") + col("b.sz")) * num)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

@@ -1010,16 +1010,28 @@ object Similarity {
       // cost drops from the SUM of m fits to roughly their max
       // (measured: the ivfpq/pq prebuilds were the bench's index_build
       // long pole at 31.8/17.5 s, almost all of it these serial fits).
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence((0 until m).map { j => Future {
-          val sub = sampled.select(array_to_vector(
-            slice(col("v"), j * subLen + 1, subLen)).as("features"))
-          new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
-            .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
-        }}.toSeq), Duration.Inf)
+      // a DEDICATED fixed pool sized to m, not the global fork-join
+      // pool: the fits run BLOCKING Spark actions, which on a low-core
+      // driver would throttle the default pool's target parallelism,
+      // and fork-join pool threads inherit Spark's
+      // InheritableThreadLocal job-group/execution-id properties from
+      // whichever caller first grew the shared pool — a mis-attribution
+      // (and mis-cancellation) hazard in multi-tenant drivers. The pool
+      // lives exactly as long as the fits.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        Await.result(
+          Future.sequence((0 until m).map { j => Future {
+            val sub = sampled.select(array_to_vector(
+              slice(col("v"), j * subLen + 1, subLen)).as("features"))
+            new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
+              .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+          }}.toSeq), Duration.Inf)
+      } finally { pool.shutdown() }
     } finally { sampled.unpersist(blocking = false) }
   }
 

@@ -67,6 +67,10 @@ class BpeSpec extends SparkSpec {
       val driver = Bpe.bpeTrain(df, "text", n)
       assert(driver == distributed, s"numMerges=$n")
       assert(driver == refTrain(censusOf(corpus), n), s"numMerges=$n")
+      // the SYMBOL gate (total census symbols, the driver-heap bound)
+      // must route to the distributed path just like the row gate
+      val symGated = Bpe.bpeTrain(df, "text", n, maxDriverSymbols = 0L)
+      assert(symGated == driver, s"numMerges=$n (symbol gate)")
     }
   }
 
