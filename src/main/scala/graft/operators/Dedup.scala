@@ -525,7 +525,46 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, maxDriverEdges: Int = 5000000): DataFrame = {
+    // SIZE-GATED DRIVER FAST PATH (the componentMergeMap precedent —
+    // whose measured rationale transfers verbatim: each iterative
+    // round is a join + checkpoint + action whose ~0.5 s job overhead
+    // is independent of data size, so below the cap the rounds are
+    // pure fixed cost). The distinct undirected edge set is bounded
+    // metadata when it fits `maxDriverEdges` (the componentMergeMap
+    // cap): union-find with the smaller id as root reproduces the
+    // min-label fixpoint exactly (a set's root IS its min id), the
+    // non-identity (id → min) map broadcasts back, and every node
+    // takes coalesce(map(id), id) — one edge pass + one node pass,
+    // ZERO iterative rounds. Above the cap, or for non-integral node
+    // ids, the iterative min-label loop below is unchanged — a 100 TB
+    // near-dup graph's edges are NOT bounded driver metadata.
+    val idType = nodes.schema(idCol).dataType
+    if (idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType) {
+      val spark0 = nodes.sparkSession
+      import spark0.implicits._
+      // the bounded probe IS the fast-path input: collect caps at
+      // maxDriverEdges + 1 rows, so an over-cap graph costs one
+      // truncated edge pass before falling through (and the fall-back
+      // path re-reads `edges`, exactly as it always did)
+      val pairs: Array[(Long, Long)] = edges
+        .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+          greatest(col(aCol), col(bCol)).cast("long").as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v"))
+        .distinct()
+        .as[(Long, Long)]
+        .limit(maxDriverEdges + 1).collect()
+      if (pairs.length <= maxDriverEdges) {
+        val mapDf = unionFindMinMap(pairs).toDF("__cid", "__cc")
+          .select(col("__cid").cast(idType).as("__cid"),
+            col("__cc").cast(idType).as("__cc"))
+        return nodes.select(col(idCol).as("id"))
+          .join(broadcast(mapDf), col("id") === col("__cid"), "left")
+          .select(col("id"), coalesce(col("__cc"), col("id")).as("comp"))
+      }
+    }
     // hash-partitioned on the join key ONCE before persisting: every
     // round's join then reads co-located edge partitions instead of
     // re-shuffling the (much larger) edge side per iteration
@@ -688,7 +727,23 @@ object Dedup {
         "pairs — at that delta size a full connectedComponents " +
         "recompute is the cheaper refresh; run it instead or raise " +
         "maxMergePairs")
-    // union-find, smaller comp id always the root → root == set min
+    val remapped = unionFindMinMap(pairs)
+    // merge map re-cast to the original label type so the remap join
+    // and the emitted comp column keep the input schema exactly
+    (labels0, remapped.toDF("__oldc", "__newc")
+      .select(col("__oldc").cast(compType), col("__newc").cast(compType)))
+  }
+
+  /** Driver union-find over (a, b) id pairs, smaller id always the
+    * root — so a set's root IS its min id, the exact label min-label
+    * propagation converges to. Returns the NON-IDENTITY (id → root)
+    * entries; ids never seen in a pair (and roots) map to themselves
+    * by omission. Shared by [[componentMergeMap]] (comp-grain merge
+    * graphs) and the [[connectedComponents]] driver fast path
+    * (node-grain edge sets).
+    */
+  private def unionFindMinMap(pairs: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -704,15 +759,9 @@ object Dedup {
       if (ra < rb) parent.put(rb, ra)
       else if (rb < ra) parent.put(ra, rb)
     }
-    val remapped = {
-      import scala.jdk.CollectionConverters._
-      parent.keySet().asScala.toSeq
-        .map(c => (c, find(c))).filter { case (c, r) => c != r }
-    }
-    // merge map re-cast to the original label type so the remap join
-    // and the emitted comp column keep the input schema exactly
-    (labels0, remapped.toDF("__oldc", "__newc")
-      .select(col("__oldc").cast(compType), col("__newc").cast(compType)))
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq
+      .map(c => (c, find(c))).filter { case (c, r) => c != r }
   }
 
   /** Incremental component maintenance, UPSERT-EMIT form — the answer
@@ -1657,47 +1706,64 @@ object Dedup {
     // the whole posexplode + exchange + sort + window subtree ran once
     // PER SIDE (the r17 plan shows the duplication), doubling the
     // prefix-stage work and its exchange count at every scale.
-    val prefixes = persistHeavy(reps.select(col("id"), col("sz"),
+    val rawPrefixes = persistHeavy(reps.select(col("id"), col("sz"),
         posexplode(slice(col("ts"), lit(1), p)))
       .select(col("id"), col("sz"), (col("pos") + 1).as("pos"),
         col("col").as("tok"))
       .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy("tok")))
-      .filter(col("__bsz") <= maxTokenBucket)
-      .select(col("id"), col("sz"), col("pos"), col("tok")),
+        count(lit(1)).over(Window.partitionBy("tok"))),
       freshScope = false)
+    // did the bucket cap actually DROP anything? One agg over the
+    // cached frame (the action that materializes the persist); the
+    // answer picks the positional bound below.
+    val anyCapped = Option(rawPrefixes.agg(max(col("__bsz"))).head()
+      .getAs[java.lang.Long](0)).exists(_ > maxTokenBucket)
+    val prefixes = rawPrefixes.filter(col("__bsz") <= maxTokenBucket)
+      .select(col("id"), col("sz"), col("pos"), col("tok"))
     // candidates: prefix collision + the size pigeonhole (J ≥ τ ⇒
     // τ·|a| ≤ |b| for |a| ≥ |b| — integer form, a necessary condition)
-    // + the PPJoin POSITIONAL filter (Xiao et al. WWW'08): a common
-    // token at positions (i, j) of the shared rarest-first order caps
-    // the overlap at min(i, j) − 1 + 1 + min(sz_a − i, sz_b − j) =
-    // least(i, j) + least(sz_a − i, sz_b − j) — at most min(i,j) − 1
-    // earlier tokens can match, this one matches, and only suffix
-    // tokens can match beyond it — and J ≥ num/den needs overlap
-    // ≥ num·(sz_a + sz_b)/(num + den). The bound is valid at EVERY
-    // collision row (not just the pair's first common token), so a
-    // true pair survives through ANY uncapped shared prefix token —
-    // the exactness condition in the operator doc is exactly the
-    // pigeonhole one, unchanged by this filter. (The r17 form of this
-    // filter used the tighter first-common-token bound
-    // 1 + min(sz − pos) — valid only at a pair's first common token,
-    // so when maxTokenBucket capped that token out of the prefixes, a
-    // borderline true pair could lose its one valid collision row: a
-    // strictly wider false-negative condition than the documented
-    // all-prefix-tokens-capped contract. The per-row bound restores
-    // the contract.) Integer arithmetic throughout, like the size
-    // filter. Measured at sf0.1 (q153's corpus: 4992 reps, 55,046
-    // prefix rows): candidates 43,500 (no positional filter) →
-    // 39,530 (this bound; the unsound tight bound gave 12,760),
-    // verified pair set identical across all three (241 pairs).
+    // + the PPJoin POSITIONAL filter (Xiao et al. WWW'08). Two sound
+    // regimes, picked by whether the bucket cap actually dropped
+    // anything (`anyCapped` — data-dependent like an AQE choice; the
+    // candidate set differs between the bounds but the verify stage
+    // filters both to the identical exact pair set, so the OUTPUT
+    // never depends on the branch):
+    //   - UNCAPPED (every bench corpus, and any corpus whose hottest
+    //     prefix posting fits the bucket): the tight first-common-token
+    //     bound `1 + min(sz_a − i, sz_b − j)` — a true pair's first
+    //     common token is in both prefixes (the pigeonhole proof) and
+    //     every other common token follows it in both arrays, so that
+    //     collision row always survives. Prunes hard: candidates
+    //     43,500 → 12,760 on q153's corpus (4,992 reps, 55,046 prefix
+    //     rows, sf0.1).
+    //   - CAPPED: the per-row-valid bound `least(i, j) +
+    //     least(sz_a − i, sz_b − j)` (at most min(i,j) − 1 earlier
+    //     tokens can match, this one matches, only suffix tokens can
+    //     follow) — valid at EVERY collision row, so a true pair
+    //     survives through ANY uncapped shared prefix token and the
+    //     loss condition stays exactly the documented
+    //     all-prefix-tokens-capped one. (The r17 form applied the
+    //     tight bound unconditionally — under the cap a borderline
+    //     true pair could lose its one valid collision row, a strictly
+    //     wider false-negative condition than documented. Measured:
+    //     the sound capped bound keeps 39,530 of the 43,500 on q153's
+    //     corpus — the tight bound's pruning is worth branching for.)
+    // J ≥ num/den needs overlap ≥ num·(sz_a + sz_b)/(num + den);
+    // integer arithmetic throughout, like the size filter. Verified
+    // pair set measured identical across no-filter/tight/per-row
+    // bounds (241 pairs, q153's corpus).
+    val overlapBound =
+      if (anyCapped)
+        least(col("a.pos"), col("b.pos")) +
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+      else
+        lit(1) + least(col("a.sz") - col("a.pos"),
+          col("b.sz") - col("b.pos"))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         col("a.sz") * num <= col("b.sz") * den &&
         col("b.sz") * num <= col("a.sz") * den &&
-        (least(col("a.pos"), col("b.pos")) +
-          least(col("a.sz") - col("a.pos"),
-            col("b.sz") - col("b.pos"))) * (num + den) >=
-          (col("a.sz") + col("b.sz")) * num)
+        overlapBound * (num + den) >= (col("a.sz") + col("b.sz")) * num)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val inter = size(array_intersect(col("ta"), col("tb")))

@@ -1431,14 +1431,6 @@ object Similarity {
     val spark = corpus.sparkSession
     val centroids = trainCentroids(corpus, embCol, nCells, seed)
     def sq(c: Seq[Double]): Double = c.map(x => x * x).sum
-    // exact-dedup grouping: one shuffle on the vector value, min-id rep
-    val grouped = corpus
-      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
-      .select(col(idCol).as("id"), toDouble(col(embCol)).as("v"))
-      .withColumn("gid", min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("v"))))
-    val members = grouped.groupBy(col("gid"))
-      .agg(sort_array(collect_list(col("id"))).as("members"))
     // |v-c|² ranking by |c|² - 2 v·c (|v|² common): top-`buildProbes`
     // cells via one sorted bounded struct array — a codegen'd argmin
     // generalization of buildIvfIndex's array_min
@@ -1447,18 +1439,32 @@ object Similarity {
         (lit(sq(c)) - lit(2.0) * dot(col("v"), typedlit(c))).as("d"),
         lit(i).as("i"))
     }: _*))
-    val base = grouped.filter(col("id") === col("gid"))
-      .select(col("id"), col("v"),
+    // exact-dedup grouping as ONE partial-aggregated groupBy on the
+    // vector value: min-id rep + sorted member list in the same pass
+    // (the former window-over-v + separate members groupBy + write-time
+    // members join shuffled the full vector frame twice and joined a
+    // third frame back; min and collect_list ride one exchange).
+    // `base` is locally persisted — NOT the shared HeavyPersist
+    // registry: index prebuilds run concurrently (Bench overlaps them)
+    // and a sibling build opening a fresh scope would evict this frame
+    // mid-build — because the pairing, the index write, and the seed
+    // election all reread it.
+    val base = corpus
+      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("id"), toDouble(col(embCol)).as("v"))
+      .groupBy(col("v"))
+      .agg(min(col("id")).as("id"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select(col("id"), col("v"), col("members"),
         slice(cellStructs, 1, buildProbes).as("cells"),
         cellStructs.getItem(0).getField("i").as("home"))
-    // locally persisted, NOT the shared HeavyPersist registry: index
-    // prebuilds run concurrently (Bench overlaps them) and a sibling
-    // build opening a fresh scope would evict this frame mid-build
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = base
       .select(col("id"), col("v"), col("home"),
+        col("cells").getField("i").as("cellsArr"),
         explode(col("cells").getField("i")).as("cell"))
-      .select(col("id"), col("v"), col("home"), col("cell"),
-        norm(col("v")).as("n"))
+      .select(col("id"), col("v"), col("home"), col("cellsArr"),
+        col("cell"), norm(col("v")).as("n"))
       // zero-norm vectors have no defined similarity: they stay in the
       // index (empty neighbor list, never ranked) but can't pair —
       // and under ANSI mode the cosine division would throw, not NaN
@@ -1472,23 +1478,35 @@ object Similarity {
       // reproduces the cap decision without re-scanning the corpus
       val rawSizes = assigned.groupBy("cell")
         .agg(count(lit(1)).as("sz")).collect()
-      val cellSizes = {
-        import spark.implicits._
-        rawSizes.map(r => (r.getInt(0), r.getLong(1))).toSeq
-          .filter(_._2 <= maxCellSize).map(_._1).toDF("cell")
-      }
-      val bounded = assigned.join(cellSizes, "cell")
-      val a = bounded.select(col("cell"), col("id"), col("v"), col("n"))
+      val capped = rawSizes.filter(_.getLong(1) > maxCellSize)
+        .map(_.getInt(0)).toSeq
+      val bounded =
+        if (capped.isEmpty) assigned
+        else assigned.filter(!col("cell").isin(capped: _*))
+      // each point's UNCAPPED probe cells — the pair-dedup key below
+      val oc = array_except(col("cellsArr"),
+        typedlit(capped.map(_.toInt)))
+      val a = bounded.select(col("cell"), col("id"), col("v"), col("n"),
+        oc.as("oc"))
       val b = bounded.select(col("cell"), col("id").as("id_b"),
-        col("v").as("v_b"), col("n").as("n_b"))
+        col("v").as("v_b"), col("n").as("n_b"), oc.as("oc_b"))
+      // two overlapping cells can propose the same pair — it must be
+      // kept ONCE or the duplicate occupies two of the m heap slots.
+      // The former `.distinct()` re-shuffled the full (quadratic) pair
+      // frame to do that; instead each pair elects the row in the
+      // SMALLEST uncapped cell the two points share — a per-row filter
+      // (both sides carry their uncapped probe-cell arrays), no
+      // exchange, exactly one surviving row per ordered pair, and the
+      // cosine is computed only on survivors. Duplicate rows carry the
+      // identical deterministic score, so the kept row equals whatever
+      // row distinct() retained.
       val pairs = a.join(b, Seq("cell"))
         .filter(col("id") =!= col("id_b"))
+        .filter(col("cell") ===
+          array_min(array_intersect(col("oc"), col("oc_b"))))
         .select(col("id"), col("id_b"),
           (dot(col("v"), col("v_b")) / (col("n") * col("n_b"))).as("s"))
         .filter(col("s").isNotNull && !isnan(col("s")))
-        // two overlapping cells can propose the same pair — dedup BEFORE
-        // the heap or a duplicate occupies two of the m slots
-        .distinct()
       val adjacency = pairs.groupBy("id")
         .agg(TopKAgg.topK(m)(col("id_b"), col("s")).as("top"))
         .select(col("id"), col("top.id").as("nbrs"),
@@ -1501,9 +1519,8 @@ object Similarity {
       // edges' scores, which ids alone cannot recover).
       graft.sources.Layout.writePartitioned(
         base.select(col("id"), col("v"), col("home"),
-            col("cells").getField("i").as("cells"))
+            col("cells").getField("i").as("cells"), col("members"))
           .join(adjacency, Seq("id"), "left")
-          .join(members.withColumnRenamed("gid", "id"), Seq("id"))
           .select(col("id"), col("v"), col("home"), col("cells"),
             coalesce(col("nbrs"), typedlit(Seq.empty[Long])).as("nbrs"),
             coalesce(col("nscores"), typedlit(Seq.empty[Double]))
@@ -1545,7 +1562,10 @@ object Similarity {
         spark.read.parquet(s"$path/_seeds").collect())
       idxMetaCache.put(spark, s"$path/_meta",
         spark.read.parquet(s"$path/_meta").collect())
-    } finally assigned.unpersist(blocking = false)
+    } finally {
+      assigned.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+    }
   }
 
   /** INCREMENTAL DELTA INSERT into a persisted k-NN graph index

@@ -235,26 +235,48 @@ class DedupSpec extends SparkSpec {
     assert(append == Map(10L -> 10L, 11L -> 11L))
   }
 
-  test("connectedComponents converges on a long chain (multi-round)") {
+  test("connectedComponents converges on a long chain (multi-round, " +
+      "iterative path forced past the driver gate)") {
     val n = 12L
     val nodes = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(nodes, "id", edges)
+    val got = Dedup.connectedComponents(nodes, "id", edges,
+        maxDriverEdges = 0)
       .as[(Long, Long)].collect()
     assert(got.length == n && got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents driver fast path == iterative labeling") {
+    // chains, a pair, isolated nodes, duplicate + reversed edges and a
+    // self-loop — the shapes whose labels the two paths must agree on
+    val nodes = (1L to 9L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 2L), (2L, 1L), (5L, 6L),
+      (8L, 9L), (9L, 8L), (4L, 4L)).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(nodes, "id", edges)
+      .as[(Long, Long)].collect().toMap
+    val iter = Dedup.connectedComponents(nodes, "id", edges,
+        maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == iter, s"fast=$fast iter=$iter")
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
   }
 
   test("connectedComponents returns empty on an empty node set") {
     val nodes = Seq.empty[Long].toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(nodes, "id", edges).count() == 0L)
+    assert(Dedup.connectedComponents(nodes, "id", edges,
+      maxDriverEdges = 0).count() == 0L)
   }
 
-  test("connectedComponents refuses a silently partial labeling") {
+  test("connectedComponents refuses a silently partial labeling " +
+      "(iterative path)") {
     val nodes = (1L to 12L).toDF("id")
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(nodes, "id", edges, maxIter = 2)
+      Dedup.connectedComponents(nodes, "id", edges, maxIter = 2,
+        maxDriverEdges = 0)
     }
   }
 
@@ -672,6 +694,46 @@ class DedupSpec extends SparkSpec {
       .count() == 1)
     assert(Dedup.setSimilarityJoin(distinctDocs, "doc_id", "text", 1, 2,
       maxTokenBucket = 1).count() == 0)
+  }
+
+  test("setSimilarityJoin: a true pair whose FIRST common prefix " +
+      "tokens are capped still survives through a later uncapped one " +
+      "(the per-row positional bound of the capped regime)") {
+    // n = 1 (word tokens) for direct control of the token sets.
+    // A = {aa ab ax az}, B = {aa ab ax azz}: J = 3/5 ≥ 1/2. Global
+    // freqs are pumped to 5 for every A/B token (ties broken by token
+    // string, so each doc's rarest-first order is alphabetical), and
+    // the decoy shapes put ONLY aa/ab into other prefixes:
+    //   - "aa ab" ×3: both tokens in prefix → posting(aa) = posting(ab)
+    //     = 5 > cap 2 — the pair's first common tokens are CAPPED;
+    //   - "ax u v" / "az s t" / "azz g h" pumps: the pumped token is
+    //     the doc's HOTTEST, outside its 2-token prefix → posting(ax)
+    //     stays 2 ≤ cap.
+    // The pair's only surviving collision row is ax at positions
+    // (3, 3) of the two 4-token arrays. The first-common-token bound
+    // (1 + min(sz − pos)) · (num + den) = 2·3 = 6 < 8 = (sz_a + sz_b)
+    // · num would DROP that row — losing a true pair whose shared
+    // prefix tokens are NOT all capped, the r17 defect. The per-row
+    // bound (least(pos) + least(sz − pos)) · 3 = 12 ≥ 8 keeps it.
+    val docs = (Seq(
+      (1L, "aa ab ax az"),
+      (2L, "aa ab ax azz"),
+      (3L, "aa ab"), (4L, "aa ab"), (5L, "aa ab")) ++
+      Seq("u1 v1", "u2 v2", "u3 v3").zipWithIndex.map { case (s, i) =>
+        (10L + i, s"ax $s") } ++
+      Seq("s1 t1", "s2 t2", "s3 t3", "s4 t4").zipWithIndex.map {
+        case (s, i) => (20L + i, s"az $s") } ++
+      Seq("g1 h1", "g2 h2", "g3 h3", "g4 h4").zipWithIndex.map {
+        case (s, i) => (30L + i, s"azz $s") }).toDF("doc_id", "text")
+    val got = Dedup.setSimilarityJoin(docs, "doc_id", "text", 1, 2,
+        n = 1, maxTokenBucket = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("inter"), r.getAs[Int]("un"))).toSet
+    // expected: the planted (1, 2) pair plus the three exact-dup decoy
+    // pairs (3,4)/(3,5)/(4,5) — nothing else reaches J ≥ 1/2
+    assert(got == Set((1L, 2L, 3, 5),
+      (3L, 4L, 2, 2), (3L, 5L, 2, 2), (4L, 5L, 2, 2)), got.toString)
   }
 
   test("entityClusters: string pairs cluster through min-id node " +
