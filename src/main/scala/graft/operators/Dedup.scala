@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable.ArrayBuffer
+
 /** Deduplication operators for LLM training-data pipelines (extended
   * surface, SURVEY.md §2.10): exact, keep-latest, MinHash+LSH near-dup,
   * SimHash, and n-gram Jaccard verification. Everything is built from
@@ -832,8 +834,61 @@ object Dedup {
     * the per-node coreness evidence (≥ k by construction).
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64, maxDriverEdges: Int = 5000000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // SIZE-GATED DRIVER FAST PATH (the connectedComponents /
+    // componentMergeMap precedent — every distributed peel round is a
+    // two-join + aggregate + checkpoint + count whose job overhead is
+    // data-size-independent): a sub-cap edge list peels on the driver
+    // in microseconds, with EDGE MULTIPLICITY kept (the distributed
+    // degree counts duplicate edges and both rows of a self-loop, so
+    // the collect must too). Null-endpoint rows never survive the
+    // distributed alive-joins, so dropping them is faithful. Above the
+    // cap or for non-integral endpoint types: the iterative peel,
+    // unchanged.
+    val aT = edges.schema(aCol).dataType
+    val bT = edges.schema(bCol).dataType
+    val integral = Seq(aT, bT).forall(t =>
+      t == org.apache.spark.sql.types.LongType ||
+      t == org.apache.spark.sql.types.IntegerType)
+    if (integral) {
+      val spark0 = edges.sparkSession
+      import spark0.implicits._
+      val vType = if (aT == bT) aT else org.apache.spark.sql.types.LongType
+      val pairs: Array[(Long, Long)] = edges
+        .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .as[(Long, Long)]
+        .limit(maxDriverEdges + 1).collect()
+      if (pairs.length <= maxDriverEdges) {
+        val alive = new java.util.HashSet[java.lang.Long]()
+        pairs.foreach { case (a, b) => alive.add(a); alive.add(b) }
+        val deg = new java.util.HashMap[Long, Long]()
+        var changed = true
+        while (changed) {
+          deg.clear()
+          pairs.foreach { case (a, b) =>
+            if (alive.contains(a) && alive.contains(b)) {
+              deg.merge(a, 1L, _ + _)
+              deg.merge(b, 1L, _ + _)
+            }
+          }
+          changed = false
+          val drop = ArrayBuffer.empty[java.lang.Long]
+          val it = alive.iterator()
+          while (it.hasNext) {
+            val v = it.next()
+            if (deg.getOrDefault(v, 0L) < k) drop += v
+          }
+          if (drop.nonEmpty) { drop.foreach(alive.remove); changed = true }
+        }
+        import scala.jdk.CollectionConverters._
+        return alive.asScala.toSeq
+          .map(v => (v.longValue(), deg.get(v.longValue())))
+          .toDF("node", "core_degree")
+          .select(col("node").cast(vType).as("node"), col("core_degree"))
+      }
+    }
     val m = edges.select(col(aCol).as("v"), col(bCol).as("w"))
       .unionAll(edges.select(col(bCol).as("v"), col(aCol).as("w")))
       .repartition(col("v"))
@@ -887,7 +942,69 @@ object Dedup {
     * Output: (`node`, `hops`), seeds at 0.
     */
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
-      seeds: DataFrame, maxRounds: Int = 64): DataFrame = {
+      seeds: DataFrame, maxRounds: Int = 64,
+      maxDriverEdges: Int = 5000000): DataFrame = {
+    // SIZE-GATED DRIVER FAST PATH (the connectedComponents precedent):
+    // hop labels are a pure function of the edge set and seed set, so
+    // a sub-cap graph runs the textbook queue BFS on the driver
+    // instead of eccentricity-many join + anti-join + checkpoint
+    // rounds. Conservative null handling: a null endpoint or seed
+    // falls back to the iterative path outright (distributed null
+    // semantics — a null `w` can enter the discovered set through the
+    // anti-join — are not worth replicating on the driver).
+    val aT = edges.schema(aCol).dataType
+    val bT = edges.schema(bCol).dataType
+    val sCol = seeds.columns.head
+    val sT = seeds.schema(sCol).dataType
+    val integral = Seq(aT, bT, sT).forall(t =>
+      t == org.apache.spark.sql.types.LongType ||
+      t == org.apache.spark.sql.types.IntegerType)
+    if (integral) {
+      val vType =
+        if (aT == bT && bT == sT) aT
+        else org.apache.spark.sql.types.LongType
+      val eRows = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .distinct().limit(maxDriverEdges + 1).collect()
+      val sRows = seeds.select(col(sCol).cast("long"))
+        .distinct().limit(maxDriverEdges + 1).collect()
+      if (eRows.length <= maxDriverEdges &&
+          sRows.length <= maxDriverEdges &&
+          eRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)) &&
+          sRows.forall(r => !r.isNullAt(0))) {
+        val spark0 = edges.sparkSession
+        import spark0.implicits._
+        val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
+        def add(x: Long, y: Long): Unit =
+          adj.computeIfAbsent(x, _ => ArrayBuffer.empty[Long]) += y
+        eRows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          add(a, b); add(b, a)
+        }
+        val hops = new java.util.HashMap[Long, Int]()
+        var frontier = ArrayBuffer.empty[Long]
+        sRows.foreach { r =>
+          val s = r.getLong(0)
+          if (!hops.containsKey(s)) { hops.put(s, 0); frontier += s }
+        }
+        var h = 0
+        while (frontier.nonEmpty) {
+          h += 1
+          val next = ArrayBuffer.empty[Long]
+          frontier.foreach { v =>
+            val nbrs = adj.get(v)
+            if (nbrs != null) nbrs.foreach { w =>
+              if (!hops.containsKey(w)) { hops.put(w, h); next += w }
+            }
+          }
+          frontier = next
+        }
+        import scala.jdk.CollectionConverters._
+        return hops.entrySet().asScala.toSeq
+          .map(e => (e.getKey.longValue(), e.getValue.intValue()))
+          .toDF("node", "hops")
+          .select(col("node").cast(vType).as("node"), col("hops"))
+      }
+    }
     val m = edges.select(col(aCol).as("v"), col(bCol).as("w"))
       .unionAll(edges.select(col(bCol).as("v"), col(aCol).as("w")))
       .repartition(col("v"))
@@ -1856,8 +1973,78 @@ object Dedup {
     */
   def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5, maxDriverEdges: Int = 5000000): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    // SIZE-GATED DRIVER FAST PATH (the connectedComponents precedent):
+    // synchronous LPA with the (count desc, label asc) argmax is a
+    // pure integer function of the flow list, so a sub-cap graph runs
+    // the rounds on the driver instead of 5 × (join + agg + window +
+    // join + checkpoint). Faithfulness details: label flows b → a with
+    // EDGE MULTIPLICITY (the distributed count is over the raw
+    // symmetric frame); only flows whose SOURCE b is a labeled node
+    // count (the join against `labels`), enforced by the same
+    // left-semi before the collect; endpoints outside `nodes` may
+    // evolve a scratch label but are never emitted (the emit is a
+    // broadcast remap of `nodes`, the left-join-from-labels
+    // equivalent); null endpoints never join distributedly and are
+    // filtered here. Above the cap or non-integral ids: the iterative
+    // loop, unchanged.
+    val idT = nodes.schema(idCol).dataType
+    val integral = Seq(idT, edges.schema(aCol).dataType,
+      edges.schema(bCol).dataType).forall(t =>
+      t == org.apache.spark.sql.types.LongType ||
+      t == org.apache.spark.sql.types.IntegerType)
+    if (integral) {
+      val spark0 = nodes.sparkSession
+      import spark0.implicits._
+      val flows: Array[(Long, Long)] = edges
+        .select(col(aCol).as("a"), col(bCol).as("b"))
+        .unionAll(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+        .join(nodes.select(col(idCol).as("b")), Seq("b"), "left_semi")
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)]
+        .limit(maxDriverEdges + 1).collect()
+      if (flows.length <= maxDriverEdges) {
+        val labels = new java.util.HashMap[Long, Long]()
+        flows.foreach { case (a, _) =>
+          if (!labels.containsKey(a)) labels.put(a, a)
+        }
+        var i = 0
+        while (i < iterations) {
+          // synchronous round: counts read the PREVIOUS labels only
+          val counts =
+            new java.util.HashMap[Long, java.util.HashMap[Long, Long]]()
+          flows.foreach { case (a, b) =>
+            val bl = labels.getOrDefault(b, b)
+            counts.computeIfAbsent(a, _ => new java.util.HashMap())
+              .merge(bl, 1L, _ + _)
+          }
+          val next = new java.util.HashMap[Long, Long](labels)
+          counts.forEach { (a, m) =>
+            var bestLab = 0L; var bestC = -1L; var first = true
+            m.forEach { (lab, c) =>
+              if (first || c > bestC || (c == bestC && lab < bestLab)) {
+                bestLab = lab; bestC = c; first = false
+              }
+            }
+            next.put(a, bestLab)
+          }
+          labels.clear(); labels.putAll(next)
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        val mapDf = labels.entrySet().asScala.toSeq
+          .map(e => (e.getKey.longValue(), e.getValue.longValue()))
+          .filter { case (a, l) => a != l }
+          .toDF("__id", "__lab")
+          .select(col("__id").cast(idT).as("__id"),
+            col("__lab").cast(idT).as("__lab"))
+        return nodes.select(col(idCol).as("id"))
+          .join(broadcast(mapDf), col("id") === col("__id"), "left")
+          .select(col("id"), coalesce(col("__lab"), col("id")).as("lab"))
+      }
+    }
     val sym = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionAll(edges.select(col(bCol).as("a"), col(aCol).as("b")))
       .repartition(col("b")) // "b" is the per-round join key — partition

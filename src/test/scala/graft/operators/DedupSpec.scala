@@ -329,19 +329,60 @@ class DedupSpec extends SparkSpec {
       8L -> 0, 5L -> 1, 7L -> 1, 6L -> 2))
   }
 
-  test("bfsHops throws when the eccentricity exceeds the round bound") {
+  test("bfsHops throws when the eccentricity exceeds the round bound " +
+      "(iterative path)") {
     val edges = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val seeds = Seq(1L).toDF("v")
     assertThrows[IllegalStateException] {
-      Dedup.bfsHops(edges, "id_a", "id_b", seeds, maxRounds = 3)
+      Dedup.bfsHops(edges, "id_a", "id_b", seeds, maxRounds = 3,
+        maxDriverEdges = 0)
     }
   }
 
-  test("kCore returns empty when everything peels, throws past bound") {
+  test("kCore returns empty when everything peels, throws past bound " +
+      "(iterative path)") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     assert(Dedup.kCore(chain, "id_a", "id_b", k = 2).count() == 0L)
+    assert(Dedup.kCore(chain, "id_a", "id_b", k = 2,
+      maxDriverEdges = 0).count() == 0L)
     assertThrows[IllegalStateException] {
-      Dedup.kCore(chain, "id_a", "id_b", k = 2, maxRounds = 1)
+      Dedup.kCore(chain, "id_a", "id_b", k = 2, maxRounds = 1,
+        maxDriverEdges = 0)
+    }
+  }
+
+  test("kCore/bfsHops/labelPropagation: driver fast path == iterative " +
+      "on a graph with duplicate edges, self-loops and ties") {
+    // pseudo-random multigraph: duplicates and self-loops kept — the
+    // distributed degree/label counts weight multiplicity, so the two
+    // paths must agree on exactly this kind of input
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 150).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val edges = raw.toDF("id_a", "id_b")
+    val nodes = (0L until 25L).toDF("id")
+    val seeds = Seq(0L, 13L).toDF("v")
+    for (k <- Seq(2, 4)) {
+      val fast = Dedup.kCore(edges, "id_a", "id_b", k)
+        .as[(Long, Long)].collect().toMap
+      val iter = Dedup.kCore(edges, "id_a", "id_b", k, maxDriverEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == iter, s"kCore k=$k")
+    }
+    val bfsFast = Dedup.bfsHops(edges, "id_a", "id_b", seeds)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val bfsIter = Dedup.bfsHops(edges, "id_a", "id_b", seeds,
+        maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(bfsFast == bfsIter, "bfsHops")
+    for (iters <- Seq(1, 3, 5)) {
+      val lpFast = Dedup.labelPropagation(nodes, "id", edges,
+          iterations = iters)
+        .as[(Long, Long)].collect().toMap
+      val lpIter = Dedup.labelPropagation(nodes, "id", edges,
+          iterations = iters, maxDriverEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(lpFast == lpIter, s"labelPropagation iterations=$iters")
     }
   }
 
