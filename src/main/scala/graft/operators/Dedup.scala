@@ -538,12 +538,17 @@ object Dedup {
     // min-label fixpoint exactly (a set's root IS its min id), the
     // non-identity (id → min) map broadcasts back, and every node
     // takes coalesce(map(id), id) — one edge pass + one node pass,
-    // ZERO iterative rounds. Above the cap, or for non-integral node
-    // ids, the iterative min-label loop below is unchanged — a 100 TB
+    // ZERO iterative rounds. Above the cap, or unless node AND edge
+    // columns share one integral type (a mixed- or non-integral-typed
+    // graph would truncation-cast or wrap on the way into/out of the
+    // long-keyed union-find — fall back rather than fabricate edges),
+    // the iterative min-label loop below is unchanged — a 100 TB
     // near-dup graph's edges are NOT bounded driver metadata.
     val idType = nodes.schema(idCol).dataType
-    if (idType == org.apache.spark.sql.types.LongType ||
-        idType == org.apache.spark.sql.types.IntegerType) {
+    if ((idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType) &&
+        edges.schema(aCol).dataType == idType &&
+        edges.schema(bCol).dataType == idType) {
       val spark0 = nodes.sparkSession
       import spark0.implicits._
       // the bounded probe IS the fast-path input: collect caps at
@@ -562,7 +567,10 @@ object Dedup {
         val mapDf = unionFindMinMap(pairs).toDF("__cid", "__cc")
           .select(col("__cid").cast(idType).as("__cid"),
             col("__cc").cast(idType).as("__cc"))
-        return nodes.select(col(idCol).as("id"))
+        // distinct: the iterative path's fused round ends in a
+        // groupBy(id), so duplicate node rows collapse there — the
+        // remap must match row-for-row
+        return nodes.select(col(idCol).as("id")).distinct()
           .join(broadcast(mapDf), col("id") === col("__cid"), "left")
           .select(col("id"), coalesce(col("__cc"), col("id")).as("comp"))
       }
@@ -861,30 +869,46 @@ object Dedup {
         .as[(Long, Long)]
         .limit(maxDriverEdges + 1).collect()
       if (pairs.length <= maxDriverEdges) {
-        val alive = new java.util.HashSet[java.lang.Long]()
-        pairs.foreach { case (a, b) => alive.add(a); alive.add(b) }
+        // Matula–Beck QUEUE peel, O(V + E) total: degrees decrement
+        // incrementally as nodes die instead of rescanning the edge
+        // list per round (a 2M-edge chain at k = 2 peels two endpoints
+        // per round — a round-rescan form is O(rounds × E) and would
+        // stall the driver for hours where the distributed path failed
+        // fast at maxRounds). Removal order cannot change the k-core
+        // (the unique maximal subgraph of min degree ≥ k), so the
+        // queue peel and the distributed simultaneous peel agree
+        // exactly, including on the final within-core degrees.
+        // Adjacency lists keep edge MULTIPLICITY (and both rows of a
+        // self-loop), matching the distributed degree count.
         val deg = new java.util.HashMap[Long, Long]()
-        var changed = true
-        while (changed) {
-          deg.clear()
-          pairs.foreach { case (a, b) =>
-            if (alive.contains(a) && alive.contains(b)) {
-              deg.merge(a, 1L, _ + _)
-              deg.merge(b, 1L, _ + _)
+        val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
+        def add(x: Long, y: Long): Unit = {
+          deg.merge(x, 1L, _ + _)
+          adj.computeIfAbsent(x, _ => ArrayBuffer.empty[Long]) += y
+          ()
+        }
+        pairs.foreach { case (a, b) => add(a, b); add(b, a) }
+        val dead = new java.util.HashSet[Long]()
+        val queue = new java.util.ArrayDeque[java.lang.Long]()
+        deg.forEach { (v, d) => if (d < k) queue.add(v): Unit }
+        while (!queue.isEmpty) {
+          val v = queue.poll().longValue()
+          if (!dead.contains(v)) {
+            dead.add(v)
+            val nbrs = adj.get(v)
+            if (nbrs != null) nbrs.foreach { w =>
+              if (!dead.contains(w)) {
+                val nd = deg.merge(w, -1L, _ + _)
+                // enqueue only on the ≥k → <k crossing
+                if (nd < k && nd + 1 >= k) queue.add(w): Unit
+              }
             }
           }
-          changed = false
-          val drop = ArrayBuffer.empty[java.lang.Long]
-          val it = alive.iterator()
-          while (it.hasNext) {
-            val v = it.next()
-            if (deg.getOrDefault(v, 0L) < k) drop += v
-          }
-          if (drop.nonEmpty) { drop.foreach(alive.remove); changed = true }
         }
         import scala.jdk.CollectionConverters._
-        return alive.asScala.toSeq
-          .map(v => (v.longValue(), deg.get(v.longValue())))
+        return deg.entrySet().asScala.toSeq
+          .collect { case e if !dead.contains(e.getKey.longValue()) =>
+            (e.getKey.longValue(), e.getValue.longValue()) }
           .toDF("node", "core_degree")
           .select(col("node").cast(vType).as("node"), col("core_degree"))
       }
@@ -963,27 +987,33 @@ object Dedup {
       val vType =
         if (aT == bT && bT == sT) aT
         else org.apache.spark.sql.types.LongType
-      val eRows = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
-        .distinct().limit(maxDriverEdges + 1).collect()
-      val sRows = seeds.select(col(sCol).cast("long"))
-        .distinct().limit(maxDriverEdges + 1).collect()
-      if (eRows.length <= maxDriverEdges &&
-          sRows.length <= maxDriverEdges &&
-          eRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)) &&
-          sRows.forall(r => !r.isNullAt(0))) {
-        val spark0 = edges.sparkSession
-        import spark0.implicits._
+      val spark0 = edges.sparkSession
+      import spark0.implicits._
+      // null probe FIRST (one cheap agg per frame — no shuffle): a
+      // null endpoint or seed falls back to the iterative path, and
+      // the edge set then collects as SPECIALIZED (Long, Long) tuples
+      // (the componentMergeMap convention — boxed GenericRows cost
+      // hundreds of MB of driver heap at the 5M cap)
+      def hasNull(df: DataFrame, cond: Column): Boolean =
+        Option(df.agg(sum(when(cond, 1L)).as("n")).head()
+          .getAs[java.lang.Long](0)).exists(_ > 0L)
+      if (!hasNull(edges, col(aCol).isNull || col(bCol).isNull) &&
+          !hasNull(seeds, col(sCol).isNull)) {
+        val ePairs: Array[(Long, Long)] = edges
+          .select(col(aCol).cast("long"), col(bCol).cast("long"))
+          .distinct().as[(Long, Long)]
+          .limit(maxDriverEdges + 1).collect()
+        val sArr: Array[Long] = seeds.select(col(sCol).cast("long"))
+          .distinct().as[Long].limit(maxDriverEdges + 1).collect()
+        if (ePairs.length <= maxDriverEdges &&
+            sArr.length <= maxDriverEdges) {
         val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]()
         def add(x: Long, y: Long): Unit =
           adj.computeIfAbsent(x, _ => ArrayBuffer.empty[Long]) += y
-        eRows.foreach { r =>
-          val a = r.getLong(0); val b = r.getLong(1)
-          add(a, b); add(b, a)
-        }
+        ePairs.foreach { case (a, b) => add(a, b); add(b, a) }
         val hops = new java.util.HashMap[Long, Int]()
         var frontier = ArrayBuffer.empty[Long]
-        sRows.foreach { r =>
-          val s = r.getLong(0)
+        sArr.foreach { s =>
           if (!hops.containsKey(s)) { hops.put(s, 0); frontier += s }
         }
         var h = 0
@@ -1003,6 +1033,7 @@ object Dedup {
           .map(e => (e.getKey.longValue(), e.getValue.intValue()))
           .toDF("node", "hops")
           .select(col("node").cast(vType).as("node"), col("hops"))
+        }
       }
     }
     val m = edges.select(col(aCol).as("v"), col(bCol).as("w"))
@@ -1989,12 +2020,16 @@ object Dedup {
     // equivalent); null endpoints never join distributedly and are
     // filtered here. Above the cap or non-integral ids: the iterative
     // loop, unchanged.
+    // gate: node AND edge columns must share ONE integral type — a
+    // Long edge endpoint outside Int range would WRAP when the final
+    // map casts back to an IntegerType id column (colliding with a
+    // real node id under non-ANSI semantics); mixed-typed graphs fall
+    // back to the iterative loop instead
     val idT = nodes.schema(idCol).dataType
-    val integral = Seq(idT, edges.schema(aCol).dataType,
-      edges.schema(bCol).dataType).forall(t =>
-      t == org.apache.spark.sql.types.LongType ||
-      t == org.apache.spark.sql.types.IntegerType)
-    if (integral) {
+    if ((idT == org.apache.spark.sql.types.LongType ||
+        idT == org.apache.spark.sql.types.IntegerType) &&
+        edges.schema(aCol).dataType == idT &&
+        edges.schema(bCol).dataType == idT) {
       val spark0 = nodes.sparkSession
       import spark0.implicits._
       val flows: Array[(Long, Long)] = edges

@@ -262,6 +262,61 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("connectedComponents: duplicate node rows collapse on BOTH " +
+      "paths; non-integral edge types fall back to the iterative path") {
+    // duplicate node rows: the iterative fused round ends in a
+    // groupBy(id), so the fast path must dedup too
+    val dupNodes = Seq(1L, 1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(dupNodes, "id", e)
+      .as[(Long, Long)].collect()
+    val iter = Dedup.connectedComponents(dupNodes, "id", e,
+        maxDriverEdges = 0)
+      .as[(Long, Long)].collect()
+    assert(fast.sorted.toSeq == iter.sorted.toSeq)
+    assert(fast.length == 3, fast.mkString(","))
+    // double-typed edge endpoints must NOT be truncation-cast into the
+    // union-find: 2.5 is not node 2, so nothing merges (the gate
+    // routes this to the iterative path, whose join compares doubles —
+    // and whose union coerces the output schema to double, so decode
+    // generically)
+    val dEdges = Seq((1.0, 2.5)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents((1L to 2L).toDF("id"), "id",
+        dEdges)
+      .collect().map(r => (r.get(0), r.get(1))).toMap
+    // the iterative path may also emit an out-of-nodes phantom row for
+    // the 2.5 endpoint (edge-ids-drawn-from-nodes is the contract);
+    // the assertion that matters: node 2 did NOT merge with node 1 —
+    // the fast path would have truncation-cast 2.5 → 2 and merged them
+    assert(got(2.0) == 2.0, got.toString)
+    assert(got(1.0) == 1.0, got.toString)
+  }
+
+  test("kCore driver peel handles a long chain in one pass; bfsHops " +
+      "with null endpoints/seeds falls back and matches") {
+    // 50k-edge chain at k=2 peels two endpoints per simultaneous
+    // round — the queue peel must be O(E), not O(rounds × E)
+    val n = 50000L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    assert(Dedup.kCore(chain, "id_a", "id_b", k = 2).count() == 0L)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "queue peel stalled")
+    // null endpoint: fast path declines; result equals the forced
+    // iterative labeling
+    val nEdges = Seq((Some(1L), Some(2L)), (Some(2L), None))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("v")
+    // decode null-safely: the iterative path can emit a null node row
+    // for a null edge endpoint (the anti-join keeps null keys) — the
+    // declining fast path must yield the SAME rows
+    val a = Dedup.bfsHops(nEdges, "id_a", "id_b", seeds)
+      .collect().map(r => (Option(r.get(0)), r.getInt(1))).toSet
+    val b = Dedup.bfsHops(nEdges, "id_a", "id_b", seeds,
+        maxDriverEdges = 0)
+      .collect().map(r => (Option(r.get(0)), r.getInt(1))).toSet
+    assert(a == b, s"a=$a b=$b")
+  }
+
   test("connectedComponents returns empty on an empty node set") {
     val nodes = Seq.empty[Long].toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
